@@ -1,0 +1,108 @@
+"""Config system tests: reference-style flat JSON parity, comments, validation."""
+
+import json
+
+import pytest
+
+from your_voice_tts_tpu.config import (
+    AudioConfig,
+    Config,
+    check_config,
+    config_from_dict,
+    load_config,
+)
+
+REFERENCE_STYLE_JSON = """
+{
+    // master config in the reference's flat style
+    "model": "Tacotron2",
+    "run_name": "ljspeech",
+    "audio": {
+        "num_mels": 80,
+        "fft_size": 1024,
+        "sample_rate": 22050,
+        "hop_length": 256,
+        "win_length": 1024,
+        "preemphasis": 0.98,
+        "ref_level_db": 20,
+        "min_level_db": -100,
+        "power": 1.5,
+        "griffin_lim_iters": 60,
+        "signal_norm": true,
+        "symmetric_norm": true,
+        "max_norm": 4.0,
+        "clip_norm": true,
+        "mel_fmin": 0.0,
+        "mel_fmax": 8000.0,
+        "do_trim_silence": true
+    },
+    "r": 7,
+    "gradual_training": [[0, 7, 64], [10000, 5, 64], [50000, 3, 32], [130000, 2, 32]],
+    "loss_masking": true,
+    "ga_alpha": 10.0,
+    "batch_size": 32,
+    "eval_batch_size": 16,
+    "lr": 0.0001,
+    "grad_clip": 1.0,
+    "epochs": 1000,
+    "use_phonemes": false,
+    "text_cleaner": "english_cleaners",
+    "min_seq_len": 6,
+    "max_seq_len": 153,
+    "use_speaker_embedding": false,
+    "output_path": "runs/",
+    "print_step": 25,
+    "save_step": 10000,
+    "datasets": [{"name": "ljspeech", "path": "data/LJSpeech-1.1",
+                  "meta_file_train": "metadata.csv", "meta_file_val": null}]
+}
+"""
+
+
+def test_flat_reference_json_roundtrip(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text(REFERENCE_STYLE_JSON)
+    cfg = load_config(str(p))
+    assert cfg.model.model == "Tacotron2"
+    assert cfg.model.r == 7
+    assert cfg.audio.num_mels == 80
+    assert cfg.audio.mel_fmax == 8000.0
+    assert cfg.training.gradual_training[2] == [50000, 3, 32]
+    assert cfg.data.datasets[0].name == "ljspeech"
+    assert cfg.data.max_seq_len == 153
+    assert cfg.io.run_name == "ljspeech"
+    check_config(cfg)
+
+
+def test_defaults_valid():
+    check_config(Config())
+
+
+def test_unknown_field_warns():
+    with pytest.warns(UserWarning, match="unknown"):
+        config_from_dict({"totally_unknown_field": 1})
+
+
+def test_audio_num_freq():
+    a = AudioConfig(fft_size=1024)
+    assert a.num_freq == 513
+
+
+def test_frame_ms_resolution():
+    a = AudioConfig(sample_rate=22050, frame_shift_ms=12.5, frame_length_ms=50.0)
+    hop, win = a.resolved_hop_win()
+    assert hop == int(12.5 / 1000 * 22050)
+    assert win == int(50.0 / 1000 * 22050)
+
+
+def test_check_config_rejects_bad():
+    with pytest.raises(ValueError):
+        check_config(config_from_dict({"model": "NotAModel"}))
+    with pytest.raises(ValueError):
+        check_config(config_from_dict({"audio": {"hop_length": 2048, "fft_size": 1024}}))
+
+
+def test_example_config_loads():
+    cfg = load_config("configs/ljspeech_tacotron2.json")
+    check_config(cfg)
+    assert cfg.model.model == "Tacotron2"

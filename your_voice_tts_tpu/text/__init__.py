@@ -1,0 +1,181 @@
+"""Text -> symbol-id sequences (host-side frontend).
+
+Parity with the reference's ``utils/text/__init__.py``: ``text_to_sequence``
+(grapheme path), ``phoneme_to_sequence`` (G2P path), inverses, and EOS/BOS
+padding. The reference shells out to espeak-ng via ``phonemizer`` for G2P;
+that binary is not guaranteed here, so G2P is pluggable: an espeak subprocess
+backend when available, a precomputed phoneme-cache backend (the reference
+also caches phonemes to ``phoneme_cache_path``), and a deterministic
+rule-based fallback so the phoneme pipeline stays testable offline.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+
+import numpy as np
+
+from . import cleaners as _cleaners_mod
+from .cleaners import get_cleaner
+from .symbols import bos, eos, pad, phonemes, symbols
+
+_symbol_to_id = {s: i for i, s in enumerate(symbols)}
+_id_to_symbol = {i: s for i, s in enumerate(symbols)}
+_phoneme_to_id = {s: i for i, s in enumerate(phonemes)}
+_id_to_phoneme = {i: s for i, s in enumerate(phonemes)}
+
+_PUNCT_KEEP = set("!'(),-.:;? ")
+
+
+def _clean(text: str, cleaner_names: str | list[str]) -> str:
+    if isinstance(cleaner_names, str):
+        cleaner_names = [cleaner_names]
+    for name in cleaner_names:
+        text = get_cleaner(name)(text)
+    return text
+
+
+def text_to_sequence(text: str, cleaner_names: str | list[str] = "english_cleaners") -> np.ndarray:
+    """Grapheme path: clean then map chars to ids, dropping unknown chars."""
+    text = _clean(text, cleaner_names)
+    ids = [_symbol_to_id[ch] for ch in text if ch in _symbol_to_id and ch != pad]
+    return np.asarray(ids, dtype=np.int32)
+
+
+def sequence_to_text(seq) -> str:
+    return "".join(_id_to_symbol[int(i)] for i in seq if int(i) in _id_to_symbol)
+
+
+def phoneme_to_sequence(
+    text: str,
+    cleaner_names: str | list[str] = "phoneme_cleaners",
+    language: str = "en-us",
+    enable_eos_bos: bool = False,
+    backend: "G2PBackend | None" = None,
+) -> np.ndarray:
+    """G2P path: clean -> phonemize -> map IPA chars to ids."""
+    text = _clean(text, cleaner_names)
+    backend = backend or default_g2p_backend(language)
+    ipa = backend.phonemize(text)
+    ids = [_phoneme_to_id[ch] for ch in ipa if ch in _phoneme_to_id and ch != pad]
+    if enable_eos_bos:
+        ids = [_phoneme_to_id[bos]] + ids + [_phoneme_to_id[eos]]
+    return np.asarray(ids, dtype=np.int32)
+
+
+def sequence_to_phoneme(seq) -> str:
+    return "".join(_id_to_phoneme[int(i)] for i in seq if int(i) in _id_to_phoneme)
+
+
+def pad_with_eos_bos(seq: np.ndarray, use_phonemes: bool = False) -> np.ndarray:
+    table = _phoneme_to_id if use_phonemes else _symbol_to_id
+    return np.concatenate(
+        [[table[bos]], np.asarray(seq, dtype=np.int32), [table[eos]]]
+    ).astype(np.int32)
+
+
+class G2PBackend:
+    """Grapheme->IPA backend protocol."""
+
+    def phonemize(self, text: str) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class EspeakBackend(G2PBackend):
+    """Subprocess espeak-ng, same engine the reference uses via ``phonemizer``."""
+
+    def __init__(self, language: str = "en-us"):
+        self.language = language
+        self._bin = shutil.which("espeak-ng") or shutil.which("espeak")
+        if self._bin is None:
+            raise RuntimeError("espeak/espeak-ng binary not found")
+
+    def phonemize(self, text: str) -> str:
+        out = subprocess.run(
+            [self._bin, "-q", "--ipa=3", "-v", self.language, text],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return out.strip().replace("_", " ")
+
+
+class CacheBackend(G2PBackend):
+    """Lookup of precomputed phonemizations (text -> IPA), mirroring the
+    reference's ``phoneme_cache_path`` .npy cache."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = mapping
+
+    @classmethod
+    def from_npy_dir(cls, path: str) -> "CacheBackend":
+        import os
+
+        mapping = {}
+        for fn in os.listdir(path):
+            if fn.endswith(".npy"):
+                obj = np.load(os.path.join(path, fn), allow_pickle=True).item()
+                mapping.update(obj)
+        return cls(mapping)
+
+    def phonemize(self, text: str) -> str:
+        try:
+            return self.mapping[text]
+        except KeyError:
+            raise KeyError(f"text not in phoneme cache: {text[:60]!r}") from None
+
+
+class RuleG2PBackend(G2PBackend):
+    """Deterministic rule-based English letter-to-IPA fallback.
+
+    Not linguistically faithful — it exists so the phoneme *pipeline*
+    (ids, EOS/BOS, caching, embedding table) is exercisable where espeak-ng
+    is unavailable. Digraphs first, then single letters.
+    """
+
+    _DIGRAPHS = [
+        ("tch", "tʃ"), ("sch", "ʃ"), ("ch", "tʃ"), ("sh", "ʃ"), ("th", "θ"),
+        ("ph", "f"), ("ng", "ŋ"), ("qu", "kw"), ("oo", "uː"), ("ee", "iː"),
+        ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("ou", "aʊ"), ("ow", "aʊ"),
+        ("oi", "ɔɪ"), ("oy", "ɔɪ"), ("ck", "k"),
+    ]
+    _SINGLE = {
+        "a": "æ", "b": "b", "c": "k", "d": "d", "e": "ɛ", "f": "f", "g": "ɡ",
+        "h": "h", "i": "ɪ", "j": "dʒ", "k": "k", "l": "l", "m": "m", "n": "n",
+        "o": "ɒ", "p": "p", "q": "k", "r": "ɹ", "s": "s", "t": "t", "u": "ʌ",
+        "v": "v", "w": "w", "x": "ks", "y": "j", "z": "z",
+    }
+
+    def phonemize(self, text: str) -> str:
+        text = text.lower()
+        out: list[str] = []
+        i = 0
+        while i < len(text):
+            for pat, rep in self._DIGRAPHS:
+                if text.startswith(pat, i):
+                    out.append(rep)
+                    i += len(pat)
+                    break
+            else:
+                ch = text[i]
+                if ch in self._SINGLE:
+                    out.append(self._SINGLE[ch])
+                elif ch in _PUNCT_KEEP:
+                    out.append(ch)
+                i += 1
+        return "".join(out)
+
+
+def default_g2p_backend(language: str = "en-us") -> G2PBackend:
+    try:
+        return EspeakBackend(language)
+    except RuntimeError:
+        return RuleG2PBackend()
+
+
+__all__ = [
+    "text_to_sequence", "sequence_to_text", "phoneme_to_sequence",
+    "sequence_to_phoneme", "pad_with_eos_bos", "symbols", "phonemes",
+    "pad", "eos", "bos", "G2PBackend", "EspeakBackend", "CacheBackend",
+    "RuleG2PBackend", "default_g2p_backend",
+]
