@@ -1,0 +1,201 @@
+"""DSP layer tests.
+
+Three rings of evidence (SURVEY.md SS4 "Implication for the rebuild"):
+1. The numpy oracle is validated against torch.stft (independent native FFT).
+2. The JAX/TPU pipeline is held to <=1e-3 max-abs-diff against the oracle
+   (the BASELINE.json mel-fidelity target).
+3. Round-trip and behavioral tests mirror the reference's tests/test_audio.py.
+"""
+
+import numpy as np
+import pytest
+
+from oracle.audio_ref import AudioProcessorRef, mel_filterbank_slaney
+from tests.fixtures import sine_sweep, speech_like, silence_padded, white_noise
+from your_voice_tts_tpu.audio import AudioProcessor
+from your_voice_tts_tpu.config import AudioConfig
+from your_voice_tts_tpu.ops.filters import mel_basis
+
+CFG = AudioConfig()
+
+
+@pytest.fixture(scope="module")
+def ap():
+    return AudioProcessor(CFG)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return AudioProcessorRef()
+
+
+# --- ring 1: oracle vs torch -------------------------------------------------
+
+def test_oracle_stft_matches_torch(ref):
+    import torch
+
+    y = speech_like()
+    D_ref = ref._stft(y)
+    D_torch = torch.stft(
+        torch.from_numpy(y.astype(np.float64)),
+        n_fft=CFG.fft_size, hop_length=CFG.hop_length, win_length=CFG.win_length,
+        window=torch.hann_window(CFG.win_length, periodic=True, dtype=torch.float64),
+        center=True, pad_mode="reflect", return_complex=True,
+    ).numpy()
+    assert D_ref.shape == D_torch.shape
+    np.testing.assert_allclose(D_ref, D_torch, atol=1e-8)
+
+
+def test_oracle_mel_filterbank_properties():
+    fb = mel_filterbank_slaney(22050, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert np.all(fb >= 0)
+    # every filter has support; peaks descend with Slaney area norm
+    assert np.all(fb.max(axis=1) > 0)
+    # package's independently-written filterbank agrees with the oracle's
+    fb2 = mel_basis(22050, 1024, 80, 0.0, 8000.0)
+    np.testing.assert_allclose(fb, fb2, atol=1e-10)
+
+
+# --- ring 2: JAX pipeline vs oracle (the <=1e-3 parity gate) -------------------
+
+@pytest.mark.parametrize("make", [sine_sweep, speech_like, white_noise])
+def test_melspectrogram_parity(ap, ref, make):
+    y = make()
+    mel_tpu = ap.melspectrogram(y)
+    mel_ref = ref.melspectrogram(y.astype(np.float64))
+    assert mel_tpu.shape == mel_ref.shape
+    diff = np.max(np.abs(mel_tpu - mel_ref))
+    assert diff <= 1e-3, f"mel parity violated: max abs diff {diff}"
+
+
+def test_spectrogram_parity(ap, ref):
+    y = speech_like()
+    s_tpu = ap.spectrogram(y)
+    s_ref = ref.spectrogram(y.astype(np.float64))
+    assert s_tpu.shape == s_ref.shape
+    diff = np.abs(s_tpu - s_ref)
+    # Strict 1e-3 away from the min_level clamp floor. Within ~1 dB of the
+    # floor (|mag| ~ 1e-5), float32 FFT noise is amplified by the log and even
+    # the float32 CPU reference would deviate this much from a float64 run.
+    db_above_floor = (s_ref + CFG.max_norm) * (-CFG.min_level_db) / (2 * CFG.max_norm)
+    near_floor = db_above_floor < 1.0
+    assert np.max(diff[~near_floor]) <= 1e-3
+    assert np.max(diff) <= 5e-3
+
+
+def test_parity_on_awkward_length(ap, ref):
+    # length deliberately not a multiple of hop or bucket
+    y = speech_like()[: 22050 + 777]
+    mel_tpu = ap.melspectrogram(y)
+    mel_ref = ref.melspectrogram(y.astype(np.float64))
+    assert mel_tpu.shape == mel_ref.shape
+    assert np.max(np.abs(mel_tpu - mel_ref)) <= 1e-3
+
+
+# --- ring 3: behavior --------------------------------------------------------
+
+def test_normalize_denormalize_roundtrip(ref):
+    import jax.numpy as jnp
+    from your_voice_tts_tpu.ops import dsp
+
+    S = np.random.default_rng(0).uniform(-100, 20, size=(40, 80)).astype(np.float32)
+    n = dsp.normalize_spec(jnp.asarray(S), -100.0, 4.0, True, False)
+    d = dsp.denormalize_spec(n, -100.0, 4.0, True, False)
+    np.testing.assert_allclose(np.asarray(d), S, atol=1e-4)
+
+
+def test_istft_stft_roundtrip():
+    import jax.numpy as jnp
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+
+    y = speech_like(dur=0.7)
+    n = len(y) - (len(y) % 256)
+    y = y[:n]
+    w = jnp.asarray(hann_window(1024, 1024), dtype=jnp.float32)
+    D = dsp.stft(jnp.asarray(y), jnp.int32(n), 1024, 256, w)
+    n_frames = n // 256 + 1
+    rec = np.asarray(dsp.istft(D[:n_frames], 1024, 256, w))
+    m = min(len(rec), n)
+    # ignore edges (half window) where overlap-add is partial
+    sl = slice(1024, m - 1024)
+    np.testing.assert_allclose(rec[sl], y[sl], atol=1e-4)
+
+
+def test_preemphasis_roundtrip():
+    import jax.numpy as jnp
+    from your_voice_tts_tpu.ops import dsp
+
+    y = jnp.asarray(speech_like(dur=0.3))
+    z = dsp.inv_preemphasis(dsp.preemphasis(y, 0.98), 0.98)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(y), atol=1e-4)
+
+
+def test_inv_preemphasis_matches_oracle(ref):
+    import jax.numpy as jnp
+    from your_voice_tts_tpu.ops import dsp
+
+    y = speech_like(dur=0.2)
+    a = np.asarray(dsp.inv_preemphasis(jnp.asarray(y), 0.98))
+    b = ref.apply_inv_preemphasis(y.astype(np.float64))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_griffin_lim_reconstruction(ap):
+    """GL from a real mel should land near the original's mel (coarse SNR gate)."""
+    y = sine_sweep(dur=1.0)
+    mel = ap.melspectrogram(y)
+    y_rec = ap.inv_melspectrogram(mel)
+    assert len(y_rec) == ap.hop_length * (mel.shape[1] - 1)
+    mel_rec = ap.melspectrogram(y_rec.astype(np.float32))
+    t = min(mel.shape[1], mel_rec.shape[1]) - 4
+    err = np.mean((mel[:, 2:t] - mel_rec[:, 2:t]) ** 2)
+    sig = np.mean(mel[:, 2:t] ** 2)
+    assert err < 0.25 * sig, f"GL reconstruction too lossy: err={err}, sig={sig}"
+
+
+def test_trim_silence(ap):
+    core = speech_like(dur=0.5)
+    padded = silence_padded(core, lead=0.4, tail=0.5)
+    trimmed = ap.trim_silence(padded)
+    assert len(trimmed) < len(padded) - int(0.6 * ap.sample_rate)
+    assert len(trimmed) >= int(0.4 * ap.sample_rate)
+
+
+def test_trim_silence_matches_oracle(ap, ref):
+    padded = silence_padded(speech_like(dur=0.5), lead=0.4, tail=0.5)
+    a = ap.trim_silence(padded)
+    b = ref.trim_silence(padded.astype(np.float64))
+    assert len(a) == len(b)
+
+
+def test_wav_io_roundtrip(ap, tmp_path):
+    y = speech_like(dur=0.3)
+    p = str(tmp_path / "x.wav")
+    ap.save_wav(y, p)
+    y2 = ap.load_wav(p)
+    assert y2.dtype == np.float32
+    assert abs(len(y2) - len(y)) == 0
+    # save_wav peak-normalizes; compare shapes of normalized signals
+    a = y / np.max(np.abs(y))
+    b = y2 / np.max(np.abs(y2))
+    assert np.corrcoef(a, b)[0, 1] > 0.999
+
+
+def test_load_wav_resamples(ap, tmp_path):
+    y = sine_sweep(sr=44100, dur=0.2)
+    p = str(tmp_path / "hi.wav")
+    ap.save_wav(y, p, sr=44100)
+    y2 = ap.load_wav(p)  # resampled to 22050
+    assert abs(len(y2) - len(y) // 2) <= 2
+
+
+def test_find_endpoint(ap):
+    wav = np.concatenate([
+        speech_like(dur=0.5),
+        np.zeros(int(1.2 * ap.sample_rate), dtype=np.float32),
+    ])
+    ep = ap.find_endpoint(wav)
+    assert ep < len(wav)
+    assert ep >= int(0.4 * ap.sample_rate)

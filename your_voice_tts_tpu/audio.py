@@ -1,0 +1,221 @@
+"""Host-facing AudioProcessor — reference API, TPU compute.
+
+Method-for-method parity with the reference's ``utils/audio.py::
+AudioProcessor`` (load_wav, save_wav, melspectrogram, spectrogram,
+inv_melspectrogram, inv_spectrogram, trim_silence, find_endpoint, sound_norm;
+SURVEY.md SS2.1). Numpy in, numpy out, and spectrograms in the reference's
+freq-major [F, T] layout at this boundary.
+
+Internals are TPU-first: every transform dispatches to jit-compiled programs
+from ``ops.dsp`` at a small set of bucketed static shapes (wav lengths rounded
+up to hop*SIG_BUCKET samples, mel lengths to FRAME_BUCKET frames), so repeated
+calls with arbitrary lengths reuse a bounded set of compiled executables. File
+I/O stays on host (stdlib ``wave`` + scipy resampling — the reference used
+libsndfile/librosa, native deps unavailable here; SURVEY.md SS2.2).
+"""
+
+from __future__ import annotations
+
+import wave
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import AudioConfig
+from .ops import dsp
+from .ops.filters import hann_window, inv_mel_basis, mel_basis
+
+SIG_BUCKET = 128     # wav lengths padded to multiples of hop * SIG_BUCKET
+FRAME_BUCKET = 32    # mel frame counts padded to multiples of FRAME_BUCKET
+
+
+class AudioProcessor:
+    def __init__(self, config: AudioConfig | None = None, **kwargs):
+        if config is None:
+            config = AudioConfig(**kwargs)
+        elif kwargs:
+            import dataclasses
+            config = dataclasses.replace(config, **kwargs)
+        self.cfg = config
+        self.sample_rate = config.sample_rate
+        self.num_mels = config.num_mels
+        self.fft_size = config.fft_size
+        self.hop_length, self.win_length = config.resolved_hop_win()
+        self.mel_basis = mel_basis(
+            config.sample_rate, config.fft_size, config.num_mels,
+            config.mel_fmin, config.mel_fmax,
+        ).astype(np.float32)
+        self.inv_mel_basis = inv_mel_basis(self.mel_basis.astype(np.float64)).astype(np.float32)
+        self.window = hann_window(self.win_length, config.fft_size).astype(np.float32)
+        self._jit_cache: dict = {}
+        self._gl_key = jax.random.PRNGKey(0)
+
+    # --- shape bucketing -------------------------------------------------
+
+    def _sig_bucket(self, n: int) -> int:
+        q = self.hop_length * SIG_BUCKET
+        return max(q, ((n + q - 1) // q) * q)
+
+    def _frame_bucket(self, n: int) -> int:
+        return max(FRAME_BUCKET, ((n + FRAME_BUCKET - 1) // FRAME_BUCKET) * FRAME_BUCKET)
+
+    def _get_jit(self, kind: str, shape_key: int):
+        key = (kind, shape_key)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        c = self.cfg
+        common = dict(
+            window=jnp.asarray(self.window), n_fft=c.fft_size, hop=self.hop_length,
+            preemph=c.preemphasis, ref_level_db=c.ref_level_db,
+            min_level_db=c.min_level_db, spec_gain=c.spec_gain,
+            max_norm=c.max_norm, symmetric=c.symmetric_norm, clip=c.clip_norm,
+            signal_norm=c.signal_norm,
+        )
+        if kind == "mel":
+            fn = jax.jit(partial(dsp.melspectrogram, mel_basis=jnp.asarray(self.mel_basis), **common))
+        elif kind == "spec":
+            fn = jax.jit(partial(dsp.spectrogram, **common))
+        elif kind == "inv_mel":
+            fn = jax.jit(partial(
+                dsp.inv_melspectrogram, mel_inv_basis=jnp.asarray(self.inv_mel_basis),
+                power=c.power, gl_iters=c.griffin_lim_iters, **common))
+        elif kind == "inv_spec":
+            fn = jax.jit(partial(
+                dsp.inv_spectrogram, power=c.power, gl_iters=c.griffin_lim_iters, **common))
+        else:
+            raise KeyError(kind)
+        self._jit_cache[key] = fn
+        return fn
+
+    # --- forward transforms ----------------------------------------------
+
+    def _forward(self, kind: str, y: np.ndarray) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float32)
+        n = len(y)
+        lb = self._sig_bucket(n)
+        buf = np.zeros(lb, dtype=np.float32)
+        buf[:n] = y
+        out = self._get_jit(kind, lb)(jnp.asarray(buf), jnp.int32(n))
+        n_frames = n // self.hop_length + 1
+        return np.asarray(out)[:n_frames].T  # reference layout [F, T]
+
+    def melspectrogram(self, y: np.ndarray) -> np.ndarray:
+        """wav [T] -> normalized mel [num_mels, n_frames]."""
+        return self._forward("mel", y)
+
+    def spectrogram(self, y: np.ndarray) -> np.ndarray:
+        """wav [T] -> normalized linear spectrogram [num_freq, n_frames]."""
+        return self._forward("spec", y)
+
+    # --- inverse transforms (Griffin-Lim vocoder) --------------------------
+
+    def _inverse(self, kind: str, S: np.ndarray) -> np.ndarray:
+        S = np.asarray(S, dtype=np.float32).T  # -> time-major
+        t = S.shape[0]
+        tb = self._frame_bucket(t)
+        if self.cfg.signal_norm:
+            pad_val = -self.cfg.max_norm if self.cfg.symmetric_norm else 0.0
+        else:
+            pad_val = self.cfg.min_level_db
+        buf = np.full((tb, S.shape[1]), pad_val, dtype=np.float32)
+        buf[:t] = S
+        self._gl_key, sub = jax.random.split(self._gl_key)
+        y = self._get_jit(kind, tb)(jnp.asarray(buf), sub)
+        out_len = self.hop_length * (t - 1)
+        return np.asarray(y)[:out_len]
+
+    def inv_melspectrogram(self, mel: np.ndarray) -> np.ndarray:
+        """normalized mel [num_mels, T] -> waveform (on-device Griffin-Lim)."""
+        return self._inverse("inv_mel", mel)
+
+    def inv_spectrogram(self, spec: np.ndarray) -> np.ndarray:
+        """normalized linear spec [num_freq, T] -> waveform."""
+        return self._inverse("inv_spec", spec)
+
+    def out_linear_to_mel(self, linear_spec: np.ndarray) -> np.ndarray:
+        """Reference helper: model linear output -> mel (for Tacotron1 eval)."""
+        S = dsp.denormalize_spec(
+            jnp.asarray(linear_spec.T, dtype=jnp.float32), self.cfg.min_level_db,
+            self.cfg.max_norm, self.cfg.symmetric_norm, self.cfg.clip_norm,
+            self.cfg.signal_norm)
+        S = dsp.db_to_amp(S + self.cfg.ref_level_db, self.cfg.spec_gain)
+        mel = jnp.dot(S, jnp.asarray(self.mel_basis).T,
+                      precision=jax.lax.Precision.HIGHEST)
+        S = dsp.amp_to_db(mel, self.cfg.spec_gain, self.cfg.min_level_db) - self.cfg.ref_level_db
+        return np.asarray(dsp.normalize_spec(
+            S, self.cfg.min_level_db, self.cfg.max_norm, self.cfg.symmetric_norm,
+            self.cfg.clip_norm, self.cfg.signal_norm)).T
+
+    # --- host-side signal utilities ---------------------------------------
+
+    def load_wav(self, path: str, sr: int | None = None) -> np.ndarray:
+        """16/32-bit PCM or float WAV -> float32 [-1, 1], resampled to sample_rate."""
+        with wave.open(path, "rb") as f:
+            n_ch = f.getnchannels()
+            width = f.getsampwidth()
+            file_sr = f.getframerate()
+            raw = f.readframes(f.getnframes())
+        if width == 2:
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported WAV sample width: {width}")
+        if n_ch > 1:
+            x = x.reshape(-1, n_ch).mean(axis=1)
+        target_sr = sr or self.sample_rate
+        if file_sr != target_sr:
+            from scipy.signal import resample_poly
+            from math import gcd
+            g = gcd(file_sr, target_sr)
+            x = resample_poly(x, target_sr // g, file_sr // g).astype(np.float32)
+        if self.cfg.do_sound_norm:
+            x = self.sound_norm(x)
+        return x.astype(np.float32)
+
+    def save_wav(self, wav: np.ndarray, path: str, sr: int | None = None) -> None:
+        """Peak-normalized int16 WAV (reference: scipy.io.wavfile + 32767 scale)."""
+        wav_norm = wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))
+        pcm = wav_norm.astype(np.int16)
+        with wave.open(path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr or self.sample_rate)
+            f.writeframes(pcm.tobytes())
+
+    def trim_silence(self, wav: np.ndarray) -> np.ndarray:
+        """librosa.effects.trim semantics (top_db=trim_db, win/hop framing)."""
+        margin = int(self.sample_rate * 0.01)
+        if margin > 0:
+            wav = wav[margin:-margin]
+        pad = self.win_length // 2
+        yp = np.pad(wav, pad)
+        n_frames = max(0, 1 + (len(yp) - self.win_length) // self.hop_length)
+        if n_frames == 0:
+            return wav
+        idx = (np.arange(n_frames) * self.hop_length)[:, None] + np.arange(self.win_length)[None, :]
+        rms = np.sqrt(np.mean(yp[idx] ** 2, axis=1))
+        ref = max(float(np.max(rms)), 1e-10)
+        db = 20.0 * np.log10(np.maximum(rms, 1e-10) / ref)
+        keep = np.flatnonzero(db > -self.cfg.trim_db)
+        if len(keep) == 0:
+            return wav[:0]
+        start = int(keep[0]) * self.hop_length
+        end = min(len(wav), int(keep[-1] + 1) * self.hop_length)
+        return wav[start:end]
+
+    def find_endpoint(self, wav: np.ndarray, threshold_db: float = -40.0,
+                      min_silence_sec: float = 0.8) -> int:
+        window_length = int(self.sample_rate * min_silence_sec)
+        hop = window_length // 4
+        threshold = 10.0 ** (threshold_db / self.cfg.spec_gain)
+        for x in range(hop, len(wav) - window_length, hop):
+            if np.max(np.abs(wav[x: x + window_length])) < threshold:
+                return x + hop
+        return len(wav)
+
+    def sound_norm(self, x: np.ndarray) -> np.ndarray:
+        return x / (np.abs(x).max() + 1e-8) * 0.9

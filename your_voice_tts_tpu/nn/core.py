@@ -1,0 +1,165 @@
+"""Core layers: Dense, Embedding, Conv1d, BatchNorm1d, Dropout.
+
+Initialization parity with the reference's wrappers (layers/common_layers.py
+`Linear`/`LinearBN` use xavier-uniform with nonlinearity gain; torch conv/
+embedding defaults elsewhere). All activations are [B, ..., C] channel-last —
+the TPU-friendly layout (C maps to lanes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict[str, Any]
+
+_GAINS = {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0, "sigmoid": 1.0}
+
+
+def xavier_uniform(key, shape, gain: float = 1.0, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    if len(shape) == 3:  # conv [width, in, out]
+        rf = shape[0]
+        fan_in, fan_out = shape[1] * rf, shape[2] * rf
+    a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+class Dense:
+    """y = x @ W + b, xavier-uniform init (reference common_layers.Linear)."""
+
+    def __init__(self, in_dim: int, out_dim: int, use_bias: bool = True,
+                 init_gain: str = "linear"):
+        self.in_dim, self.out_dim, self.use_bias = in_dim, out_dim, use_bias
+        self.gain = _GAINS[init_gain]
+
+    def init(self, key) -> Params:
+        p = {"w": xavier_uniform(key, (self.in_dim, self.out_dim), self.gain)}
+        if self.use_bias:
+            p["b"] = jnp.zeros((self.out_dim,))
+        return p
+
+    def __call__(self, p: Params, x):
+        y = jnp.dot(x, p["w"])
+        return y + p["b"] if self.use_bias else y
+
+
+class Embedding:
+    """Symbol/speaker lookup table. Reference inits TTS char embedding to
+    uniform(-0.3, 0.3)-ish (std 0.3); we use normal(0, 0.3) matching scale."""
+
+    def __init__(self, num: int, dim: int, init_std: float = 0.3):
+        self.num, self.dim, self.init_std = num, dim, init_std
+
+    def init(self, key) -> Params:
+        return {"table": jax.random.normal(key, (self.num, self.dim)) * self.init_std}
+
+    def __call__(self, p: Params, ids):
+        return jnp.take(p["table"], ids, axis=0)
+
+
+class Conv1d:
+    """Channel-last 1D convolution [B, T, C_in] -> [B, T', C_out].
+
+    'same' padding keeps T (stride 1); explicit padding counts supported.
+    Weight layout [width, in, out] (XLA WIO for NWC).
+    """
+
+    def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
+                 stride: int = 1, padding: str | int = "same",
+                 use_bias: bool = True, init_gain: str = "relu", dilation: int = 1):
+        self.in_dim, self.out_dim, self.k = in_dim, out_dim, kernel_size
+        self.stride, self.dilation = stride, dilation
+        self.use_bias = use_bias
+        self.gain = _GAINS[init_gain]
+        if padding == "same":
+            total = dilation * (kernel_size - 1)
+            self.pad = (total // 2, total - total // 2)
+        elif padding == "valid":
+            self.pad = (0, 0)
+        elif isinstance(padding, int):
+            self.pad = (padding, padding)
+        else:
+            self.pad = tuple(padding)
+
+    def init(self, key) -> Params:
+        p = {"w": xavier_uniform(key, (self.k, self.in_dim, self.out_dim), self.gain)}
+        if self.use_bias:
+            p["b"] = jnp.zeros((self.out_dim,))
+        return p
+
+    def __call__(self, p: Params, x):
+        y = lax.conv_general_dilated(
+            x, p["w"], window_strides=(self.stride,), padding=[self.pad],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + p["b"] if self.use_bias else y
+
+
+class BatchNorm1d:
+    """BatchNorm over all axes but the last (channels).
+
+    Returns (y, new_state); state carries running mean/var (momentum 0.1,
+    eps 1e-5 — torch defaults the reference relies on).
+    """
+
+    def __init__(self, dim: int, momentum: float = 0.1, eps: float = 1e-5):
+        self.dim, self.momentum, self.eps = dim, momentum, eps
+
+    def init(self, key=None) -> Params:
+        return {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))}
+
+    def init_state(self) -> Params:
+        return {"mean": jnp.zeros((self.dim,)), "var": jnp.ones((self.dim,))}
+
+    def __call__(self, p: Params, state: Params, x, train: bool,
+                 mask=None):
+        """mask: optional [B, T] validity mask; masked positions are excluded
+        from batch statistics (the reference's BN sees padded frames — we do
+        better and keep stats clean)."""
+        if train:
+            if mask is not None:
+                m = mask[..., None].astype(x.dtype)
+                cnt = jnp.maximum(m.sum(), 1.0)
+                mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+                var = (((x - mean) ** 2) * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = x.mean(axis=axes)
+                var = x.var(axis=axes)
+            new_state = {
+                "mean": (1 - self.momentum) * state["mean"] + self.momentum * mean,
+                "var": (1 - self.momentum) * state["var"] + self.momentum * var,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        y = (x - mean) * lax.rsqrt(var + self.eps) * p["scale"] + p["bias"]
+        return y, new_state
+
+
+class Dropout:
+    def __init__(self, rate: float):
+        self.rate = rate
+
+    def __call__(self, key, x, train: bool):
+        if not train or self.rate == 0.0 or key is None:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def prenet_dropout(key, x, rate: float = 0.5, enabled: bool = True):
+    """Prenet dropout is ALWAYS on, train and inference alike — a deliberate
+    reference quirk (Tacotron2 paper SS2.2; reference common_layers.Prenet)."""
+    if not enabled or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

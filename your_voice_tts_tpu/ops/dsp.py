@@ -1,0 +1,241 @@
+"""JAX DSP transforms — the TPU compute path for the audio layer.
+
+This is the reference AudioProcessor's math (reference: utils/audio.py;
+SURVEY.md SS2.1 "AudioProcessor") rebuilt as pure, jit-compiled functions with
+TPU-first structure:
+
+- Static shapes: signals live in fixed-size (bucketed) buffers; the true
+  sample count is a traced scalar. Reflect padding and framing are ONE gather
+  with mirror-index arithmetic, so a whole batch of variable-length clips
+  compiles to a single XLA program — no per-length recompiles, no host loop.
+- The mel projection is a [T, n_freq] x [n_freq, n_mels] matmul (MXU) with the
+  dB conversion and normalization fused behind it by XLA.
+- Griffin-Lim is a `lax.fori_loop` of rFFT/irFFT phase projections, entirely
+  on-device (the reference iterates librosa stft/istft on host CPU).
+- The de-emphasis IIR y[n] = x[n] + a*y[n-1] uses `lax.associative_scan`
+  (log-depth) instead of a sequential sample loop.
+
+All functions are batched-friendly: leading dims are preserved or vmapped at
+the call site. Spectrograms here are TIME-MAJOR [..., T, F]; the host-facing
+AudioProcessor transposes to the reference's [F, T] layout at the boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --- preemphasis -------------------------------------------------------------
+
+def preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """y[n] - coef*y[n-1] (y[0] passes through), along the last axis."""
+    if coef == 0.0:
+        return y
+    prev = jnp.pad(y[..., :-1], [(0, 0)] * (y.ndim - 1) + [(1, 0)])
+    return y - coef * prev
+
+
+def inv_preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """IIR 1/(1 - coef z^-1) via associative scan (log-depth on TPU)."""
+    if coef == 0.0:
+        return y
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    a = jnp.full_like(y, coef)
+    _, out = lax.associative_scan(combine, (a, y), axis=-1)
+    return out
+
+
+# --- framing / STFT ----------------------------------------------------------
+
+def _mirror_indices(length: jnp.ndarray, l_max: int, n_fft: int, hop: int) -> jnp.ndarray:
+    """Gather indices implementing librosa's center=True reflect padding.
+
+    Returns [n_frames_max, n_fft] int32 positions into the (unpadded) signal
+    buffer for a clip whose true length is `length` (traced). Frames past the
+    clip's valid count read mirrored/clamped junk and must be masked by the
+    caller.
+    """
+    pad = n_fft // 2
+    n_frames_max = l_max // hop + 1
+    t = lax.broadcasted_iota(jnp.int32, (n_frames_max, n_fft), 0)
+    k = lax.broadcasted_iota(jnp.int32, (n_frames_max, n_fft), 1)
+    p = t * hop + k - pad
+    p = jnp.abs(p)                                   # left reflect
+    p = jnp.where(p >= length, 2 * length - 2 - p, p)  # right reflect
+    return jnp.clip(p, 0, l_max - 1)
+
+
+def frame_signal(y: jnp.ndarray, length: jnp.ndarray, n_fft: int, hop: int,
+                 window: jnp.ndarray) -> jnp.ndarray:
+    """[L_max] (+ true length) -> windowed frames [n_frames_max, n_fft]."""
+    idx = _mirror_indices(length, y.shape[-1], n_fft, hop)
+    return y[idx] * window[None, :]
+
+
+def stft(y: jnp.ndarray, length: jnp.ndarray, n_fft: int, hop: int,
+         window: jnp.ndarray) -> jnp.ndarray:
+    """Complex STFT, time-major [n_frames_max, n_fft//2+1]."""
+    return jnp.fft.rfft(frame_signal(y, length, n_fft, hop, window), axis=-1)
+
+
+def stft_magnitude(y, length, n_fft, hop, window):
+    return jnp.abs(stft(y, length, n_fft, hop, window))
+
+
+def num_frames(length, hop: int):
+    """Valid frame count for a clip of `length` samples (center=True)."""
+    return length // hop + 1
+
+
+def istft(D: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray) -> jnp.ndarray:
+    """Inverse STFT (librosa semantics): windowed overlap-add, wsum-normalized.
+
+    D: complex, time-major [n_frames, n_freq]. Returns [hop * (n_frames - 1)]
+    samples (center padding removed).
+    """
+    n_frames = D.shape[-2]
+    frames = jnp.fft.irfft(D, n=n_fft, axis=-1) * window
+    total = n_fft + hop * (n_frames - 1)
+    pos = (jnp.arange(n_frames) * hop)[:, None] + jnp.arange(n_fft)[None, :]
+    y = jnp.zeros(D.shape[:-2] + (total,), frames.dtype).at[..., pos].add(frames)
+    wsum = jnp.zeros((total,), window.dtype).at[pos].add(window ** 2)
+    y = jnp.where(wsum > 1e-11, y / jnp.maximum(wsum, 1e-11), y)
+    pad = n_fft // 2
+    return y[..., pad: total - pad]
+
+
+# --- scalar maps -------------------------------------------------------------
+
+def amp_to_db(x, spec_gain: float = 20.0, min_level_db: float = -100.0):
+    min_level = jnp.exp(min_level_db / 20.0 * jnp.log(10.0))
+    return spec_gain * jnp.log10(jnp.maximum(min_level, x))
+
+
+def db_to_amp(x, spec_gain: float = 20.0):
+    return jnp.power(10.0, x / spec_gain)
+
+
+def normalize_spec(S, min_level_db: float, max_norm: float,
+                   symmetric: bool, clip: bool, signal_norm: bool = True):
+    if not signal_norm:
+        return S
+    S_norm = (S - min_level_db) / (-min_level_db)
+    if symmetric:
+        S_norm = 2.0 * max_norm * S_norm - max_norm
+        return jnp.clip(S_norm, -max_norm, max_norm) if clip else S_norm
+    S_norm = max_norm * S_norm
+    return jnp.clip(S_norm, 0.0, max_norm) if clip else S_norm
+
+
+def denormalize_spec(S, min_level_db: float, max_norm: float,
+                     symmetric: bool, clip: bool, signal_norm: bool = True):
+    if not signal_norm:
+        return S
+    if symmetric:
+        if clip:
+            S = jnp.clip(S, -max_norm, max_norm)
+        S = (S + max_norm) / (2.0 * max_norm)
+    else:
+        if clip:
+            S = jnp.clip(S, 0.0, max_norm)
+        S = S / max_norm
+    return S * (-min_level_db) + min_level_db
+
+
+# --- full pipelines ----------------------------------------------------------
+
+def melspectrogram(y: jnp.ndarray, length: jnp.ndarray, *, mel_basis: jnp.ndarray,
+                   window: jnp.ndarray, n_fft: int, hop: int, preemph: float,
+                   ref_level_db: float, min_level_db: float, spec_gain: float,
+                   max_norm: float, symmetric: bool, clip: bool,
+                   signal_norm: bool = True) -> jnp.ndarray:
+    """Normalized mel spectrogram, time-major [n_frames_max, n_mels].
+
+    Exact pipeline parity with reference melspectrogram():
+    preemphasis -> |STFT| -> mel matmul -> amp_to_db - ref -> normalize.
+    """
+    mag = stft_magnitude(preemphasis(y, preemph), length, n_fft, hop, window)
+    # HIGHEST precision: this matmul is parity-facing (<=1e-3 vs CPU oracle);
+    # the MXU's default bf16 passes cost ~1e-2 absolute error in dB domain.
+    mel = jnp.dot(mag, mel_basis.T, preferred_element_type=jnp.float32,
+                  precision=lax.Precision.HIGHEST)
+    S = amp_to_db(mel, spec_gain, min_level_db) - ref_level_db
+    return normalize_spec(S, min_level_db, max_norm, symmetric, clip, signal_norm)
+
+
+def spectrogram(y: jnp.ndarray, length: jnp.ndarray, *, window: jnp.ndarray,
+                n_fft: int, hop: int, preemph: float, ref_level_db: float,
+                min_level_db: float, spec_gain: float, max_norm: float,
+                symmetric: bool, clip: bool, signal_norm: bool = True) -> jnp.ndarray:
+    """Normalized linear spectrogram, time-major [n_frames_max, n_freq]."""
+    mag = stft_magnitude(preemphasis(y, preemph), length, n_fft, hop, window)
+    S = amp_to_db(mag, spec_gain, min_level_db) - ref_level_db
+    return normalize_spec(S, min_level_db, max_norm, symmetric, clip, signal_norm)
+
+
+def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
+                hop: int, window: jnp.ndarray) -> jnp.ndarray:
+    """Phase recovery by iterative STFT projection, fully on-device.
+
+    S_mag: time-major magnitudes [n_frames, n_freq]. The reference loops
+    librosa stft/istft on host (utils/audio.py _griffin_lim); here each
+    iteration is an rFFT/irFFT pair inside one `lax.fori_loop`.
+    """
+    n_frames = S_mag.shape[-2]
+    out_len = hop * (n_frames - 1)
+    phase = jax.random.uniform(key, S_mag.shape, minval=0.0, maxval=2.0 * jnp.pi)
+    angles = jnp.exp(1j * phase.astype(jnp.float32))
+    S_c = S_mag.astype(jnp.complex64)
+
+    def gl_stft(y):
+        # y already has center padding trimmed; length is exact & static here.
+        return stft(y, jnp.int32(out_len), n_fft, hop, window)[..., :n_frames, :]
+
+    y0 = istft(S_c * angles, n_fft, hop, window)
+
+    def body(_, y):
+        ang = jnp.exp(1j * jnp.angle(gl_stft(y)))
+        return istft(S_c * ang, n_fft, hop, window)
+
+    return lax.fori_loop(0, n_iters, body, y0)
+
+
+def mel_to_linear(M: jnp.ndarray, inv_basis: jnp.ndarray) -> jnp.ndarray:
+    """Time-major mel [T, n_mels] -> linear magnitude [T, n_freq] (pinv, floored)."""
+    lin = jnp.dot(M, inv_basis.T, preferred_element_type=jnp.float32,
+                  precision=lax.Precision.HIGHEST)
+    return jnp.maximum(1e-10, lin)
+
+
+def inv_melspectrogram(mel_norm: jnp.ndarray, key: jax.Array, *,
+                       mel_inv_basis: jnp.ndarray, window: jnp.ndarray,
+                       n_fft: int, hop: int, preemph: float, ref_level_db: float,
+                       min_level_db: float, spec_gain: float, max_norm: float,
+                       symmetric: bool, clip: bool, power: float,
+                       gl_iters: int, signal_norm: bool = True) -> jnp.ndarray:
+    """Normalized mel [T, n_mels] -> waveform (reference inv_melspectrogram)."""
+    D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip, signal_norm)
+    S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
+    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
+    return inv_preemphasis(y, preemph)
+
+
+def inv_spectrogram(spec_norm: jnp.ndarray, key: jax.Array, *, window: jnp.ndarray,
+                    n_fft: int, hop: int, preemph: float, ref_level_db: float,
+                    min_level_db: float, spec_gain: float, max_norm: float,
+                    symmetric: bool, clip: bool, power: float, gl_iters: int,
+                    signal_norm: bool = True) -> jnp.ndarray:
+    """Normalized linear spec [T, n_freq] -> waveform (reference inv_spectrogram)."""
+    D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip, signal_norm)
+    S = db_to_amp(D + ref_level_db, spec_gain)
+    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
+    return inv_preemphasis(y, preemph)
