@@ -1,0 +1,191 @@
+"""Tacotron2 model tests — the reference's pattern (tests/test_tacotron2_model.py):
+build from a small config, random batches, a few train steps, assert loss
+decreases and EVERY parameter changed (param-delta sweep), plus inference
+shape/stop behavior. SURVEY.md SS4."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from your_voice_tts_tpu.config import Config, ModelConfig, config_from_dict
+from your_voice_tts_tpu.models.losses import TacotronLoss
+from your_voice_tts_tpu.models.tacotron2 import Tacotron2
+
+SMALL = ModelConfig(
+    r=2, embedding_dim=32, encoder_dim=32, decoder_rnn_dim=48,
+    attention_rnn_dim=48, attention_dim=24, attention_location_filters=8,
+    attention_location_kernel_size=15, prenet_dim=24, postnet_dim=32,
+    max_decoder_steps=20,
+)
+N_MELS = 20
+NUM_CHARS = 30
+
+
+def make_batch(key, B=4, T_text=12, T_mel=16):
+    k1, k2 = jax.random.split(key)
+    text = jax.random.randint(k1, (B, T_text), 1, NUM_CHARS)
+    text_len = jnp.array(sorted([T_text, T_text - 2, T_text - 4, T_text - 5],
+                                reverse=True)[:B])
+    mels = jax.random.normal(k2, (B, T_mel, N_MELS))
+    mel_len = jnp.array([T_mel, T_mel, T_mel - 2, T_mel - 4][:B])
+    stop_targets = (jnp.arange(T_mel // SMALL.r)[None, :] >=
+                    (mel_len[:, None] // SMALL.r - 1)).astype(jnp.float32)
+    return text, text_len, mels, mel_len, stop_targets
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Tacotron2(NUM_CHARS, SMALL, n_mels=N_MELS)
+
+
+@pytest.fixture(scope="module")
+def variables(model):
+    return model.init(jax.random.PRNGKey(0))
+
+
+def test_forward_shapes(model, variables):
+    text, text_len, mels, mel_len, _ = make_batch(jax.random.PRNGKey(1))
+    out = model.forward(variables, text, text_len, mels,
+                        rng=jax.random.PRNGKey(2), train=True)
+    B, T_mel = mels.shape[:2]
+    assert out["decoder_outputs"].shape == (B, T_mel, N_MELS)
+    assert out["postnet_outputs"].shape == (B, T_mel, N_MELS)
+    assert out["alignments"].shape == (B, T_mel // SMALL.r, text.shape[1])
+    assert out["stop_logits"].shape == (B, T_mel // SMALL.r)
+    a = np.asarray(out["alignments"])
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-4)
+    # attention over padded text positions must be zero
+    assert np.allclose(a[-1, :, int(text_len[-1]):], 0)
+
+
+def test_train_loop_loss_decreases_and_all_params_update(model, variables):
+    criterion = TacotronLoss("Tacotron2", ga_alpha=5.0)
+    optimizer = optax.adam(1e-3)
+
+    params0 = variables["params"]
+    state0 = variables["state"]
+    opt_state = optimizer.init(params0)
+
+    def loss_fn(params, state, batch, rng):
+        text, text_len, mels, mel_len, stop_t = batch
+        out = model.forward({"params": params, "state": state}, text, text_len,
+                            mels, rng=rng, train=True)
+        total, parts = criterion(out, mels, mel_len, stop_t, text_len, r=SMALL.r)
+        return total, (out["state"], parts)
+
+    @jax.jit
+    def train_step(params, state, opt_state, batch, rng):
+        (loss, (new_state, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    batch = make_batch(jax.random.PRNGKey(3))
+    params, state = params0, state0
+    losses = []
+    # fixed dropout rng -> deterministic objective, so the decrease check is
+    # meaningful after few steps (fresh rng per step is too noisy for 5 steps)
+    rng = jax.random.PRNGKey(10)
+    for _ in range(8):
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    # the reference's param-delta sweep: every parameter must have changed
+    flat0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(params)}
+    unchanged = [jax.tree_util.keystr(k) for k, v in flat0
+                 if np.allclose(np.asarray(v),
+                                np.asarray(flat1[jax.tree_util.keystr(k)]))]
+    assert not unchanged, f"params never updated: {unchanged}"
+
+
+def test_inference_shapes_and_stop(model, variables):
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(4))
+    out = model.inference(variables, text, text_len, rng=jax.random.PRNGKey(5))
+    B = text.shape[0]
+    T_out = SMALL.max_decoder_steps * SMALL.r
+    assert out["postnet_outputs"].shape == (B, T_out, N_MELS)
+    assert out["alignments"].shape == (B, SMALL.max_decoder_steps, text.shape[1])
+    assert out["stop_probs"].shape == (B, SMALL.max_decoder_steps)
+    lens = np.asarray(out["mel_lengths"])
+    assert lens.shape == (B,)
+    assert np.all(lens >= SMALL.r) and np.all(lens <= T_out)
+
+
+def test_inference_deterministic_encoder_path(model, variables):
+    """Without rng, inference is fully deterministic (prenet dropout off)."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(6))
+    o1 = model.inference(variables, text, text_len, rng=None)
+    o2 = model.inference(variables, text, text_len, rng=None)
+    np.testing.assert_allclose(np.asarray(o1["postnet_outputs"]),
+                               np.asarray(o2["postnet_outputs"]))
+
+
+def test_multispeaker_internal_embedding():
+    model = Tacotron2(NUM_CHARS, SMALL, n_mels=N_MELS, num_speakers=5,
+                      speaker_embedding_dim=16)
+    # external embedding mode: pass d-vectors
+    variables = model.init(jax.random.PRNGKey(0))
+    text, text_len, mels, mel_len, stop_t = make_batch(jax.random.PRNGKey(7))
+    d_vectors = jax.random.normal(jax.random.PRNGKey(8), (text.shape[0], 16))
+    out = model.forward(variables, text, text_len, mels,
+                        rng=jax.random.PRNGKey(9), train=True,
+                        speaker_embeddings=d_vectors)
+    assert out["postnet_outputs"].shape == mels.shape
+    # different speakers must change the output
+    d2 = jax.random.normal(jax.random.PRNGKey(10), (text.shape[0], 16))
+    out2 = model.forward(variables, text, text_len, mels,
+                         rng=jax.random.PRNGKey(9), train=True,
+                         speaker_embeddings=d2)
+    assert not np.allclose(np.asarray(out["postnet_outputs"]),
+                           np.asarray(out2["postnet_outputs"]))
+
+
+def test_multispeaker_lookup_table():
+    model = Tacotron2(NUM_CHARS, SMALL, n_mels=N_MELS, num_speakers=5,
+                      speaker_embedding_dim=0)
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "speaker_embedding" in variables["params"]
+    text, text_len, mels, mel_len, _ = make_batch(jax.random.PRNGKey(7))
+    ids = jnp.array([0, 1, 2, 3])
+    out = model.forward(variables, text, text_len, mels,
+                        rng=jax.random.PRNGKey(9), train=True, speaker_ids=ids)
+    assert out["postnet_outputs"].shape == mels.shape
+
+
+def test_gst_model():
+    model = Tacotron2(NUM_CHARS, SMALL, n_mels=N_MELS, use_gst=True)
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "gst" in variables["params"]
+    text, text_len, mels, mel_len, _ = make_batch(jax.random.PRNGKey(7))
+    out = model.forward(variables, text, text_len, mels,
+                        rng=jax.random.PRNGKey(9), train=True)
+    assert out["postnet_outputs"].shape == mels.shape
+    # style conditioning at inference
+    inf = model.inference(variables, text, text_len, style_mel=mels)
+    assert inf["postnet_outputs"].shape[0] == text.shape[0]
+
+
+def test_loss_components():
+    criterion = TacotronLoss("Tacotron2", ga_alpha=10.0)
+    B, T_mel, T_text = 2, 8, 6
+    r = 2
+    out = {
+        "decoder_outputs": jnp.zeros((B, T_mel, N_MELS)),
+        "postnet_outputs": jnp.zeros((B, T_mel, N_MELS)),
+        "alignments": jnp.full((B, T_mel // r, T_text), 1.0 / T_text),
+        "stop_logits": jnp.zeros((B, T_mel // r)),
+    }
+    mels = jnp.ones((B, T_mel, N_MELS))
+    total, parts = criterion(out, mels, jnp.array([T_mel, T_mel - 2]),
+                             jnp.zeros((B, T_mel // r)), jnp.array([T_text, 4]),
+                             r=r)
+    assert float(parts["decoder_loss"]) == pytest.approx(1.0, abs=1e-5)
+    assert float(total) > float(parts["decoder_loss"])
+    assert "ga_loss" in parts and float(parts["ga_loss"]) > 0

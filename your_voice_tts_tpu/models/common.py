@@ -1,0 +1,93 @@
+"""Shared model building blocks (reference layers/common_layers.py).
+
+Prenet (with the always-on-dropout quirk), conv+BN blocks, and sequence-mask
+helpers. Channel-last activations throughout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import BatchNorm1d, Conv1d, Dense, Params, prenet_dropout
+
+
+def sequence_mask(lengths, max_len: int):
+    """[B] lengths -> [B, max_len] bool validity mask."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class Prenet:
+    """2-layer bottleneck ahead of the decoder (reference common_layers.Prenet).
+
+    prenet_type="original": Linear+ReLU+dropout(0.5) — dropout stays ON at
+    inference (Tacotron2 paper SS2.2; the reference honors this quirk).
+    prenet_type="bn": Linear+BatchNorm+ReLU, no dropout.
+    """
+
+    def __init__(self, in_dim: int, prenet_type: str = "original",
+                 prenet_dropout: bool = True, out_dims: tuple[int, ...] = (256, 256)):
+        self.prenet_type = prenet_type
+        self.dropout_enabled = prenet_dropout
+        dims = (in_dim,) + tuple(out_dims)
+        self.linears = [Dense(dims[i], dims[i + 1], use_bias=(prenet_type == "original"))
+                        for i in range(len(out_dims))]
+        if prenet_type == "bn":
+            self.bns = [BatchNorm1d(d) for d in out_dims]
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.linears))
+        p: Params = {"linears": [l.init(k) for l, k in zip(self.linears, ks)]}
+        if self.prenet_type == "bn":
+            p["bns"] = [bn.init() for bn in self.bns]
+        return p
+
+    def init_state(self) -> Params:
+        if self.prenet_type == "bn":
+            return {"bns": [bn.init_state() for bn in self.bns]}
+        return {}
+
+    def __call__(self, p: Params, state: Params, x, rng, train: bool):
+        new_state: Params = {"bns": []} if self.prenet_type == "bn" else {}
+        for i, lin in enumerate(self.linears):
+            x = lin(p["linears"][i], x)
+            if self.prenet_type == "bn":
+                x, ns = self.bns[i](p["bns"][i], state["bns"][i], x, train)
+                new_state["bns"].append(ns)
+                x = jax.nn.relu(x)
+            else:
+                x = jax.nn.relu(x)
+                if self.dropout_enabled and rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    x = prenet_dropout(sub, x, 0.5, True)  # always on, even eval
+        return x, new_state
+
+
+class ConvBNBlock:
+    """conv(k) + BatchNorm + activation + dropout(0.5) (reference ConvBNBlock)."""
+
+    def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
+                 activation: str | None = "relu", dropout: float = 0.5):
+        gain = activation if activation in ("relu", "tanh") else "linear"
+        self.conv = Conv1d(in_dim, out_dim, kernel_size, padding="same", init_gain=gain)
+        self.bn = BatchNorm1d(out_dim)
+        self.activation = activation
+        self.dropout = dropout
+
+    def init(self, key) -> Params:
+        return {"conv": self.conv.init(key), "bn": self.bn.init()}
+
+    def init_state(self) -> Params:
+        return {"bn": self.bn.init_state()}
+
+    def __call__(self, p: Params, state: Params, x, rng, train: bool, mask=None):
+        x = self.conv(p["conv"], x)
+        x, bn_state = self.bn(p["bn"], state["bn"], x, train, mask=mask)
+        if self.activation == "relu":
+            x = jax.nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        if train and self.dropout > 0 and rng is not None:
+            keep = 1.0 - self.dropout
+            x = jnp.where(jax.random.bernoulli(rng, keep, x.shape), x / keep, 0.0)
+        return x, {"bn": bn_state}

@@ -1,0 +1,121 @@
+"""Global Style Tokens (reference layers/gst_layers.py; SURVEY.md SS2.1 GST).
+
+ReferenceEncoder: 6x strided 3x3 conv + BN over the style mel, GRU summary.
+StyleTokenLayer: multi-head attention of the reference embedding over a bank
+of learned style tokens. Output is projected to the encoder width and summed
+into encoder outputs by the model (design note: the reference's
+gst_embedding_dim must match its encoder width for the same sum; we keep a
+projection so any token dim works).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import GSTConfig
+from ..nn.core import BatchNorm1d, Dense, Params, xavier_uniform
+from ..nn.rnn import GRUCell, gru
+
+
+class ReferenceEncoder:
+    CHANNELS = (32, 32, 64, 64, 128, 128)
+
+    def __init__(self, n_mels: int, out_dim: int = 128):
+        self.n_mels = n_mels
+        self.out_dim = out_dim
+        # frequency size after 6 stride-2 convs
+        f = n_mels
+        for _ in self.CHANNELS:
+            f = (f + 1) // 2
+        self.gru_cell = GRUCell(f * self.CHANNELS[-1], out_dim)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.CHANNELS) + 1)
+        convs = []
+        in_ch = 1
+        for i, ch in enumerate(self.CHANNELS):
+            convs.append({
+                "w": xavier_uniform(ks[i], (3, 3 * in_ch, ch)).reshape(3, 3, in_ch, ch),
+                "b": jnp.zeros((ch,)),
+                "bn_scale": jnp.ones((ch,)),
+                "bn_bias": jnp.zeros((ch,)),
+            })
+            in_ch = ch
+        return {"convs": convs, "gru": self.gru_cell.init(ks[-1])}
+
+    def __call__(self, p: Params, mel):
+        """mel: [B, T, n_mels] -> [B, out_dim] style summary."""
+        x = mel[..., None]  # NHWC: [B, T, n_mels, 1]
+        for cp in p["convs"]:
+            x = lax.conv_general_dilated(
+                x, cp["w"], window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cp["b"]
+            # instance-style normalization stand-in for BN at inference
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            x = (x - mean) * lax.rsqrt(var + 1e-5) * cp["bn_scale"] + cp["bn_bias"]
+            x = jax.nn.relu(x)
+        B, T, F, C = x.shape
+        x = x.reshape(B, T, F * C)
+        out = gru(self.gru_cell, p["gru"], x)
+        return out[:, -1, :]
+
+
+class StyleTokenLayer:
+    def __init__(self, query_dim: int, num_tokens: int, token_dim: int, num_heads: int):
+        self.num_tokens = num_tokens
+        self.token_dim = token_dim
+        self.num_heads = num_heads
+        self.query_dim = query_dim
+        self.q_proj = Dense(query_dim, token_dim, use_bias=False)
+        self.k_proj = Dense(token_dim // num_heads, token_dim, use_bias=False)
+        self.v_proj = Dense(token_dim // num_heads, token_dim, use_bias=False)
+
+    def init(self, key) -> Params:
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        return {
+            "tokens": jax.random.normal(k0, (self.num_tokens, self.token_dim // self.num_heads)) * 0.5,
+            "q": self.q_proj.init(k1),
+            "k": self.k_proj.init(k2),
+            "v": self.v_proj.init(k3),
+        }
+
+    def __call__(self, p: Params, query):
+        """query [B, query_dim] -> style embedding [B, token_dim]."""
+        B = query.shape[0]
+        H, D = self.num_heads, self.token_dim // self.num_heads
+        tokens = jnp.tanh(p["tokens"])                         # [N, D]
+        q = self.q_proj(p["q"], query).reshape(B, H, D)        # [B, H, D]
+        k = self.k_proj(p["k"], tokens).reshape(self.num_tokens, H, D)
+        v = self.v_proj(p["v"], tokens).reshape(self.num_tokens, H, D)
+        scores = jnp.einsum("bhd,nhd->bhn", q, k) / math.sqrt(D)
+        w = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhn,nhd->bhd", w, v).reshape(B, H * D)
+        return out
+
+
+class GST:
+    def __init__(self, n_mels: int, encoder_dim: int, cfg: GSTConfig | None = None):
+        cfg = cfg or GSTConfig()
+        self.cfg = cfg
+        self.ref_encoder = ReferenceEncoder(n_mels, 128)
+        self.style_layer = StyleTokenLayer(128, cfg.gst_style_tokens,
+                                           cfg.gst_embedding_dim, cfg.gst_num_heads)
+        self.out_proj = Dense(cfg.gst_embedding_dim, encoder_dim)
+
+    def init(self, key) -> Params:
+        k0, k1, k2 = jax.random.split(key, 3)
+        return {
+            "ref": self.ref_encoder.init(k0),
+            "style": self.style_layer.init(k1),
+            "proj": self.out_proj.init(k2),
+        }
+
+    def __call__(self, p: Params, style_mel, style_len=None):
+        ref = self.ref_encoder(p["ref"], style_mel)
+        style = self.style_layer(p["style"], ref)
+        return self.out_proj(p["proj"], style)

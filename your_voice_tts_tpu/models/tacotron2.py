@@ -1,0 +1,386 @@
+"""Tacotron2: encoder-decoder with location-sensitive attention.
+
+Architecture parity with the reference (layers/tacotron2.py + models/
+tacotron2.py; SURVEY.md SS2.1): embedding(512) -> 3x[conv5-512+BN+ReLU+drop]
+-> BiLSTM(256x2) -> autoregressive decoder (prenet 2x256 -> attention
+LSTM 1024 -> location-sensitive attention -> decoder LSTM 1024 -> linear to
+n_mels*r + stopnet) -> 5-conv postnet residual.
+
+TPU-first rebuild of the hot path: the reference's per-step Python decoder
+loop (its inner hot loop, SURVEY.md SS3.1) is ONE `lax.scan` over grouped
+mel time — teacher-forced training and free-running inference are each a
+single compiled XLA while-loop with static shapes. Inference uses per-sample
+done-masking instead of data-dependent early exit (finished samples keep
+computing but their outputs are masked; lengths are returned for host-side
+trimming).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelConfig
+from ..nn.core import Dense, Embedding, Params
+from ..nn.rnn import LSTMCell, bilstm
+from .attention import init_attn
+from .common import ConvBNBlock, Prenet, sequence_mask
+
+
+class Encoder:
+    """3 conv blocks + BiLSTM (reference layers/tacotron2.py Encoder)."""
+
+    def __init__(self, dim: int = 512):
+        self.blocks = [ConvBNBlock(dim, dim, 5, "relu") for _ in range(3)]
+        self.lstm_fwd = LSTMCell(dim, dim // 2)
+        self.lstm_bwd = LSTMCell(dim, dim // 2)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 5)
+        return {
+            "blocks": [b.init(k) for b, k in zip(self.blocks, ks[:3])],
+            "lstm_fwd": self.lstm_fwd.init(ks[3]),
+            "lstm_bwd": self.lstm_bwd.init(ks[4]),
+        }
+
+    def init_state(self) -> Params:
+        return {"blocks": [b.init_state() for b in self.blocks]}
+
+    def __call__(self, p: Params, state: Params, x, lengths, rng, train: bool):
+        mask = sequence_mask(lengths, x.shape[1])
+        new_blocks = []
+        for i, blk in enumerate(self.blocks):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            x, ns = blk(p["blocks"][i], state["blocks"][i], x, sub, train, mask=mask)
+            new_blocks.append(ns)
+        x = x * mask[..., None]
+        out = bilstm(self.lstm_fwd, self.lstm_bwd, p["lstm_fwd"], p["lstm_bwd"],
+                     x, lengths)
+        return out, {"blocks": new_blocks}
+
+
+class Postnet:
+    """5 conv blocks refining the decoder output (reference Postnet)."""
+
+    def __init__(self, n_mels: int, dim: int = 512, n_blocks: int = 5):
+        self.blocks = [ConvBNBlock(n_mels, dim, 5, "tanh")]
+        self.blocks += [ConvBNBlock(dim, dim, 5, "tanh") for _ in range(n_blocks - 2)]
+        self.blocks += [ConvBNBlock(dim, n_mels, 5, None)]
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.blocks))
+        return {"blocks": [b.init(k) for b, k in zip(self.blocks, ks)]}
+
+    def init_state(self) -> Params:
+        return {"blocks": [b.init_state() for b in self.blocks]}
+
+    def __call__(self, p: Params, state: Params, x, rng, train: bool, mask=None):
+        new_blocks = []
+        for i, blk in enumerate(self.blocks):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            x, ns = blk(p["blocks"][i], state["blocks"][i], x, sub, train, mask=mask)
+            new_blocks.append(ns)
+        return x, {"blocks": new_blocks}
+
+
+class Decoder:
+    """Autoregressive decoder as a single `lax.scan` over grouped mel frames.
+
+    Reference parity (layers/tacotron2.py Decoder): per step, the prenet'd
+    last frame of the previous r-group + previous context feed the attention
+    LSTM; its hidden queries attention; [hidden, context] feed the decoder
+    LSTM; [decoder hidden, context] project to n_mels*r; [decoder hidden,
+    projection] feed the stopnet (optionally gradient-isolated).
+    """
+
+    P_DROPOUT = 0.1  # attention/decoder RNN output dropout (reference value)
+
+    def __init__(self, in_dim: int, n_mels: int, r: int, cfg: ModelConfig):
+        self.in_dim = in_dim          # encoder output (+speaker) width
+        self.n_mels = n_mels
+        self.r = r
+        self.cfg = cfg
+        self.prenet = Prenet(n_mels, cfg.prenet_type, cfg.prenet_dropout,
+                             (cfg.prenet_dim, cfg.prenet_dim))
+        self.attention_rnn = LSTMCell(cfg.prenet_dim + in_dim, cfg.attention_rnn_dim)
+        self.attention = init_attn(
+            cfg.attention_type, cfg.attention_rnn_dim, in_dim, cfg.attention_dim,
+            cfg.location_attn, cfg.attention_location_filters,
+            cfg.attention_location_kernel_size, cfg.windowing, cfg.attention_norm,
+            cfg.use_forward_attn, cfg.transition_agent, cfg.forward_attn_mask,
+            cfg.attention_heads)
+        self.decoder_rnn = LSTMCell(cfg.attention_rnn_dim + in_dim, cfg.decoder_rnn_dim)
+        self.linear_projection = Dense(cfg.decoder_rnn_dim + in_dim, n_mels * r)
+        self.stopnet = Dense(cfg.decoder_rnn_dim + n_mels * r, 1)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 6)
+        return {
+            "prenet": self.prenet.init(ks[0]),
+            "attention_rnn": self.attention_rnn.init(ks[1]),
+            "attention": self.attention.init(ks[2]),
+            "decoder_rnn": self.decoder_rnn.init(ks[3]),
+            "projection": self.linear_projection.init(ks[4]),
+            "stopnet": self.stopnet.init(ks[5]),
+        }
+
+    def init_state(self) -> Params:
+        return {"prenet": self.prenet.init_state()}
+
+    # --- one decode step (shared between teacher forcing and inference) -----
+
+    def _step(self, p: Params, carry, prenet_out, inputs, processed_inputs,
+              mask, train: bool, inference: bool = False):
+        (attn_hc, dec_hc, attn_state, context, rng) = carry
+        if rng is not None:
+            rng, k1, k2 = jax.random.split(rng, 3)
+        else:
+            k1 = k2 = None
+
+        attn_in = jnp.concatenate([prenet_out, context], axis=-1)
+        attn_hc, attn_h = self.attention_rnn(p["attention_rnn"], attn_hc, attn_in)
+        if train and k1 is not None:
+            keep = 1.0 - self.P_DROPOUT
+            attn_h = jnp.where(jax.random.bernoulli(k1, keep, attn_h.shape),
+                               attn_h / keep, 0.0)
+
+        attn_state, context, alignment = self.attention(
+            p["attention"], attn_h, inputs, processed_inputs, attn_state,
+            mask=mask, context_prev=context, inference=inference)
+
+        dec_in = jnp.concatenate([attn_h, context], axis=-1)
+        dec_hc, dec_h = self.decoder_rnn(p["decoder_rnn"], dec_hc, dec_in)
+        if train and k2 is not None:
+            keep = 1.0 - self.P_DROPOUT
+            dec_h = jnp.where(jax.random.bernoulli(k2, keep, dec_h.shape),
+                              dec_h / keep, 0.0)
+
+        proj_in = jnp.concatenate([dec_h, context], axis=-1)
+        decoder_output = self.linear_projection(p["projection"], proj_in)
+
+        stop_in = jnp.concatenate([dec_h, decoder_output], axis=-1)
+        if self.cfg.separate_stopnet:
+            stop_in = lax.stop_gradient(stop_in)
+        stop_logit = self.stopnet(p["stopnet"], stop_in)[..., 0]
+
+        new_carry = (attn_hc, dec_hc, attn_state, context, rng)
+        return new_carry, (decoder_output, alignment, stop_logit)
+
+    def _init_carry(self, batch: int, max_time: int, rng, dtype=jnp.float32):
+        return (
+            self.attention_rnn.initial_state(batch, dtype),
+            self.decoder_rnn.initial_state(batch, dtype),
+            self.attention.init_state(batch, max_time),
+            jnp.zeros((batch, self.in_dim), dtype),
+            rng,
+        )
+
+    def forward(self, p: Params, state: Params, inputs, input_lengths, mels,
+                rng, train: bool):
+        """Teacher-forced decode.
+
+        inputs: [B, T_in, in_dim] encoder memory; mels: [B, T_mel, n_mels]
+        with T_mel % r == 0. Returns (outputs [B, T_mel, n_mels], alignments
+        [B, T_r, T_in], stop_logits [B, T_r], new_state).
+        """
+        B, T_mel, _ = mels.shape
+        assert T_mel % self.r == 0, "mel length must be a multiple of r"
+        T_r = T_mel // self.r
+        mask = sequence_mask(input_lengths, inputs.shape[1])
+        processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
+
+        # decoder inputs: go frame + last frame of each group but the last
+        last_frames = mels[:, self.r - 1:: self.r, :]            # [B, T_r, n_mels]
+        go = jnp.zeros((B, 1, self.n_mels), mels.dtype)
+        memories = jnp.concatenate([go, last_frames[:, :-1]], axis=1)
+
+        if rng is not None:
+            rng, k_pre, k_scan = jax.random.split(rng, 3)
+        else:
+            k_pre = k_scan = None
+        prenet_out, prenet_state = self.prenet(p["prenet"], state["prenet"],
+                                               memories, k_pre, train)
+
+        def step(carry, x_t):
+            return self._step(p, carry, x_t, inputs, processed_inputs, mask, train)
+
+        carry0 = self._init_carry(B, inputs.shape[1], k_scan, mels.dtype)
+        _, (dec_out, aligns, stops) = lax.scan(
+            step, carry0, jnp.swapaxes(prenet_out, 0, 1))
+        dec_out = jnp.swapaxes(dec_out, 0, 1)         # [B, T_r, n_mels*r]
+        outputs = dec_out.reshape(B, T_mel, self.n_mels)
+        return outputs, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            {"prenet": prenet_state}
+
+    def inference(self, p: Params, state: Params, inputs, input_lengths, rng,
+                  max_steps: int):
+        """Free-running decode to max_steps with per-sample stop masking.
+
+        Returns (outputs [B, max_steps*r, n_mels], alignments, stop_probs,
+        out_lengths [B] in mel frames).
+        """
+        B = inputs.shape[0]
+        mask = sequence_mask(input_lengths, inputs.shape[1])
+        processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
+        thresh = self.cfg.stop_threshold
+
+        def step(carry, _):
+            inner4, prev_frame, done, steps_done, rng_ = carry
+            if rng_ is not None:
+                rng_, k_pre, k_step = jax.random.split(rng_, 3)
+            else:
+                k_pre = k_step = None
+            prenet_out, _ = self.prenet(p["prenet"], state["prenet"],
+                                        prev_frame, k_pre, train=False)
+            tmp, (dec_out, align, stop_logit) = self._step(
+                p, inner4 + (k_step,), prenet_out, inputs, processed_inputs,
+                mask, train=False, inference=True)
+            inner4 = tmp[:4]
+            stop_prob = jax.nn.sigmoid(stop_logit)
+            # mask outputs of finished samples; count steps while running
+            active = jnp.logical_not(done)
+            dec_out = dec_out * active[:, None].astype(dec_out.dtype)
+            steps_done = steps_done + active.astype(jnp.int32)
+            done = jnp.logical_or(done, stop_prob > thresh)
+            new_frame = dec_out[:, self.n_mels * (self.r - 1):]  # last frame of group
+            return (inner4, new_frame, done, steps_done, rng_), \
+                (dec_out, align, stop_prob)
+
+        carry0 = (
+            self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4],
+            jnp.zeros((B, self.n_mels), inputs.dtype),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            rng,
+        )
+        (_, _, done, steps_done, _), (dec_out, aligns, stops) = lax.scan(
+            step, carry0, None, length=max_steps)
+        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * self.r, self.n_mels)
+        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            steps_done * self.r
+
+
+class Tacotron2:
+    """Full model (reference models/tacotron2.py + models/tacotron_abstract.py).
+
+    Multi-speaker: an internal speaker-embedding table or external d-vectors
+    (GE2E speaker encoder output), broadcast-concatenated to encoder outputs —
+    the 'your voice' cloning path (SURVEY.md SS3.5).
+    """
+
+    def __init__(self, num_chars: int, cfg: ModelConfig, n_mels: int = 80,
+                 num_speakers: int = 0, speaker_embedding_dim: int = 0,
+                 use_gst: bool = False, gst_cfg=None):
+        self.cfg = cfg
+        self.n_mels = n_mels
+        self.num_speakers = num_speakers
+        self.use_external_speaker_embedding = num_speakers > 0 and speaker_embedding_dim > 0
+        self.spk_dim = speaker_embedding_dim if num_speakers > 0 else 0
+        if num_speakers > 0 and speaker_embedding_dim == 0:
+            self.spk_dim = 512  # internal table default (reference abstract model)
+        self.embedding = Embedding(num_chars, cfg.embedding_dim)
+        self.encoder = Encoder(cfg.encoder_dim)
+        dec_in = cfg.encoder_dim + self.spk_dim
+        self.use_gst = use_gst
+        if use_gst:
+            from .gst import GST
+            self.gst = GST(n_mels, cfg.encoder_dim, gst_cfg)
+        self.decoder = Decoder(dec_in, n_mels, cfg.r, cfg)
+        self.postnet = Postnet(n_mels, cfg.postnet_dim)
+        if num_speakers > 0 and not self.use_external_speaker_embedding:
+            self.speaker_embedding = Embedding(num_speakers, self.spk_dim)
+
+    def init(self, key) -> dict[str, Params]:
+        ks = jax.random.split(key, 6)
+        params: Params = {
+            "embedding": self.embedding.init(ks[0]),
+            "encoder": self.encoder.init(ks[1]),
+            "decoder": self.decoder.init(ks[2]),
+            "postnet": self.postnet.init(ks[3]),
+        }
+        if self.num_speakers > 0 and not self.use_external_speaker_embedding:
+            params["speaker_embedding"] = self.speaker_embedding.init(ks[4])
+        if self.use_gst:
+            params["gst"] = self.gst.init(ks[5])
+        state = {
+            "encoder": self.encoder.init_state(),
+            "decoder": self.decoder.init_state(),
+            "postnet": self.postnet.init_state(),
+        }
+        return {"params": params, "state": state}
+
+    def _condition(self, params, enc_out, speaker_ids=None, speaker_embeddings=None,
+                   style_mel=None, style_len=None):
+        """Attach speaker/style conditioning to encoder outputs."""
+        B, T = enc_out.shape[:2]
+        if self.use_gst and style_mel is not None:
+            style = self.gst(params["gst"], style_mel, style_len)  # [B, E]
+            enc_out = enc_out + style[:, None, :]
+        if self.num_speakers > 0:
+            if self.use_external_speaker_embedding:
+                spk = speaker_embeddings  # [B, spk_dim] d-vectors
+            else:
+                spk = self.speaker_embedding(params["speaker_embedding"], speaker_ids)
+            spk = jnp.broadcast_to(spk[:, None, :], (B, T, self.spk_dim))
+            enc_out = jnp.concatenate([enc_out, spk], axis=-1)
+        return enc_out
+
+    def forward(self, variables, text, text_lengths, mels, rng=None, train: bool = True,
+                speaker_ids=None, speaker_embeddings=None):
+        """Teacher-forced pass. Returns dict with decoder/postnet outputs,
+        alignments, stop logits, and updated BN state."""
+        params, state = variables["params"], variables["state"]
+        if rng is not None:
+            rng, k_enc, k_dec, k_post = jax.random.split(rng, 4)
+        else:
+            k_enc = k_dec = k_post = None
+        x = self.embedding(params["embedding"], text)
+        enc_out, enc_state = self.encoder(params["encoder"], state["encoder"],
+                                          x, text_lengths, k_enc, train)
+        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
+                                  style_mel=mels, style_len=None)
+        dec_out, aligns, stops, dec_state = self.decoder.forward(
+            params["decoder"], state["decoder"], enc_out, text_lengths, mels,
+            k_dec, train)
+        mel_mask = None
+        residual, post_state = self.postnet(params["postnet"], state["postnet"],
+                                            dec_out, k_post, train, mask=mel_mask)
+        postnet_out = dec_out + residual
+        return {
+            "decoder_outputs": dec_out,
+            "postnet_outputs": postnet_out,
+            "alignments": aligns,
+            "stop_logits": stops,
+            "state": {"encoder": enc_state, "decoder": dec_state, "postnet": post_state},
+        }
+
+    def inference(self, variables, text, text_lengths, rng=None,
+                  speaker_ids=None, speaker_embeddings=None, style_mel=None,
+                  max_decoder_steps: int | None = None):
+        """Free-running synthesis. Output lengths are in mel frames."""
+        params, state = variables["params"], variables["state"]
+        max_steps = max_decoder_steps or self.cfg.max_decoder_steps
+        x = self.embedding(params["embedding"], text)
+        enc_out, _ = self.encoder(params["encoder"], state["encoder"],
+                                  x, text_lengths, None, train=False)
+        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
+                                  style_mel=style_mel)
+        dec_out, aligns, stops, out_lengths = self.decoder.inference(
+            params["decoder"], state["decoder"], enc_out, text_lengths, rng, max_steps)
+        residual, _ = self.postnet(params["postnet"], state["postnet"],
+                                   dec_out, None, train=False)
+        postnet_out = dec_out + residual
+        return {
+            "decoder_outputs": dec_out,
+            "postnet_outputs": postnet_out,
+            "alignments": aligns,
+            "stop_probs": stops,
+            "mel_lengths": out_lengths,
+        }
