@@ -1,0 +1,141 @@
+"""Data pipeline tests (reference tests/test_loader.py + test_preprocessors.py
+patterns) over a generated synthetic corpus."""
+
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.audio import AudioProcessor
+from your_voice_tts_tpu.config import AudioConfig, Config, DataConfig, DatasetConfig
+from your_voice_tts_tpu.data import TTSDataset, load_meta_data
+from your_voice_tts_tpu.data.formatters import ljspeech
+from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+from your_voice_tts_tpu.utils.speakers import parse_speakers, save_speaker_mapping, load_speaker_mapping
+
+SMALL_AUDIO = AudioConfig(sample_rate=8000, fft_size=256, hop_length=64,
+                          win_length=256, num_mels=20, mel_fmax=None,
+                          do_trim_silence=False)
+R = 2
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    path = tmp_path_factory.mktemp("syncorp")
+    make_synthetic_corpus(str(path), n_items=12, sr=8000, n_speakers=2)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def cfg(corpus):
+    return Config(
+        audio=SMALL_AUDIO,
+        data=DataConfig(
+            datasets=(DatasetConfig(name="synthetic", path=corpus,
+                                    meta_file_train="metadata.csv"),),
+            min_seq_len=3, max_seq_len=200, batch_group_size=2,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg, corpus):
+    ap = AudioProcessor(cfg.audio)
+    items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
+    return TTSDataset(items, cfg, ap)
+
+
+def test_formatter(corpus):
+    items = ljspeech(corpus, "metadata.csv")
+    assert len(items) == 12
+    text, wav, speaker = items[0]
+    assert wav.endswith(".wav")
+    assert len(text) > 0
+
+
+def test_dataset_entries_sorted(dataset):
+    lens = [e["mel_len"] for e in dataset.entries]
+    assert lens == sorted(lens)
+    assert len(dataset) > 0
+
+
+def test_batch_shapes_and_padding(dataset):
+    batches = list(dataset.batches(batch_size=4, r=R, shuffle=False))
+    assert len(batches) == int(np.ceil(len(dataset) / 4))
+    for b in batches:
+        B, Tt = b["text"].shape
+        assert B == 4
+        assert Tt % 8 == 0
+        Bm, Tm, n_mels = b["mel"].shape
+        assert Tm % (R * 8) == 0 and n_mels == 20
+        assert b["stop_targets"].shape == (B, Tm // R)
+        # padded text region is zeros
+        for i in range(int(b["n_real"])):
+            L = b["text_lengths"][i]
+            assert np.all(b["text"][i, L:] == 0)
+            M = b["mel_lengths"][i]
+            assert np.all(b["mel"][i, M:] == 0)
+            # stop target fires exactly at the last valid decoder step
+            steps = int(np.ceil(M / R))
+            assert b["stop_targets"][i, steps - 1] == 1.0
+            if steps >= 2:
+                assert b["stop_targets"][i, steps - 2] == 0.0
+
+
+def test_bucket_shapes_bounded(dataset):
+    shapes = {(b["text"].shape[1], b["mel"].shape[1])
+              for b in dataset.batches(batch_size=4, r=R, shuffle=False)}
+    # bucketing must collapse shape diversity
+    assert len(shapes) <= 3
+
+
+def test_speaker_ids(dataset):
+    assert len(dataset.speakers) == 2
+    b = next(dataset.batches(batch_size=4, r=R, shuffle=False))
+    assert set(np.unique(b["speaker_ids"])) <= {0, 1}
+
+
+def test_mel_matches_audioprocessor(dataset, cfg):
+    ap = AudioProcessor(cfg.audio)
+    e = dataset.entries[0]
+    wav = ap.load_wav(e["wav"])
+    mel = ap.melspectrogram(wav).T
+    np.testing.assert_allclose(e["mel"], mel, atol=1e-6)
+
+
+def test_mel_disk_cache(cfg, corpus, tmp_path):
+    ap = AudioProcessor(cfg.audio)
+    items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
+    ds1 = TTSDataset(items[:3], cfg, ap, cache_dir=str(tmp_path))
+    import os
+    n_files = len([f for f in os.listdir(tmp_path) if f.endswith(".npy")])
+    assert n_files == len(ds1)
+    ds2 = TTSDataset(items[:3], cfg, ap, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(ds1.entries[0]["mel"], ds2.entries[0]["mel"])
+
+
+def test_speaker_mapping_roundtrip(tmp_path):
+    mapping = {"spk_a": 0, "spk_b": 1}
+    save_speaker_mapping(str(tmp_path), mapping)
+    loaded = load_speaker_mapping(str(tmp_path))
+    assert loaded == mapping
+    ids, emb = parse_speakers(loaded)
+    assert ids == mapping and emb is None
+
+
+def test_parse_dvector_speakers():
+    mapping = {"alice": {"clip1": {"embedding": [1.0, 0.0]},
+                         "clip2": {"embedding": [0.0, 1.0]}},
+               "bob": {"c": {"embedding": [2.0, 2.0]}}}
+    ids, emb = parse_speakers(mapping)
+    assert set(ids) == {"alice", "bob"}
+    np.testing.assert_allclose(emb["alice"], [0.5, 0.5])
+
+
+def test_min_max_seq_len_filter(cfg, corpus):
+    ap = AudioProcessor(cfg.audio)
+    items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
+    import dataclasses
+    tight = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, min_seq_len=30, max_seq_len=60))
+    ds = TTSDataset(items, tight, ap)
+    assert all(30 <= len(e["seq"]) <= 60 for e in ds.entries)
+    assert len(ds) < len(items)

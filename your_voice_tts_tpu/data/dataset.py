@@ -1,0 +1,163 @@
+"""Bucketed TTS dataset (reference datasets/TTSDataset.py, rebuilt TPU-first).
+
+The reference's MyDataset computes librosa mels per item in DataLoader worker
+processes and pads each batch to its own max length — every batch is a fresh
+shape. Here:
+
+- mels are computed ONCE through the jit-compiled DSP path and cached
+  (in-memory and optionally .npy on disk, like the reference's phoneme cache);
+- batches are length-sorted (with batch_group_size shuffle like the
+  reference) and padded to a SMALL SET of bucket shapes (text to multiples of
+  TEXT_PAD, mel to multiples of r*FRAME_PAD), so the jitted train step
+  compiles once per bucket instead of once per batch;
+- stop targets are emitted already grouped by r: [B, T_mel/r].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from ..audio import AudioProcessor
+from ..config import Config
+from ..text import phoneme_to_sequence, text_to_sequence
+
+TEXT_PAD = 8
+FRAME_PAD = 8
+
+
+def _bucket(n: int, q: int) -> int:
+    return ((n + q - 1) // q) * q
+
+
+class TTSDataset:
+    def __init__(self, items: list[list[str]], cfg: Config, ap: AudioProcessor,
+                 speakers: dict[str, int] | None = None,
+                 speaker_embeddings: dict[str, np.ndarray] | None = None,
+                 cache_dir: str | None = None, verbose: bool = False):
+        self.cfg = cfg
+        self.ap = ap
+        self.cache_dir = cache_dir
+        self.speaker_embeddings = speaker_embeddings
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+        # text -> id sequences (phoneme path honors use_phonemes; reference
+        # caches phonemizations the same way)
+        self.entries = []
+        for text, wav_path, speaker in items:
+            if cfg.data.use_phonemes:
+                seq = phoneme_to_sequence(
+                    text, language=cfg.data.phoneme_language,
+                    enable_eos_bos=cfg.data.enable_eos_bos_chars)
+            else:
+                seq = text_to_sequence(text, cfg.data.text_cleaner)
+            if not (cfg.data.min_seq_len <= len(seq) <= cfg.data.max_seq_len):
+                continue
+            self.entries.append({"text": text, "seq": seq, "wav": wav_path,
+                                 "speaker": speaker})
+
+        if speakers is None:
+            names = sorted({e["speaker"] for e in self.entries})
+            speakers = {n: i for i, n in enumerate(names)}
+        self.speakers = speakers
+
+        self._mel_cache: dict[str, np.ndarray] = {}
+        self._compute_mels(verbose)
+        # sort by mel length (reference sort_items sorts by audio length)
+        self.entries.sort(key=lambda e: e["mel_len"])
+
+    # --- mel extraction (once, through the TPU DSP path) --------------------
+
+    def _mel_path(self, wav_path: str) -> str | None:
+        if not self.cache_dir:
+            return None
+        h = hashlib.md5(wav_path.encode()).hexdigest()[:16]
+        return os.path.join(self.cache_dir, f"mel_{h}.npy")
+
+    def _compute_mels(self, verbose: bool) -> None:
+        for e in self.entries:
+            cpath = self._mel_path(e["wav"])
+            if cpath and os.path.exists(cpath):
+                mel = np.load(cpath)
+            else:
+                wav = self.ap.load_wav(e["wav"])
+                if self.cfg.audio.do_trim_silence:
+                    wav = self.ap.trim_silence(wav)
+                mel = self.ap.melspectrogram(wav).T.astype(np.float32)  # [T, n_mels]
+                if cpath:
+                    np.save(cpath, mel)
+            e["mel"] = mel
+            e["mel_len"] = mel.shape[0]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    # --- batching ------------------------------------------------------------
+
+    def batches(self, batch_size: int, r: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = False):
+        """Yield static-bucket-shaped numpy batches.
+
+        Length-sorted grouping with batch_group_size in-bucket shuffling
+        (reference behavior); each batch dict has text [B, Tt], text_lengths,
+        mel [B, Tm, n_mels], mel_lengths, stop_targets [B, Tm/r],
+        speaker_ids [B] (and speaker_embeddings [B, D] when configured).
+        """
+        idxs = list(range(len(self.entries)))
+        rng = np.random.default_rng(seed)
+        bgs = self.cfg.data.batch_group_size * batch_size
+        if shuffle and bgs > 0:
+            for s in range(0, len(idxs), bgs):
+                seg = idxs[s: s + bgs]
+                rng.shuffle(seg)
+                idxs[s: s + bgs] = seg
+        batches = [idxs[s: s + batch_size] for s in range(0, len(idxs), batch_size)]
+        if drop_last and batches and len(batches[-1]) < batch_size:
+            batches.pop()
+        if shuffle:
+            rng.shuffle(batches)
+        for b in batches:
+            yield self._collate([self.entries[i] for i in b], batch_size, r)
+
+    def _collate(self, entries, batch_size: int, r: int) -> dict[str, np.ndarray]:
+        B = batch_size  # fixed batch dim: short final batches are padded
+        n_real = len(entries)
+        t_text = _bucket(max(len(e["seq"]) for e in entries), TEXT_PAD)
+        t_mel = _bucket(max(e["mel_len"] for e in entries), r * FRAME_PAD)
+        n_mels = self.cfg.audio.num_mels
+
+        text = np.zeros((B, t_text), np.int32)
+        text_len = np.ones((B,), np.int32)
+        mel = np.zeros((B, t_mel, n_mels), np.float32)
+        # phantom rows (fixed-B padding of a short final batch) get mel_len=0
+        # so every loss mask excludes them completely
+        mel_len = np.zeros((B,), np.int32)
+        spk = np.zeros((B,), np.int32)
+        for i, e in enumerate(entries):
+            L, M = len(e["seq"]), e["mel_len"]
+            text[i, :L] = e["seq"]
+            text_len[i] = L
+            mel[i, :M] = e["mel"]
+            mel_len[i] = M
+            spk[i] = self.speakers.get(e["speaker"], 0)
+        t_r = t_mel // r
+        dec_steps = (mel_len + r - 1) // r
+        stop_targets = (np.arange(t_r)[None, :] >= (dec_steps - 1)[:, None]
+                        ).astype(np.float32)
+        batch = {
+            "text": text, "text_lengths": text_len,
+            "mel": mel, "mel_lengths": mel_len,
+            "stop_targets": stop_targets,
+            "speaker_ids": spk,
+            "n_real": np.int32(n_real),
+        }
+        if self.speaker_embeddings is not None:
+            dim = len(next(iter(self.speaker_embeddings.values())))
+            emb = np.zeros((B, dim), np.float32)
+            for i, e in enumerate(entries):
+                emb[i] = self.speaker_embeddings[e["speaker"]]
+            batch["speaker_embeddings"] = emb
+        return batch

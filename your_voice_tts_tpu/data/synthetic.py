@@ -1,0 +1,67 @@
+"""Synthetic corpus generator.
+
+No LJSpeech or network in this environment (SURVEY.md SS7 hard part #6), so
+tests and smoke training runs use a deterministic generated corpus in the
+LJSpeech metadata layout: short sentences paired with speech-like harmonic
+audio whose duration tracks text length, one 'voice' (f0/formant profile)
+per synthetic speaker.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+
+import numpy as np
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while seven wizards "
+    "brew magic tonic under calm evening skies and little birds sing "
+    "soft golden tunes about distant silver rivers").split()
+
+
+def _sentence(rng: np.random.Generator, n_words: int) -> str:
+    words = rng.choice(_WORDS, size=n_words, replace=True)
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _speech_wave(rng: np.random.Generator, sr: int, dur: float, f0: float) -> np.ndarray:
+    t = np.arange(int(sr * dur)) / sr
+    vib = f0 * (1.0 + 0.02 * np.sin(2 * np.pi * 4.5 * t))
+    phase = 2 * np.pi * np.cumsum(vib) / sr
+    x = np.zeros_like(t)
+    for h in range(1, 10):
+        amp = (1.0 / h) * (0.5 + 0.5 * np.sin(2 * np.pi * (0.6 + 0.11 * h) * t + h))
+        x += amp * np.sin(h * phase)
+    x += 0.01 * rng.standard_normal(len(t))
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 2.2 * t - np.pi / 2)
+    x = x * env * 0.25
+    fade = np.minimum(1.0, np.minimum(t / 0.02, (dur - t) / 0.02))
+    return (x * fade).astype(np.float32)
+
+
+def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
+                          n_speakers: int = 1, seed: int = 0) -> str:
+    """Create metadata.csv + wavs/ under `path`; returns `path`."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(path, "wavs"), exist_ok=True)
+    lines = []
+    for i in range(n_items):
+        n_words = int(rng.integers(3, 9))
+        text = _sentence(rng, n_words)
+        dur = 0.25 + 0.12 * n_words + float(rng.uniform(0, 0.1))
+        speaker = i % n_speakers
+        f0 = 110.0 * (1.3 ** speaker)
+        wav = _speech_wave(rng, sr, dur, f0)
+        name = f"SYN{speaker:02d}-{i:04d}"
+        pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        with wave.open(os.path.join(path, "wavs", name + ".wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        lines.append(f"{name}|{text}|{text}")
+    with open(os.path.join(path, "metadata.csv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
