@@ -10,6 +10,11 @@ def setup_model(num_chars: int, num_speakers: int, cfg: Config,
     """Build the model named by cfg.model.model, mirroring the reference
     factory's signature (num_chars, num_speakers, config)."""
     name = cfg.model.model
+    # r_init: the largest r the gradual-training schedule will ever use,
+    # so projection/stopnet params stay fixed across the schedule
+    r_init = cfg.model.r
+    if cfg.training.gradual_training:
+        r_init = max(r_init, max(row[1] for row in cfg.training.gradual_training))
     if name == "Tacotron2":
         from .tacotron2 import Tacotron2
 
@@ -21,6 +26,7 @@ def setup_model(num_chars: int, num_speakers: int, cfg: Config,
             speaker_embedding_dim=speaker_embedding_dim,
             use_gst=cfg.speakers.use_gst,
             gst_cfg=cfg.speakers.gst,
+            r_init=r_init,
         )
     if name == "Tacotron":
         from .tacotron import Tacotron

@@ -102,10 +102,14 @@ class Decoder:
 
     P_DROPOUT = 0.1  # attention/decoder RNN output dropout (reference value)
 
-    def __init__(self, in_dim: int, n_mels: int, r: int, cfg: ModelConfig):
+    def __init__(self, in_dim: int, n_mels: int, r_init: int, cfg: ModelConfig):
+        """r_init is the LARGEST reduction factor the model will ever use
+        (gradual training anneals r downward). Like the reference, the linear
+        projection and stopnet are sized for r_init and the active r takes a
+        prefix slice — so parameters are invariant across the r schedule."""
         self.in_dim = in_dim          # encoder output (+speaker) width
         self.n_mels = n_mels
-        self.r = r
+        self.r_init = r_init
         self.cfg = cfg
         self.prenet = Prenet(n_mels, cfg.prenet_type, cfg.prenet_dropout,
                              (cfg.prenet_dim, cfg.prenet_dim))
@@ -117,8 +121,8 @@ class Decoder:
             cfg.use_forward_attn, cfg.transition_agent, cfg.forward_attn_mask,
             cfg.attention_heads)
         self.decoder_rnn = LSTMCell(cfg.attention_rnn_dim + in_dim, cfg.decoder_rnn_dim)
-        self.linear_projection = Dense(cfg.decoder_rnn_dim + in_dim, n_mels * r)
-        self.stopnet = Dense(cfg.decoder_rnn_dim + n_mels * r, 1)
+        self.linear_projection = Dense(cfg.decoder_rnn_dim + in_dim, n_mels * r_init)
+        self.stopnet = Dense(cfg.decoder_rnn_dim + n_mels * r_init, 1)
 
     def init(self, key) -> Params:
         ks = jax.random.split(key, 6)
@@ -165,6 +169,8 @@ class Decoder:
         proj_in = jnp.concatenate([dec_h, context], axis=-1)
         decoder_output = self.linear_projection(p["projection"], proj_in)
 
+        # stopnet sees the FULL r_init-sized projection (reference decode():
+        # stop computed before the active-r slice), keeping params r-invariant
         stop_in = jnp.concatenate([dec_h, decoder_output], axis=-1)
         if self.cfg.separate_stopnet:
             stop_in = lax.stop_gradient(stop_in)
@@ -183,21 +189,22 @@ class Decoder:
         )
 
     def forward(self, p: Params, state: Params, inputs, input_lengths, mels,
-                rng, train: bool):
+                rng, train: bool, r: int | None = None):
         """Teacher-forced decode.
 
         inputs: [B, T_in, in_dim] encoder memory; mels: [B, T_mel, n_mels]
         with T_mel % r == 0. Returns (outputs [B, T_mel, n_mels], alignments
         [B, T_r, T_in], stop_logits [B, T_r], new_state).
         """
+        r = r or self.r_init
         B, T_mel, _ = mels.shape
-        assert T_mel % self.r == 0, "mel length must be a multiple of r"
-        T_r = T_mel // self.r
+        assert T_mel % r == 0, "mel length must be a multiple of r"
+        T_r = T_mel // r
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
 
         # decoder inputs: go frame + last frame of each group but the last
-        last_frames = mels[:, self.r - 1:: self.r, :]            # [B, T_r, n_mels]
+        last_frames = mels[:, r - 1:: r, :]                      # [B, T_r, n_mels]
         go = jnp.zeros((B, 1, self.n_mels), mels.dtype)
         memories = jnp.concatenate([go, last_frames[:, :-1]], axis=1)
 
@@ -214,18 +221,19 @@ class Decoder:
         carry0 = self._init_carry(B, inputs.shape[1], k_scan, mels.dtype)
         _, (dec_out, aligns, stops) = lax.scan(
             step, carry0, jnp.swapaxes(prenet_out, 0, 1))
-        dec_out = jnp.swapaxes(dec_out, 0, 1)         # [B, T_r, n_mels*r]
-        outputs = dec_out.reshape(B, T_mel, self.n_mels)
+        dec_out = jnp.swapaxes(dec_out, 0, 1)         # [B, T_r, n_mels*r_init]
+        outputs = dec_out[..., : self.n_mels * r].reshape(B, T_mel, self.n_mels)
         return outputs, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             {"prenet": prenet_state}
 
     def inference(self, p: Params, state: Params, inputs, input_lengths, rng,
-                  max_steps: int):
+                  max_steps: int, r: int | None = None):
         """Free-running decode to max_steps with per-sample stop masking.
 
         Returns (outputs [B, max_steps*r, n_mels], alignments, stop_probs,
         out_lengths [B] in mel frames).
         """
+        r = r or self.r_init
         B = inputs.shape[0]
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
@@ -246,10 +254,10 @@ class Decoder:
             stop_prob = jax.nn.sigmoid(stop_logit)
             # mask outputs of finished samples; count steps while running
             active = jnp.logical_not(done)
-            dec_out = dec_out * active[:, None].astype(dec_out.dtype)
+            dec_out = dec_out[:, : self.n_mels * r] * active[:, None].astype(dec_out.dtype)
             steps_done = steps_done + active.astype(jnp.int32)
             done = jnp.logical_or(done, stop_prob > thresh)
-            new_frame = dec_out[:, self.n_mels * (self.r - 1):]  # last frame of group
+            new_frame = dec_out[:, self.n_mels * (r - 1):]  # last frame of group
             return (inner4, new_frame, done, steps_done, rng_), \
                 (dec_out, align, stop_prob)
 
@@ -262,9 +270,9 @@ class Decoder:
         )
         (_, _, done, steps_done, _), (dec_out, aligns, stops) = lax.scan(
             step, carry0, None, length=max_steps)
-        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * self.r, self.n_mels)
+        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * r, self.n_mels)
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
-            steps_done * self.r
+            steps_done * r
 
 
 class Tacotron2:
@@ -277,9 +285,11 @@ class Tacotron2:
 
     def __init__(self, num_chars: int, cfg: ModelConfig, n_mels: int = 80,
                  num_speakers: int = 0, speaker_embedding_dim: int = 0,
-                 use_gst: bool = False, gst_cfg=None):
+                 use_gst: bool = False, gst_cfg=None, r_init: int | None = None):
         self.cfg = cfg
         self.n_mels = n_mels
+        self.r = cfg.r                      # active reduction factor
+        self.r_init = max(r_init or cfg.r, cfg.r)
         self.num_speakers = num_speakers
         self.use_external_speaker_embedding = num_speakers > 0 and speaker_embedding_dim > 0
         self.spk_dim = speaker_embedding_dim if num_speakers > 0 else 0
@@ -292,7 +302,7 @@ class Tacotron2:
         if use_gst:
             from .gst import GST
             self.gst = GST(n_mels, cfg.encoder_dim, gst_cfg)
-        self.decoder = Decoder(dec_in, n_mels, cfg.r, cfg)
+        self.decoder = Decoder(dec_in, n_mels, self.r_init, cfg)
         self.postnet = Postnet(n_mels, cfg.postnet_dim)
         if num_speakers > 0 and not self.use_external_speaker_embedding:
             self.speaker_embedding = Embedding(num_speakers, self.spk_dim)
@@ -332,10 +342,19 @@ class Tacotron2:
             enc_out = jnp.concatenate([enc_out, spk], axis=-1)
         return enc_out
 
+    def set_r(self, r: int) -> None:
+        """Change the active reduction factor (gradual training; reference
+        TacotronAbstract._set_r). Params are unaffected; jitted callers must
+        re-trace (the trainer keys its compiled step on r)."""
+        if r > self.r_init:
+            raise ValueError(f"r={r} exceeds r_init={self.r_init}")
+        self.r = r
+
     def forward(self, variables, text, text_lengths, mels, rng=None, train: bool = True,
-                speaker_ids=None, speaker_embeddings=None):
+                speaker_ids=None, speaker_embeddings=None, r: int | None = None):
         """Teacher-forced pass. Returns dict with decoder/postnet outputs,
         alignments, stop logits, and updated BN state."""
+        r = r or self.r
         params, state = variables["params"], variables["state"]
         if rng is not None:
             rng, k_enc, k_dec, k_post = jax.random.split(rng, 4)
@@ -348,7 +367,7 @@ class Tacotron2:
                                   style_mel=mels, style_len=None)
         dec_out, aligns, stops, dec_state = self.decoder.forward(
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
-            k_dec, train)
+            k_dec, train, r=r)
         mel_mask = None
         residual, post_state = self.postnet(params["postnet"], state["postnet"],
                                             dec_out, k_post, train, mask=mel_mask)
@@ -363,8 +382,9 @@ class Tacotron2:
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
-                  max_decoder_steps: int | None = None):
+                  max_decoder_steps: int | None = None, r: int | None = None):
         """Free-running synthesis. Output lengths are in mel frames."""
+        r = r or self.r
         params, state = variables["params"], variables["state"]
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         x = self.embedding(params["embedding"], text)
@@ -373,7 +393,8 @@ class Tacotron2:
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
         dec_out, aligns, stops, out_lengths = self.decoder.inference(
-            params["decoder"], state["decoder"], enc_out, text_lengths, rng, max_steps)
+            params["decoder"], state["decoder"], enc_out, text_lengths, rng,
+            max_steps, r=r)
         residual, _ = self.postnet(params["postnet"], state["postnet"],
                                    dec_out, None, train=False)
         postnet_out = dec_out + residual

