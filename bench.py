@@ -1,0 +1,137 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures batched end-to-end synthesis (Tacotron2 decode to max steps +
+Griffin-Lim vocoder, full-size model dims) on the available accelerator and
+reports the real-time factor per chip:
+
+    RTF = seconds of audio produced / wall-clock second
+
+BASELINE.json's north star is >=100x real time per TPU chip; `vs_baseline`
+is value/100. The reference publishes no numbers (BASELINE.json:13
+published={}), so the target is the baseline.
+
+Run: python bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None, help="decoder steps")
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import AudioConfig, Config, ModelConfig
+    from your_voice_tts_tpu.models import setup_model
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+    from your_voice_tts_tpu.text import symbols, text_to_sequence
+
+    backend = jax.default_backend()
+    quick = args.quick
+    B = args.batch or (4 if quick else 32)
+    max_steps = args.steps or (20 if quick else 250)
+    r = 2
+
+    acfg = AudioConfig()  # LJSpeech-style 22.05 kHz, 80 mels, hop 256
+    mcfg = ModelConfig(r=r, max_decoder_steps=max_steps) if not quick else \
+        ModelConfig(r=r, max_decoder_steps=max_steps, embedding_dim=64,
+                    encoder_dim=64, decoder_rnn_dim=64, attention_rnn_dim=64,
+                    attention_dim=32, attention_location_filters=8,
+                    attention_location_kernel_size=15, prenet_dim=32,
+                    postnet_dim=64)
+    cfg = Config(audio=acfg, model=mcfg)
+    model = setup_model(len(symbols), 0, cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    ap = AudioProcessor(acfg)
+
+    # batch of realistic sentences (LJSpeech-like lengths)
+    base_sentences = [
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "Speech synthesis on tensor processing units is remarkably fast.",
+        "Printing, in the only sense with which we are at present concerned.",
+        "A quarter of a century has passed since the first edition appeared.",
+    ]
+    seqs = [text_to_sequence(s) for s in (base_sentences * ((B + 3) // 4))[:B]]
+    T_text = max(len(s) for s in seqs)
+    T_text = ((T_text + 15) // 16) * 16
+    text = np.zeros((B, T_text), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for i, s in enumerate(seqs):
+        text[i, : len(s)] = s
+        lens[i] = len(s)
+    text = jnp.asarray(text)
+    lens = jnp.asarray(lens)
+
+    n_frames = max_steps * r
+    window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size),
+                         dtype=jnp.float32)
+    inv_basis = jnp.asarray(ap.inv_mel_basis)
+
+    @jax.jit
+    def synthesize(variables, text, lens, key):
+        out = model.inference(variables, text, lens, rng=None)
+        mel = out["postnet_outputs"]  # [B, T, n_mels]
+        wav = jax.vmap(lambda m, k: dsp.inv_melspectrogram(
+            m, k, mel_inv_basis=inv_basis, window=window, n_fft=acfg.fft_size,
+            hop=acfg.hop_length, preemph=acfg.preemphasis,
+            ref_level_db=acfg.ref_level_db, min_level_db=acfg.min_level_db,
+            spec_gain=acfg.spec_gain, max_norm=acfg.max_norm,
+            symmetric=acfg.symmetric_norm, clip=acfg.clip_norm,
+            power=acfg.power, gl_iters=acfg.griffin_lim_iters))(
+                mel, jax.random.split(key, mel.shape[0]))
+        return wav, out["mel_lengths"]
+
+    # compile
+    t0 = time.time()
+    wav, _ = synthesize(variables, text, lens, jax.random.PRNGKey(0))
+    wav.block_until_ready()
+    compile_time = time.time() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        wav, _ = synthesize(variables, text, lens, jax.random.PRNGKey(i + 1))
+        wav.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    audio_seconds = B * n_frames * acfg.hop_length / acfg.sample_rate
+    rtf = audio_seconds / dt
+    mel_frames_per_sec = B * n_frames / dt
+
+    result = {
+        "metric": "batched end-to-end synthesis realtime factor per chip "
+                  "(Tacotron2 decode + on-device Griffin-Lim, batch "
+                  f"{B} x {n_frames} mel frames @ {acfg.sample_rate}Hz)",
+        "value": round(rtf, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 100.0, 4),
+        "extra": {
+            "backend": backend,
+            "mel_frames_per_sec_per_chip": round(mel_frames_per_sec, 1),
+            "wall_s_per_batch": round(dt, 4),
+            "compile_s": round(compile_time, 1),
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "quick": quick,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

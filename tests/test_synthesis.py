@@ -1,0 +1,139 @@
+"""Inference runtime tests: synthesis API, Synthesizer facade, HTTP server
+(driven over a real socket)."""
+
+import dataclasses
+import json
+import os
+import threading
+import urllib.request
+import wave as wavemod
+
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.audio import AudioProcessor
+from your_voice_tts_tpu.config import load_config
+from your_voice_tts_tpu.infer.synthesis import synthesis, synthesis_batch, text_to_seq
+from your_voice_tts_tpu.infer.synthesizer import Synthesizer, split_into_sentences
+from your_voice_tts_tpu.models import setup_model
+from your_voice_tts_tpu.text import symbols
+from your_voice_tts_tpu.train.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = load_config("configs/smoke_synthetic.json")
+    return dataclasses.replace(
+        base, model=dataclasses.replace(base.model, max_decoder_steps=12))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(cfg):
+    import jax
+
+    model = setup_model(len(symbols), 0, cfg)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def ap(cfg):
+    return AudioProcessor(cfg.audio)
+
+
+def test_text_to_seq(cfg):
+    seq = text_to_seq("Hello there!", cfg)
+    assert seq.dtype == np.int32 and len(seq) > 0
+
+
+def test_synthesis_single(cfg, model_and_vars, ap):
+    model, variables = model_and_vars
+    res = synthesis(model, variables, "hello world", cfg, ap)
+    assert set(res) >= {"wav", "mel_postnet_spec", "alignment", "stop_tokens"}
+    assert res["mel_postnet_spec"].shape[0] == cfg.audio.num_mels
+    assert res["wav"].ndim == 1 and len(res["wav"]) > 0
+
+
+def test_synthesis_batch_matches_padding(cfg, model_and_vars, ap):
+    model, variables = model_and_vars
+    texts = ["short one", "a somewhat longer sentence to pad against", "mid size text"]
+    results = synthesis_batch(model, variables, texts, cfg, ap,
+                              use_griffin_lim=False)
+    assert len(results) == 3
+    for r in results:
+        assert r["mel_postnet_spec"].shape[0] == cfg.audio.num_mels
+        assert "wav" not in r  # griffin-lim disabled
+
+
+def test_split_into_sentences():
+    text = "First one. Second here! Third?  \n Fourth line"
+    assert split_into_sentences(text) == [
+        "First one.", "Second here!", "Third?", "Fourth line"]
+    assert split_into_sentences("") == []
+
+
+def test_synthesizer_with_checkpoint(cfg, model_and_vars, ap, tmp_path):
+    model, variables = model_and_vars
+    ckpt = str(tmp_path / "model.npz")
+    save_checkpoint(ckpt, params=variables["params"],
+                    model_state=variables["state"], opt_state={}, step=123,
+                    epoch=1, r=2)
+    synth = Synthesizer(cfg, ckpt)
+    wav = synth.tts("One sentence. And another one.")
+    assert wav.dtype == np.float32 and len(wav) > 0
+    # wav bytes form a valid WAV container
+    blob = synth.tts_to_wav_bytes("Quick check.")
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+
+@pytest.fixture(scope="module")
+def server(cfg, model_and_vars, tmp_path_factory):
+    model, variables = model_and_vars
+    tmp = tmp_path_factory.mktemp("srv")
+    ckpt = str(tmp / "model.npz")
+    save_checkpoint(ckpt, params=variables["params"],
+                    model_state=variables["state"], opt_state={}, step=1,
+                    epoch=0, r=2)
+    from your_voice_tts_tpu.infer.server import make_server
+
+    synth = Synthesizer(cfg, ckpt)
+    srv = make_server(synth, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_server_index(server):
+    with urllib.request.urlopen(server + "/") as r:
+        body = r.read().decode()
+    assert r.status == 200 and "api/tts" in body
+
+
+def test_server_tts_endpoint(server, tmp_path):
+    with urllib.request.urlopen(server + "/api/tts?text=hello%20server") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        blob = r.read()
+    p = tmp_path / "out.wav"
+    p.write_bytes(blob)
+    with wavemod.open(str(p), "rb") as f:
+        assert f.getframerate() == 8000
+        assert f.getnframes() > 0
+
+
+def test_server_missing_text_is_400(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/api/tts")
+    assert ei.value.code == 400
+    assert json.loads(ei.value.read())["error"] == "missing text parameter"
+
+
+def test_server_unknown_route_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/nope")
+    assert ei.value.code == 404

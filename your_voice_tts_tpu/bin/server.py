@@ -1,0 +1,35 @@
+"""Server CLI (reference server/server.py entry).
+
+python -m your_voice_tts_tpu.bin.server --tts_config c.json --tts_checkpoint m.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="TTS HTTP server")
+    p.add_argument("--tts_config", required=True)
+    p.add_argument("--tts_checkpoint", default=None)
+    p.add_argument("--vocoder_config", default=None)
+    p.add_argument("--vocoder_checkpoint", default=None)
+    p.add_argument("--speakers_json", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5002)
+    args = p.parse_args(argv)
+
+    from ..infer.server import make_server
+    from ..infer.synthesizer import Synthesizer
+
+    synth = Synthesizer(args.tts_config, args.tts_checkpoint,
+                        vocoder_config=args.vocoder_config,
+                        vocoder_checkpoint=args.vocoder_checkpoint,
+                        speakers_json=args.speakers_json)
+    server = make_server(synth, args.host, args.port)
+    print(f" > Serving on http://{args.host}:{args.port}  (GET /api/tts?text=...)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Synthesizer — the serving facade (reference server/synthesizer.py).
+
+Loads a trained TTS checkpoint (+ optional neural vocoder), splits long input
+into sentences, synthesizes, and concatenates with inter-sentence silence.
+The reference loops sentences sequentially; here they are synthesized as ONE
+bucketed batch (SURVEY.md SS3.4 note: "reimplemented as batched bucketing").
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+import wave
+
+import numpy as np
+
+from ..audio import AudioProcessor
+from ..config import Config, load_config
+from ..models import setup_model
+from ..text import phonemes, symbols
+from ..train.checkpoint import load_checkpoint
+from ..utils.speakers import load_speaker_mapping, parse_speakers
+from .synthesis import synthesis_batch
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+|\n+")
+
+
+def split_into_sentences(text: str) -> list[str]:
+    """Regex segmenter (reference Synthesizer.split_into_sentences)."""
+    parts = [s.strip() for s in _SENTENCE_RE.split(text)]
+    return [s for s in parts if s]
+
+
+class Synthesizer:
+    def __init__(self, tts_config: str | Config, tts_checkpoint: str | None = None,
+                 vocoder_config: str | Config | None = None,
+                 vocoder_checkpoint: str | None = None,
+                 speakers_json: str | None = None, rng_seed: int = 0):
+        self.cfg = load_config(tts_config) if isinstance(tts_config, str) else tts_config
+        self.ap = AudioProcessor(self.cfg.audio)
+        self.speaker_ids: dict[str, int] = {}
+        self.speaker_embeddings = None
+        num_speakers, spk_dim = 0, 0
+        if speakers_json:
+            mapping = load_speaker_mapping(speakers_json)
+            self.speaker_ids, self.speaker_embeddings = parse_speakers(mapping)
+            num_speakers = len(self.speaker_ids)
+            if self.speaker_embeddings:
+                spk_dim = len(next(iter(self.speaker_embeddings.values())))
+        self.load_tts(tts_checkpoint, num_speakers, spk_dim)
+        self.vocoder = None
+        if vocoder_config is not None:
+            self.load_vocoder(vocoder_config, vocoder_checkpoint)
+        import jax
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+    # --- loading ---------------------------------------------------------
+
+    def load_tts(self, checkpoint: str | None, num_speakers: int, spk_dim: int) -> None:
+        num_chars = len(phonemes) if self.cfg.data.use_phonemes else len(symbols)
+        import jax
+
+        self.model = setup_model(num_chars, num_speakers, self.cfg, spk_dim)
+        self.variables = self.model.init(jax.random.PRNGKey(0))
+        if checkpoint:
+            params, state, _, meta = load_checkpoint(
+                checkpoint, params=self.variables["params"],
+                model_state=self.variables["state"], opt_state=None)
+            self.variables = {"params": params, "state": state}
+            if "r" in meta:
+                self.model.set_r(meta["r"])
+
+    def load_vocoder(self, vocoder_config, checkpoint: str | None) -> None:
+        from ..vocoder.synthesizer import VocoderSynthesizer
+
+        self.vocoder = VocoderSynthesizer(vocoder_config, checkpoint,
+                                          tts_audio_cfg=self.cfg.audio)
+
+    # --- synthesis -------------------------------------------------------
+
+    def tts(self, text: str, speaker: str | int | None = None,
+            style_wav: np.ndarray | None = None) -> np.ndarray:
+        """Full text -> waveform (numpy float32)."""
+        sentences = split_into_sentences(text) or [text]
+        speaker_ids = d_vectors = None
+        if speaker is not None and self.speaker_ids:
+            sid = (self.speaker_ids.get(speaker, 0)
+                   if isinstance(speaker, str) else int(speaker))
+            if self.speaker_embeddings:
+                name = speaker if isinstance(speaker, str) else \
+                    sorted(self.speaker_embeddings)[sid]
+                d_vectors = np.tile(self.speaker_embeddings[name],
+                                    (len(sentences), 1))
+            else:
+                speaker_ids = np.full((len(sentences),), sid, np.int32)
+
+        import jax
+        self._rng, sub = jax.random.split(self._rng)
+        vocoder_fn = self.vocoder.mel_to_wav if self.vocoder else None
+        results = synthesis_batch(
+            self.model, self.variables, sentences, self.cfg, self.ap,
+            speaker_ids=speaker_ids, d_vectors=d_vectors, style_wav=style_wav,
+            use_griffin_lim=self.vocoder is None, vocoder=vocoder_fn, rng=sub,
+            trim_silence=True)
+        silence = np.zeros(int(0.25 * self.ap.sample_rate), np.float32)
+        pieces = []
+        for i, r in enumerate(results):
+            pieces.append(np.asarray(r["wav"], np.float32))
+            if i != len(results) - 1:
+                pieces.append(silence)
+        return np.concatenate(pieces) if pieces else silence
+
+    def tts_to_wav_bytes(self, text: str, **kw) -> bytes:
+        """WAV container bytes for HTTP streaming (reference server flow)."""
+        wav = self.tts(text, **kw)
+        norm = wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.ap.sample_rate)
+            f.writeframes(norm.astype(np.int16).tobytes())
+        return buf.getvalue()
