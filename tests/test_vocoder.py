@@ -1,0 +1,153 @@
+"""Vocoder tests (reference vocoder tests pattern, SURVEY.md SS4): generator/
+discriminator shapes, STFT-loss sanity, GAN + WaveRNN training steps,
+fold/unfold round-trip, end-to-end mel->wav via VocoderSynthesizer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.config import AudioConfig
+from your_voice_tts_tpu.vocoder.config import (
+    MelganConfig, VocoderConfig, VocoderTrainingConfig, WaveRNNConfig,
+)
+from your_voice_tts_tpu.vocoder.losses import multi_scale_stft_loss
+from your_voice_tts_tpu.vocoder.models.melgan import (
+    MelganGenerator, MelganMultiscaleDiscriminator,
+)
+from your_voice_tts_tpu.vocoder.models.wavernn import (
+    WaveRNN, decode_mulaw, encode_mulaw, fold_with_overlap, xfade_and_unfold,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+SMALL_AUDIO = AudioConfig(sample_rate=8000, fft_size=256, hop_length=64,
+                          win_length=256, num_mels=20, mel_fmax=None,
+                          do_trim_silence=False)
+SMALL_MELGAN = MelganConfig(upsample_factors=(4, 4, 4), base_channels=64,
+                            num_res_blocks=2, num_scales=2, disc_base_channels=4)
+SMALL_WAVERNN = WaveRNNConfig(bits=8, rnn_dims=32, fc_dims=32, compute_dims=16,
+                              res_out_dims=16, num_res_blocks=2, pad=2,
+                              upsample_factors=(4, 4, 4), target=256, overlap=64)
+SMALL_TRAIN = VocoderTrainingConfig(batch_size=2, seq_len=512,
+                                    steps_to_start_discriminator=2,
+                                    print_step=1000, save_step=100000)
+VCFG = VocoderConfig(model="melgan", audio=SMALL_AUDIO, melgan=SMALL_MELGAN,
+                     wavernn=SMALL_WAVERNN, training=SMALL_TRAIN)
+
+
+def test_melgan_generator_shapes():
+    g = MelganGenerator(20, (4, 4, 4), base_channels=64, num_res_blocks=2)
+    p = g.init(KEY)
+    mel = jax.random.normal(KEY, (2, 10, 20))
+    audio = g(p, mel)
+    assert audio.shape == (2, 10 * 64)
+    assert np.all(np.abs(np.asarray(audio)) <= 1.0)  # tanh bounded
+
+
+def test_melgan_discriminator_shapes():
+    d = MelganMultiscaleDiscriminator(num_scales=2, base_channels=4)
+    p = d.init(KEY)
+    outs = d(p, jax.random.normal(KEY, (2, 640)))
+    assert len(outs) == 2
+    for score, feats in outs:
+        assert score.shape[0] == 2 and score.shape[-1] == 1
+        assert len(feats) == 5
+
+
+def test_stft_loss_sanity():
+    y = jax.random.normal(KEY, (2, 2048)) * 0.3
+    zero = multi_scale_stft_loss(y, y)
+    noisy = multi_scale_stft_loss(y + 0.1 * jax.random.normal(KEY, y.shape), y)
+    assert float(zero) < 1e-4
+    assert float(noisy) > float(zero)
+
+
+def test_mulaw_roundtrip():
+    x = jnp.linspace(-0.99, 0.99, 101)
+    rec = decode_mulaw(encode_mulaw(x, 10), 10)
+    assert float(jnp.max(jnp.abs(rec - x))) < 0.01  # 10-bit quantization error
+
+
+def test_fold_unfold_roundtrip():
+    L, target, overlap = 1000, 256, 64
+    x = jnp.sin(jnp.linspace(0, 20, L))[:, None]
+    folded = fold_with_overlap(x, target, overlap)
+    assert folded.shape[1] == target + 2 * overlap
+    rec = xfade_and_unfold(folded[..., 0], target, overlap)
+    np.testing.assert_allclose(np.asarray(rec[:L]), np.asarray(x[:, 0]),
+                               atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def corpus_items(tmp_path_factory):
+    from your_voice_tts_tpu.data.formatters import synthetic
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    path = str(tmp_path_factory.mktemp("voccorp"))
+    make_synthetic_corpus(path, n_items=4, sr=8000)
+    return synthetic(path)
+
+
+def test_gan_trainer_steps(corpus_items, tmp_path):
+    from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
+
+    trainer = GANTrainer(VCFG, corpus_items, verbose=False)
+    metrics = trainer.fit(max_steps=4)  # crosses into discriminator phase
+    assert np.isfinite(metrics["gen_loss"])
+    assert "disc_loss" in metrics and np.isfinite(metrics["disc_loss"])
+    p = str(tmp_path / "voc.npz")
+    trainer.save(p)
+    trainer.restore(p)
+    assert int(trainer.state.step) == 4
+
+
+def test_wavernn_forward_and_train(corpus_items):
+    from your_voice_tts_tpu.vocoder.train_wavernn import WaveRNNTrainer
+
+    cfg = dataclasses.replace(VCFG, model="wavernn")
+    trainer = WaveRNNTrainer(cfg, corpus_items, verbose=False)
+    l0 = trainer.fit(max_steps=1)["loss"]
+    l5 = trainer.fit(max_steps=5)["loss"]
+    assert np.isfinite(l0) and np.isfinite(l5)
+    assert l5 < l0  # CE should drop fast from uniform ~log(256)
+
+
+def test_wavernn_generate_batched_equals_length():
+    w = SMALL_WAVERNN
+    model = WaveRNN(20, w.bits, w.rnn_dims, w.fc_dims, w.compute_dims,
+                    w.res_out_dims, w.num_res_blocks, w.pad,
+                    w.upsample_factors)
+    p = model.init(KEY)
+    T = 12  # mel frames incl. 2*pad context
+    mel = jax.random.normal(KEY, (T, 20))
+    wav = model.generate(p, mel, KEY, batched=True, target=w.target,
+                         overlap=w.overlap)
+    assert wav.shape == ((T - 2 * w.pad) * 64,)
+    wav_seq = model.generate(p, mel, KEY, batched=False)
+    assert wav_seq.shape == wav.shape
+
+
+def test_vocoder_synthesizer_melgan(corpus_items, tmp_path):
+    from your_voice_tts_tpu.vocoder.synthesizer import VocoderSynthesizer
+    from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
+
+    trainer = GANTrainer(VCFG, corpus_items, verbose=False)
+    ck = str(tmp_path / "melgan.npz")
+    trainer.save(ck)
+    vs = VocoderSynthesizer(VCFG, ck)
+    mel = np.random.default_rng(0).standard_normal((20, 16)).astype(np.float32)
+    wav = vs.mel_to_wav(mel)
+    assert wav.shape == (16 * 64,)
+
+
+def test_vocoder_synthesizer_wavernn(tmp_path):
+    from your_voice_tts_tpu.vocoder.synthesizer import VocoderSynthesizer
+
+    cfg = dataclasses.replace(VCFG, model="wavernn")
+    vs = VocoderSynthesizer(cfg, None)
+    mel = np.random.default_rng(0).standard_normal((20, 10)).astype(np.float32)
+    wav = vs.mel_to_wav(mel)
+    assert wav.shape == (10 * 64,)

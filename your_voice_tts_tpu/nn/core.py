@@ -101,6 +101,29 @@ class Conv1d:
         return y + p["b"] if self.use_bias else y
 
 
+class ConvTranspose1d:
+    """Channel-last transposed 1D conv: [B, T, C_in] -> [B, T*stride, C_out]
+    ('SAME' output length semantics, the MelGAN upsampler contract)."""
+
+    def __init__(self, in_dim: int, out_dim: int, kernel_size: int, stride: int,
+                 use_bias: bool = True, init_gain: str = "linear"):
+        self.in_dim, self.out_dim, self.k, self.stride = in_dim, out_dim, kernel_size, stride
+        self.use_bias = use_bias
+        self.gain = _GAINS[init_gain]
+
+    def init(self, key) -> Params:
+        p = {"w": xavier_uniform(key, (self.k, self.in_dim, self.out_dim), self.gain)}
+        if self.use_bias:
+            p["b"] = jnp.zeros((self.out_dim,))
+        return p
+
+    def __call__(self, p: Params, x):
+        y = lax.conv_transpose(
+            x, p["w"], strides=(self.stride,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + p["b"] if self.use_bias else y
+
+
 class BatchNorm1d:
     """BatchNorm over all axes but the last (channels).
 

@@ -1,0 +1,76 @@
+"""Vocoder configs (reference vocoder/configs/*.json field groups)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from dataclasses import dataclass, field
+
+from ..config import AudioConfig, _build, _strip_json_comments
+
+
+@dataclass(frozen=True)
+class MelganConfig:
+    upsample_factors: tuple[int, ...] = (8, 8, 2, 2)   # product == hop_length
+    num_res_blocks: int = 3
+    base_channels: int = 512
+    kernel_size: int = 7
+    num_scales: int = 3                                 # discriminator scales
+    disc_base_channels: int = 16
+
+
+@dataclass(frozen=True)
+class WaveRNNConfig:
+    mode: str = "mulaw"          # "mulaw" (categorical) | "gauss"
+    bits: int = 10               # mu-law quantization bits
+    rnn_dims: int = 512
+    fc_dims: int = 512
+    compute_dims: int = 128
+    res_out_dims: int = 128
+    num_res_blocks: int = 10
+    pad: int = 2                 # conditioning context frames each side
+    upsample_factors: tuple[int, ...] = (4, 8, 8)  # product == hop_length
+    # batched folding (reference "batched sequence folding" [B:10])
+    batched: bool = True
+    target: int = 11_000         # samples decoded per fold
+    overlap: int = 550           # crossfade overlap between folds
+
+
+@dataclass(frozen=True)
+class VocoderTrainingConfig:
+    batch_size: int = 32
+    seq_len: int = 8192          # audio samples per training segment
+    epochs: int = 10_000
+    lr_gen: float = 1e-4
+    lr_disc: float = 1e-4
+    grad_clip: float = 10.0
+    steps_to_start_discriminator: int = 200_000
+    use_stft_loss: bool = True
+    use_feat_match_loss: bool = True
+    stft_loss_weight: float = 0.5
+    feat_match_loss_weight: float = 2.5
+    print_step: int = 25
+    save_step: int = 10_000
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    model: str = "melgan"        # "melgan" | "wavernn"
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    melgan: MelganConfig = field(default_factory=MelganConfig)
+    wavernn: WaveRNNConfig = field(default_factory=WaveRNNConfig)
+    training: VocoderTrainingConfig = field(default_factory=VocoderTrainingConfig)
+
+
+def load_vocoder_config(path_or_cfg) -> VocoderConfig:
+    if isinstance(path_or_cfg, VocoderConfig):
+        return path_or_cfg
+    with open(path_or_cfg, encoding="utf-8") as f:
+        raw = json.loads(_strip_json_comments(f.read()))
+    groups = {}
+    groups["audio"] = _build(AudioConfig, raw.get("audio", {}), "audio")
+    groups["melgan"] = _build(MelganConfig, raw.get("melgan", {}), "melgan")
+    groups["wavernn"] = _build(WaveRNNConfig, raw.get("wavernn", {}), "wavernn")
+    groups["training"] = _build(VocoderTrainingConfig, raw.get("training", {}), "training")
+    return VocoderConfig(model=raw.get("model", "melgan"), **groups)

@@ -1,0 +1,291 @@
+"""WaveRNN vocoder with batched sequence folding (reference
+vocoder/models/wavernn.py / the paired WaveRNN repo; SURVEY.md SS2.1
+"Vocoder: WaveRNN", [B:10] "batched sequence folding").
+
+Architecture (fatchord-style, as the reference uses): a MelResNet +
+stretch-upsample conditioning network, then a sample-rate core of two GRUs +
+two FC layers predicting a 2**bits-way mu-law categorical per sample.
+
+TPU design:
+- Training runs the core as ONE `lax.scan` over the sample axis (teacher
+  forced, all conditioning precomputed) — a single compiled loop, batch-wide.
+- Generation throughput comes from FOLDING: one long utterance is cut into
+  overlapping segments stacked on the batch axis (`fold_with_overlap`), the
+  scan decodes all folds in parallel (the RNN step becomes a [B_folds, 512]
+  matmul that actually uses the MXU), and `xfade_and_unfold` crossfades the
+  overlaps back into one waveform. Sampling uses per-step PRNG splits inside
+  the scan (counter-based, cheap on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...nn.core import Conv1d, Dense, Params
+from ...nn.rnn import GRUCell
+
+
+# --- mu-law ------------------------------------------------------------------
+
+def encode_mulaw(x: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """float [-1,1] -> int class [0, 2**bits)."""
+    mu = 2 ** bits - 1
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+    return jnp.clip((y + 1.0) * 0.5 * mu + 0.5, 0, mu).astype(jnp.int32)
+
+
+def decode_mulaw(y: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """int class -> float [-1,1]."""
+    mu = 2 ** bits - 1
+    f = 2.0 * y.astype(jnp.float32) / mu - 1.0
+    return jnp.sign(f) * (jnp.expm1(jnp.abs(f) * jnp.log1p(mu))) / mu
+
+
+def label_to_float(y: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """class id -> scaled float input in [-1, 1] (network input encoding)."""
+    return 2.0 * y.astype(jnp.float32) / (2 ** bits - 1.0) - 1.0
+
+
+# --- conditioning network ----------------------------------------------------
+
+class MelResNet:
+    """kernel-5 'valid' conv + 1x1 residual blocks -> aux features.
+    Output is 2*pad frames shorter than the input (pad = 2)."""
+
+    def __init__(self, n_mels: int, compute_dims: int, res_out_dims: int,
+                 num_blocks: int, pad: int):
+        self.conv_in = Conv1d(n_mels, compute_dims, 2 * pad + 1, padding="valid",
+                              use_bias=False, init_gain="relu")
+        self.blocks = [
+            (Conv1d(compute_dims, compute_dims, 1, use_bias=False, init_gain="relu"),
+             Conv1d(compute_dims, compute_dims, 1, use_bias=False, init_gain="linear"))
+            for _ in range(num_blocks)]
+        self.conv_out = Conv1d(compute_dims, res_out_dims, 1, init_gain="linear")
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 2 + 2 * len(self.blocks))
+        return {
+            "conv_in": self.conv_in.init(ks[0]),
+            "blocks": [{"c1": c1.init(ks[1 + 2 * i]), "c2": c2.init(ks[2 + 2 * i])}
+                       for i, (c1, c2) in enumerate(self.blocks)],
+            "out": self.conv_out.init(ks[-1]),
+        }
+
+    def __call__(self, p: Params, mel):
+        x = jax.nn.relu(self.conv_in(p["conv_in"], mel))
+        for (c1, c2), bp in zip(self.blocks, p["blocks"]):
+            y = jax.nn.relu(c1(bp["c1"], x))
+            y = c2(bp["c2"], y)
+            x = x + y
+        return self.conv_out(p["out"], x)
+
+
+def _stretch(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbor upsampling along time: [B, T, C] -> [B, T*factor, C]."""
+    B, T, C = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (B, T, factor, C)).reshape(B, T * factor, C)
+
+
+class UpsampleNetwork:
+    """Stretch + smoothing-conv pyramid to sample rate (reference
+    UpsampleNetwork): mel [B, T, M] -> cond [B, (T-2*pad)*hop, M],
+    aux [B, (T-2*pad)*hop, res_out_dims]."""
+
+    def __init__(self, n_mels: int, upsample_factors, compute_dims: int,
+                 res_out_dims: int, num_blocks: int, pad: int):
+        self.factors = tuple(upsample_factors)
+        self.pad = pad
+        self.resnet = MelResNet(n_mels, compute_dims, res_out_dims, num_blocks, pad)
+        self.smooth = [Conv1d(n_mels, n_mels, 2 * f + 1, padding="same",
+                              use_bias=False, init_gain="linear")
+                       for f in self.factors]
+        self.hop = 1
+        for f in self.factors:
+            self.hop *= f
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 1 + len(self.smooth))
+        p = {"resnet": self.resnet.init(ks[0]), "smooth": []}
+        for conv, k in zip(self.smooth, ks[1:]):
+            cp = conv.init(k)
+            # init as an averaging filter like the reference (weights 1/k)
+            cp["w"] = jnp.where(
+                jnp.eye(conv.in_dim)[None, :, :] > 0,
+                jnp.full_like(cp["w"], 1.0 / conv.k), 0.0)
+            p["smooth"].append(cp)
+        return p
+
+    def __call__(self, p: Params, mel):
+        aux = self.resnet(p["resnet"], mel)       # [B, T-2*pad, R]
+        aux = _stretch(aux, self.hop)
+        x = mel
+        for conv, cp, f in zip(self.smooth, p["smooth"], self.factors):
+            x = conv(cp, _stretch(x, f))
+        trim = self.pad * self.hop
+        x = x[:, trim: x.shape[1] - trim]
+        return x, aux
+
+
+# --- the model ---------------------------------------------------------------
+
+class WaveRNN:
+    def __init__(self, n_mels: int = 80, bits: int = 10, rnn_dims: int = 512,
+                 fc_dims: int = 512, compute_dims: int = 128,
+                 res_out_dims: int = 128, num_res_blocks: int = 10,
+                 pad: int = 2, upsample_factors=(4, 8, 8), mode: str = "mulaw"):
+        assert res_out_dims % 4 == 0
+        self.n_mels, self.bits, self.mode = n_mels, bits, mode
+        self.n_classes = 2 ** bits
+        self.aux_dims = res_out_dims // 4
+        self.pad = pad
+        self.upsample = UpsampleNetwork(n_mels, upsample_factors, compute_dims,
+                                        res_out_dims, num_res_blocks, pad)
+        self.hop = self.upsample.hop
+        self.I = Dense(n_mels + self.aux_dims + 1, rnn_dims)
+        self.rnn1 = GRUCell(rnn_dims, rnn_dims)
+        self.rnn2 = GRUCell(rnn_dims + self.aux_dims, rnn_dims)
+        self.fc1 = Dense(rnn_dims + self.aux_dims, fc_dims, init_gain="relu")
+        self.fc2 = Dense(fc_dims + self.aux_dims, fc_dims, init_gain="relu")
+        self.fc3 = Dense(fc_dims, self.n_classes)
+        self.rnn_dims = rnn_dims
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 7)
+        return {
+            "upsample": self.upsample.init(ks[0]),
+            "I": self.I.init(ks[1]),
+            "rnn1": self.rnn1.init(ks[2]),
+            "rnn2": self.rnn2.init(ks[3]),
+            "fc1": self.fc1.init(ks[4]),
+            "fc2": self.fc2.init(ks[5]),
+            "fc3": self.fc3.init(ks[6]),
+        }
+
+    def _split_aux(self, aux):
+        d = self.aux_dims
+        return aux[..., :d], aux[..., d:2 * d], aux[..., 2 * d:3 * d], aux[..., 3 * d:]
+
+    def _core_step(self, p: Params, h1, h2, x_prev, m_t, a1, a2, a3, a4):
+        """One sample step. x_prev [B,1] float; returns (h1, h2, logits)."""
+        x = jnp.concatenate([x_prev, m_t, a1], axis=-1)
+        x = self.I(p["I"], x)
+        h1, o1 = self.rnn1(p["rnn1"], h1, x)
+        x = x + o1
+        res = x
+        h2, o2 = self.rnn2(p["rnn2"], h2, jnp.concatenate([x, a2], axis=-1))
+        x = res + o2
+        x = jax.nn.relu(self.fc1(p["fc1"], jnp.concatenate([x, a3], axis=-1)))
+        x = jax.nn.relu(self.fc2(p["fc2"], jnp.concatenate([x, a4], axis=-1)))
+        return h1, h2, self.fc3(p["fc3"], x)
+
+    def forward(self, p: Params, x, mels):
+        """Teacher-forced training pass.
+
+        x: [B, L] float samples in [-1,1] (inputs, i.e. x_{t-1} sequence);
+        mels: [B, T_mel, n_mels] with (T_mel - 2*pad)*hop == L.
+        Returns logits [B, L, n_classes].
+        """
+        cond, aux = self.upsample(p["upsample"], mels)
+        a1, a2, a3, a4 = self._split_aux(aux)
+        B = x.shape[0]
+        h1 = self.rnn1.initial_state(B)
+        h2 = self.rnn2.initial_state(B)
+
+        def step(carry, inp):
+            h1, h2 = carry
+            x_t, m_t, a1t, a2t, a3t, a4t = inp
+            h1, h2, logits = self._core_step(p, h1, h2, x_t[..., None], m_t,
+                                             a1t, a2t, a3t, a4t)
+            return (h1, h2), logits
+
+        seq = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(cond, 0, 1),
+               jnp.swapaxes(a1, 0, 1), jnp.swapaxes(a2, 0, 1),
+               jnp.swapaxes(a3, 0, 1), jnp.swapaxes(a4, 0, 1))
+        _, logits = lax.scan(step, (h1, h2), seq)
+        return jnp.swapaxes(logits, 0, 1)
+
+    # --- generation ----------------------------------------------------------
+
+    def generate_fold(self, p: Params, cond, aux, key):
+        """Decode one batch of folds: cond/aux [B, L, *] -> samples [B, L]."""
+        a1, a2, a3, a4 = self._split_aux(aux)
+        B = cond.shape[0]
+        h1 = self.rnn1.initial_state(B)
+        h2 = self.rnn2.initial_state(B)
+        x0 = jnp.zeros((B, 1))
+
+        def step(carry, inp):
+            h1, h2, x_prev, k = carry
+            m_t, a1t, a2t, a3t, a4t = inp
+            h1, h2, logits = self._core_step(p, h1, h2, x_prev, m_t,
+                                             a1t, a2t, a3t, a4t)
+            k, sub = jax.random.split(k)
+            cls = jax.random.categorical(sub, logits, axis=-1)  # [B]
+            x = decode_mulaw(cls, self.bits)[..., None]
+            return (h1, h2, x, k), x[..., 0]
+
+        seq = tuple(jnp.swapaxes(a, 0, 1) for a in (cond, a1, a2, a3, a4))
+        _, samples = lax.scan(step, (h1, h2, x0, key), seq)
+        return jnp.swapaxes(samples, 0, 1)
+
+    def generate(self, p: Params, mel, key, batched: bool = True,
+                 target: int = 11_000, overlap: int = 550):
+        """mel [T, n_mels] (one utterance) -> waveform [ (T-2*pad)*hop ].
+
+        batched=True folds the sample sequence into overlapping segments
+        decoded in parallel, then crossfades (reference batched folding).
+        """
+        cond, aux = self.upsample(p["upsample"], mel[None])
+        cond, aux = cond[0], aux[0]
+        L = cond.shape[0]
+        if not batched:
+            samples = self.generate_fold(p, cond[None], aux[None], key)[0]
+            return samples
+        cond_f = fold_with_overlap(cond, target, overlap)
+        aux_f = fold_with_overlap(aux, target, overlap)
+        samples = self.generate_fold(p, cond_f, aux_f, key)
+        return xfade_and_unfold(samples, target, overlap)[:L]
+
+
+# --- folding -----------------------------------------------------------------
+
+def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int) -> jnp.ndarray:
+    """[L, C] -> [n_folds, target + 2*overlap, C] overlapping segments
+    (reference WaveRNN.fold_with_overlap). Zero-pads the tail."""
+    L = x.shape[0]
+    n_folds = max(1, -(-max(L - overlap, 1) // (target + overlap)))
+    total = n_folds * (target + overlap) + overlap
+    pad = total - L
+    if pad > 0:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    starts = jnp.arange(n_folds) * (target + overlap)
+    idx = starts[:, None] + jnp.arange(target + 2 * overlap)[None, :]
+    return x[idx]
+
+
+def xfade_and_unfold(y: jnp.ndarray, target: int, overlap: int) -> jnp.ndarray:
+    """[n_folds, target + 2*overlap] -> [n_folds*(target+overlap) + overlap]
+    with linear crossfade over the overlaps (reference xfade_and_unfold).
+
+    Unlike the reference (which fades every fold head, attenuating the first
+    `overlap` samples of the utterance), the first fold's head and the last
+    fold's tail keep unit gain — the round-trip is exact at the boundaries.
+    """
+    n_folds, seg = y.shape
+    assert seg == target + 2 * overlap
+    fade_in = jnp.linspace(0.0, 1.0, overlap) if overlap else jnp.zeros((0,))
+    fade_out = 1.0 - fade_in
+    head = jnp.concatenate([fade_in, jnp.ones(target + overlap)])
+    tail = jnp.concatenate([jnp.ones(target + overlap), fade_out])
+    ones = jnp.ones((seg,))
+    env = jnp.minimum(
+        jnp.where(jnp.arange(n_folds)[:, None] == 0, ones, head),
+        jnp.where(jnp.arange(n_folds)[:, None] == n_folds - 1, ones, tail))
+    y = y * env
+    total = n_folds * (target + overlap) + overlap
+    out = jnp.zeros((total,))
+    starts = jnp.arange(n_folds) * (target + overlap)
+    idx = starts[:, None] + jnp.arange(seg)[None, :]
+    return out.at[idx.reshape(-1)].add(y.reshape(-1))

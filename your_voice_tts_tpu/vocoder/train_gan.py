@@ -1,0 +1,171 @@
+"""MelGAN trainer (reference vocoder/train.py GAN loop).
+
+Generator warm-up on multi-res STFT loss alone, then alternating LSGAN
+updates with feature matching — each side one jitted step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio import AudioProcessor
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from .config import VocoderConfig
+from .dataset import GANDataset
+from .losses import (
+    disc_adv_loss, feature_match_loss, gen_adv_loss, multi_scale_stft_loss,
+)
+from .models.melgan import MelganGenerator, MelganMultiscaleDiscriminator
+
+
+class GANTrainState(NamedTuple):
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+class GANTrainer:
+    def __init__(self, cfg: VocoderConfig, items: list, output_path: str | None = None,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.ap = AudioProcessor(cfg.audio)
+        hop = self.ap.hop_length
+        prod = 1
+        for u in cfg.melgan.upsample_factors:
+            prod *= u
+        assert prod == hop, (
+            f"melgan upsample_factors product {prod} != hop_length {hop}")
+        self.generator = MelganGenerator(
+            cfg.audio.num_mels, cfg.melgan.upsample_factors,
+            cfg.melgan.base_channels, cfg.melgan.num_res_blocks,
+            cfg.melgan.kernel_size)
+        self.discriminator = MelganMultiscaleDiscriminator(
+            cfg.melgan.num_scales, cfg.melgan.disc_base_channels)
+        self.dataset = GANDataset(items, self.ap, cfg.training.seq_len)
+        self.g_optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.training.grad_clip),
+            optax.adam(cfg.training.lr_gen, b1=0.5, b2=0.9))
+        self.d_optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.training.grad_clip),
+            optax.adam(cfg.training.lr_disc, b1=0.5, b2=0.9))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        g_params = self.generator.init(k1)
+        d_params = self.discriminator.init(k2)
+        self.state = GANTrainState(
+            g_params, d_params,
+            self.g_optimizer.init(g_params), self.d_optimizer.init(d_params),
+            jnp.zeros((), jnp.int32))
+        self.output_path = output_path
+        self.verbose = verbose
+        self._g_step = None
+        self._d_step = None
+
+    # --- steps ---------------------------------------------------------------
+
+    def _build_steps(self, use_disc: bool):
+        cfg = self.cfg.training
+
+        def g_loss_fn(g_params, d_params, mel, audio):
+            fake = self.generator(g_params, mel)
+            loss = 0.0
+            parts = {}
+            if cfg.use_stft_loss:
+                sl = multi_scale_stft_loss(fake, audio)
+                loss = loss + cfg.stft_loss_weight * sl
+                parts["stft_loss"] = sl
+            if use_disc:
+                fake_out = self.discriminator(d_params, fake)
+                real_out = self.discriminator(d_params, audio)
+                adv = gen_adv_loss([s for s, _ in fake_out])
+                loss = loss + adv
+                parts["gen_adv_loss"] = adv
+                if cfg.use_feat_match_loss:
+                    fm = feature_match_loss([f for _, f in fake_out],
+                                            [f for _, f in real_out])
+                    loss = loss + cfg.feat_match_loss_weight * fm
+                    parts["feat_match_loss"] = fm
+            parts["gen_loss"] = loss
+            return loss, parts
+
+        @jax.jit
+        def g_step(state: GANTrainState, mel, audio):
+            (loss, parts), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params, state.d_params, mel, audio)
+            updates, g_opt = self.g_optimizer.update(grads, state.g_opt,
+                                                     state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            return state._replace(g_params=g_params, g_opt=g_opt,
+                                  step=state.step + 1), parts
+
+        def d_loss_fn(d_params, g_params, mel, audio):
+            fake = jax.lax.stop_gradient(self.generator(g_params, mel))
+            fake_out = self.discriminator(d_params, fake)
+            real_out = self.discriminator(d_params, audio)
+            loss = disc_adv_loss([s for s, _ in real_out], [s for s, _ in fake_out])
+            return loss, {"disc_loss": loss}
+
+        @jax.jit
+        def d_step(state: GANTrainState, mel, audio):
+            (loss, parts), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params, state.g_params, mel, audio)
+            updates, d_opt = self.d_optimizer.update(grads, state.d_opt,
+                                                     state.d_params)
+            d_params = optax.apply_updates(state.d_params, updates)
+            return state._replace(d_params=d_params, d_opt=d_opt), parts
+
+        return g_step, d_step
+
+    def fit(self, max_steps: int) -> dict:
+        cfg = self.cfg.training
+        rng = np.random.default_rng(0)
+        last: dict = {}
+        steps_built_with_disc = None
+        for _ in range(max_steps):
+            step = int(self.state.step)
+            use_disc = step >= cfg.steps_to_start_discriminator
+            if steps_built_with_disc != use_disc:
+                self._g_step, self._d_step = self._build_steps(use_disc)
+                steps_built_with_disc = use_disc
+            mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            t0 = time.time()
+            self.state, parts = self._g_step(self.state, jnp.asarray(mel),
+                                             jnp.asarray(audio))
+            if use_disc:
+                self.state, d_parts = self._d_step(self.state, jnp.asarray(mel),
+                                                   jnp.asarray(audio))
+                parts = {**parts, **d_parts}
+            last = {k: float(v) for k, v in parts.items()}
+            last["step_time"] = time.time() - t0
+            if self.verbose and (step + 1) % cfg.print_step == 0:
+                msg = " | ".join(f"{k}: {v:.4f}" for k, v in last.items())
+                print(f"   --> GAN STEP {step + 1} | {msg}", flush=True)
+            if self.output_path and (step + 1) % cfg.save_step == 0:
+                self.save(os.path.join(self.output_path,
+                                       f"vocoder_checkpoint_{step + 1}.npz"))
+        return last
+
+    # --- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, params={"g": self.state.g_params,
+                                      "d": self.state.d_params},
+                        model_state={}, opt_state={"g": self.state.g_opt,
+                                                   "d": self.state.d_opt},
+                        step=int(self.state.step), epoch=0, r=1,
+                        extra={"vocoder_model": "melgan"})
+
+    def restore(self, path: str) -> None:
+        params, _, opt, meta = load_checkpoint(
+            path, params={"g": self.state.g_params, "d": self.state.d_params},
+            model_state={}, opt_state={"g": self.state.g_opt, "d": self.state.d_opt})
+        self.state = GANTrainState(params["g"], params["d"], opt["g"], opt["d"],
+                                   jnp.asarray(meta["step"], jnp.int32))

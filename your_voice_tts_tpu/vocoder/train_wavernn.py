@@ -1,0 +1,105 @@
+"""WaveRNN trainer (reference vocoder WaveRNN training loop): teacher-forced
+cross-entropy over mu-law classes, one jitted scan step."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio import AudioProcessor
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from .config import VocoderConfig
+from .dataset import GANDataset
+from .models.wavernn import WaveRNN, encode_mulaw, label_to_float
+
+
+class WaveRNNTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class WaveRNNTrainer:
+    def __init__(self, cfg: VocoderConfig, items: list,
+                 output_path: str | None = None, verbose: bool = True):
+        self.cfg = cfg
+        self.ap = AudioProcessor(cfg.audio)
+        w = cfg.wavernn
+        prod = 1
+        for u in w.upsample_factors:
+            prod *= u
+        assert prod == self.ap.hop_length, (
+            f"wavernn upsample product {prod} != hop {self.ap.hop_length}")
+        self.model = WaveRNN(cfg.audio.num_mels, w.bits, w.rnn_dims, w.fc_dims,
+                             w.compute_dims, w.res_out_dims, w.num_res_blocks,
+                             w.pad, w.upsample_factors, w.mode)
+        self.dataset = GANDataset(items, self.ap, cfg.training.seq_len, pad=w.pad)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.training.grad_clip),
+            optax.adam(cfg.training.lr_gen))
+        params = self.model.init(jax.random.PRNGKey(0))
+        self.state = WaveRNNTrainState(params, self.optimizer.init(params),
+                                       jnp.zeros((), jnp.int32))
+        self.output_path = output_path
+        self.verbose = verbose
+        self._step_fn = self._build_step()
+
+    def _build_step(self):
+        bits = self.cfg.wavernn.bits
+
+        def loss_fn(params, mel, audio):
+            # classes for each sample; inputs are previous samples
+            targets = encode_mulaw(audio, bits)                  # [B, L]
+            x_in = label_to_float(
+                jnp.pad(targets[:, :-1], ((0, 0), (1, 0))), bits)  # x_{t-1}
+            logits = self.model.forward(params, x_in, mel)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            return nll.mean()
+
+        @jax.jit
+        def train_step(state: WaveRNNTrainState, mel, audio):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, mel, audio)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            return WaveRNNTrainState(params, opt_state, state.step + 1), loss
+
+        return train_step
+
+    def fit(self, max_steps: int) -> dict:
+        cfg = self.cfg.training
+        rng = np.random.default_rng(0)
+        last: dict = {}
+        for _ in range(max_steps):
+            mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            t0 = time.time()
+            self.state, loss = self._step_fn(self.state, jnp.asarray(mel),
+                                             jnp.asarray(audio))
+            step = int(self.state.step)
+            last = {"loss": float(loss), "step_time": time.time() - t0}
+            if self.verbose and step % cfg.print_step == 0:
+                print(f"   --> WAVERNN STEP {step} | loss: {last['loss']:.4f} "
+                      f"| step_time: {last['step_time']:.3f}", flush=True)
+            if self.output_path and step % cfg.save_step == 0:
+                self.save(os.path.join(self.output_path,
+                                       f"wavernn_checkpoint_{step}.npz"))
+        return last
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, params=self.state.params, model_state={},
+                        opt_state=self.state.opt_state, step=int(self.state.step),
+                        epoch=0, r=1, extra={"vocoder_model": "wavernn"})
+
+    def restore(self, path: str) -> None:
+        params, _, opt, meta = load_checkpoint(
+            path, params=self.state.params, model_state={},
+            opt_state=self.state.opt_state)
+        self.state = WaveRNNTrainState(params, opt,
+                                       jnp.asarray(meta["step"], jnp.int32))
