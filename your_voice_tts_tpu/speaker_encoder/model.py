@@ -1,0 +1,92 @@
+"""d-vector network (reference speaker_encoder/model.py): a stack of
+LSTM-with-projection layers over mel frames; the embedding is the L2-
+normalized projection output at the final frame."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..nn.core import Dense, Params
+from ..nn.rnn import LSTMCell
+
+
+class LSTMWithProjection:
+    """LSTM(hidden) with output projection; the projected output is both the
+    layer output and the next step's recurrent input (reference
+    LSTMWithProjection). Gate order (i, f, g, o)."""
+
+    def __init__(self, in_dim: int, hidden: int, proj: int):
+        self.in_dim, self.hidden, self.proj_dim = in_dim, hidden, proj
+
+    def init(self, key) -> Params:
+        import math
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        s = 1.0 / math.sqrt(self.hidden)
+        u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -s, s)
+        return {
+            "wx": u(k1, (self.in_dim, 4 * self.hidden)),
+            "wh": u(k2, (self.proj_dim, 4 * self.hidden)),
+            "b": u(k3, (4 * self.hidden,)),
+            "proj": u(k4, (self.hidden, self.proj_dim)),
+        }
+
+    def __call__(self, p: Params, xs):
+        """[B, T, in] -> [B, T, proj]."""
+        B = xs.shape[0]
+        h0 = (jnp.zeros((B, self.proj_dim)), jnp.zeros((B, self.hidden)))
+
+        def step(state, x_t):
+            h_proj, c = state
+            gates = x_t @ p["wx"] + h_proj @ p["wh"] + p["b"]
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            out = h @ p["proj"]
+            return (out, c), out
+
+        _, ys = lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class SpeakerEncoder:
+    """3x LSTMP(768 -> 256) -> L2-normalized 256-d d-vector (reference dims)."""
+
+    def __init__(self, input_dim: int = 80, proj_dim: int = 256,
+                 lstm_dim: int = 768, num_layers: int = 3):
+        self.layers = []
+        in_dim = input_dim
+        for _ in range(num_layers):
+            self.layers.append(LSTMWithProjection(in_dim, lstm_dim, proj_dim))
+            in_dim = proj_dim
+        self.proj_dim = proj_dim
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.layers))
+        return {"layers": [l.init(k) for l, k in zip(self.layers, ks)]}
+
+    def __call__(self, p: Params, mels):
+        """mels [B, T, n_mels] -> embeddings [B, proj_dim], L2-normalized."""
+        x = mels
+        for layer, lp in zip(self.layers, p["layers"]):
+            x = layer(lp, x)
+        emb = x[:, -1, :]
+        return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+
+    def compute_embedding(self, p: Params, mel, num_frames: int = 160,
+                          overlap: float = 0.5):
+        """Sliding-window embedding of one utterance [T, n_mels] (reference
+        compute_embedding): average of window embeddings, re-normalized."""
+        T = mel.shape[0]
+        if T <= num_frames:
+            reps = -(-num_frames // T)
+            mel = jnp.tile(mel, (reps, 1))[:num_frames]
+            return self(p, mel[None])[0]
+        hop = max(1, int(num_frames * (1 - overlap)))
+        starts = list(range(0, T - num_frames + 1, hop)) or [0]
+        wins = jnp.stack([mel[s: s + num_frames] for s in starts])
+        embs = self(p, wins)
+        mean = embs.mean(axis=0)
+        return mean / jnp.maximum(jnp.linalg.norm(mean), 1e-8)
