@@ -64,7 +64,9 @@ class TTSDataset:
             speakers = {n: i for i, n in enumerate(names)}
         self.speakers = speakers
 
-        self._mel_cache: dict[str, np.ndarray] = {}
+        # Tacotron(1) also regresses the linear spectrogram (reference
+        # computes both in its loader when model == Tacotron)
+        self.need_linear = cfg.model.model == "Tacotron"
         self._compute_mels(verbose)
         # sort by mel length (reference sort_items sorts by audio length)
         self.entries.sort(key=lambda e: e["mel_len"])
@@ -80,13 +82,15 @@ class TTSDataset:
     def _compute_mels(self, verbose: bool) -> None:
         for e in self.entries:
             cpath = self._mel_path(e["wav"])
-            if cpath and os.path.exists(cpath):
+            if cpath and os.path.exists(cpath) and not self.need_linear:
                 mel = np.load(cpath)
             else:
                 wav = self.ap.load_wav(e["wav"])
                 if self.cfg.audio.do_trim_silence:
                     wav = self.ap.trim_silence(wav)
                 mel = self.ap.melspectrogram(wav).T.astype(np.float32)  # [T, n_mels]
+                if self.need_linear:
+                    e["linear"] = self.ap.spectrogram(wav).T.astype(np.float32)
                 if cpath:
                     np.save(cpath, mel)
             e["mel"] = mel
@@ -154,6 +158,11 @@ class TTSDataset:
             "speaker_ids": spk,
             "n_real": np.int32(n_real),
         }
+        if self.need_linear:
+            linear = np.zeros((B, t_mel, self.cfg.audio.num_freq), np.float32)
+            for i, e in enumerate(entries):
+                linear[i, : e["mel_len"]] = e["linear"]
+            batch["linear"] = linear
         if self.speaker_embeddings is not None:
             dim = len(next(iter(self.speaker_embeddings.values())))
             emb = np.zeros((B, dim), np.float32)

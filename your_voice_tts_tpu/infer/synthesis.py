@@ -68,16 +68,19 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
     stops = np.asarray(out["stop_probs"])
     mel_lens = np.asarray(out["mel_lengths"])
 
+    is_linear = getattr(model, "output_type", "mel") == "linear"
     results = []
     for i, text in enumerate(texts):
         L = max(int(mel_lens[i]), model.r)
-        mel = mels[i, :L].T                            # reference layout [n_mels, T]
-        res = {"text": text, "mel_postnet_spec": mel,
+        spec = mels[i, :L].T                           # reference layout [F, T]
+        res = {"text": text, "mel_postnet_spec": spec,
                "alignment": aligns[i], "stop_tokens": stops[i]}
-        if vocoder is not None:
-            res["wav"] = vocoder(mel)
-        elif use_griffin_lim:
-            wav = ap.inv_melspectrogram(mel)
+        if vocoder is not None and not is_linear:
+            res["wav"] = vocoder(spec)
+        elif use_griffin_lim or (vocoder is not None and is_linear):
+            # Tacotron(1) emits a linear spectrogram: invert it directly
+            wav = (ap.inv_spectrogram(spec) if is_linear
+                   else ap.inv_melspectrogram(spec))
             if trim_silence:
                 wav = wav[: ap.find_endpoint(wav)]
             res["wav"] = wav

@@ -88,11 +88,23 @@ class TacotronLoss:
         return err.mean()
 
     def __call__(self, outputs: dict, mel_target, mel_lengths, stop_targets,
-                 input_lengths, step=None, r: int = 1):
+                 input_lengths, step=None, r: int = 1, linear_target=None,
+                 n_priority_freq: int = 0):
         """outputs: model forward dict. stop_targets: [B, T_r] (grouped by r).
-        Returns (total, dict of components)."""
+        For Tacotron(1), `linear_target` is the linear spectrogram the postnet
+        head regresses (reference: 0.5 full-band + 0.5 priority band below
+        ~3kHz). Returns (total, dict of components)."""
         decoder_loss = self._reg(outputs["decoder_outputs"], mel_target, mel_lengths)
-        postnet_loss = self._reg(outputs["postnet_outputs"], mel_target, mel_lengths)
+        if linear_target is not None:
+            post = outputs["postnet_outputs"]
+            postnet_loss = self._reg(post, linear_target, mel_lengths)
+            if n_priority_freq > 0:
+                postnet_loss = 0.5 * postnet_loss + 0.5 * self._reg(
+                    post[..., :n_priority_freq],
+                    linear_target[..., :n_priority_freq], mel_lengths)
+        else:
+            postnet_loss = self._reg(outputs["postnet_outputs"], mel_target,
+                                     mel_lengths)
         total = self.decoder_alpha * decoder_loss + self.postnet_alpha * postnet_loss
         parts = {"decoder_loss": decoder_loss, "postnet_loss": postnet_loss}
 

@@ -283,6 +283,8 @@ class Tacotron2:
     the 'your voice' cloning path (SURVEY.md SS3.5).
     """
 
+    output_type = "mel"  # postnet head emits mel frames (Griffin-Lim via pinv)
+
     def __init__(self, num_chars: int, cfg: ModelConfig, n_mels: int = 80,
                  num_speakers: int = 0, speaker_embedding_dim: int = 0,
                  use_gst: bool = False, gst_cfg=None, r_init: int | None = None):

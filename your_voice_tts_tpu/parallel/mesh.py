@@ -38,13 +38,25 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Lay a host batch out across the mesh (batch dim sharded, scalars
-    replicated). Batch size must divide the mesh size."""
+    replicated). Batch size must divide the mesh size.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (global batch = concat over process_index order — the reference's
+    DistributedSampler analogue) and the arrays are assembled into global
+    jax.Arrays without any cross-host data movement."""
     data = batch_sharding(mesh, axis)
     rep = replicate(mesh)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        out[k] = jax.device_put(v, rep if v.ndim == 0 else data)
+        if v.ndim == 0:
+            out[k] = jax.device_put(v, rep)
+        elif multihost:
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(data, v, global_shape)
+        else:
+            out[k] = jax.device_put(v, data)
     return out
 
 

@@ -68,6 +68,9 @@ class Trainer:
         self.verbose = verbose
 
         train_items, eval_items = load_meta_data(cfg.data.datasets)
+        # multi-host: shard the corpus by process (DistributedSampler analogue)
+        if jax.process_count() > 1:
+            train_items = train_items[jax.process_index():: jax.process_count()]
         self.num_chars = len(phonemes) if cfg.data.use_phonemes else len(symbols)
 
         speakers = None
@@ -93,6 +96,10 @@ class Trainer:
             cfg.training.ga_decay_steps, cfg.training.decoder_loss_alpha,
             cfg.training.postnet_loss_alpha)
         self.optimizer = build_optimizer(cfg.training)
+        # Tacotron(1) priority band: frequencies below ~3 kHz weighted extra
+        self._n_priority_freq = int(
+            3000 / (cfg.audio.sample_rate / 2) * cfg.audio.num_freq) \
+            if cfg.model.model == "Tacotron" else 0
         self.lr_fn = (noam_schedule(cfg.training.lr, cfg.training.warmup_steps)
                       if cfg.training.noam_schedule else lambda s: cfg.training.lr)
 
@@ -136,7 +143,9 @@ class Trainer:
             r=r)
         total, parts = self.criterion(
             out, batch["mel"], batch["mel_lengths"], batch["stop_targets"],
-            batch["text_lengths"], step=step, r=r)
+            batch["text_lengths"], step=step, r=r,
+            linear_target=batch.get("linear"),
+            n_priority_freq=self._n_priority_freq)
         return total, (out["state"], parts)
 
     def _get_train_step(self, r: int):
@@ -175,7 +184,9 @@ class Trainer:
                 r=r)
             total, parts = self.criterion(
                 out, batch["mel"], batch["mel_lengths"], batch["stop_targets"],
-                batch["text_lengths"], step=state.step, r=r)
+                batch["text_lengths"], step=state.step, r=r,
+                linear_target=batch.get("linear"),
+                n_priority_freq=self._n_priority_freq)
             return dict(parts), out["alignments"]
 
         self._eval_steps[r] = eval_step
