@@ -189,3 +189,23 @@ def test_loss_components():
     assert float(parts["decoder_loss"]) == pytest.approx(1.0, abs=1e-5)
     assert float(total) > float(parts["decoder_loss"])
     assert "ga_loss" in parts and float(parts["ga_loss"]) > 0
+
+
+def test_bidirectional_decoder():
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, bidirectional_decoder=True)
+    model = Tacotron2(NUM_CHARS, cfg, n_mels=N_MELS)
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "decoder_backward" in variables["params"]
+    text, text_len, mels, mel_len, stop_t = make_batch(jax.random.PRNGKey(11))
+    out = model.forward(variables, text, text_len, mels,
+                        rng=jax.random.PRNGKey(12), train=True)
+    assert out["decoder_backward_outputs"].shape == mels.shape
+    criterion = TacotronLoss("Tacotron2")
+    total, parts = criterion(out, mels, mel_len, stop_t, text_len, r=SMALL.r)
+    assert "decoder_b_loss" in parts and "decoder_c_loss" in parts
+    assert np.isfinite(float(total))
+    # inference ignores the backward decoder
+    inf = model.inference(variables, text, text_len)
+    assert inf["postnet_outputs"].shape[0] == text.shape[0]

@@ -108,6 +108,17 @@ class TacotronLoss:
         total = self.decoder_alpha * decoder_loss + self.postnet_alpha * postnet_loss
         parts = {"decoder_loss": decoder_loss, "postnet_loss": postnet_loss}
 
+        if "decoder_backward_outputs" in outputs:
+            # bidirectional decoder: backward regression + fwd/bwd consistency
+            dec_b = outputs["decoder_backward_outputs"]
+            backward_loss = self._reg(dec_b, mel_target, mel_lengths)
+            consistency = self._reg(
+                dec_b, jax.lax.stop_gradient(outputs["decoder_outputs"]),
+                mel_lengths)
+            total = total + self.decoder_alpha * backward_loss + consistency
+            parts["decoder_b_loss"] = backward_loss
+            parts["decoder_c_loss"] = consistency
+
         if self.stopnet:
             dec_steps = (mel_lengths + r - 1) // r
             stop_loss = masked_bce_logits(outputs["stop_logits"], stop_targets,

@@ -305,18 +305,24 @@ class Tacotron2:
             from .gst import GST
             self.gst = GST(n_mels, cfg.encoder_dim, gst_cfg)
         self.decoder = Decoder(dec_in, n_mels, self.r_init, cfg)
+        if cfg.bidirectional_decoder:
+            # second decoder consuming the mel sequence in reverse; its output
+            # regularizes the forward decoder (reference bidirectional_decoder)
+            self.decoder_backward = Decoder(dec_in, n_mels, self.r_init, cfg)
         self.postnet = Postnet(n_mels, cfg.postnet_dim)
         if num_speakers > 0 and not self.use_external_speaker_embedding:
             self.speaker_embedding = Embedding(num_speakers, self.spk_dim)
 
     def init(self, key) -> dict[str, Params]:
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 7)
         params: Params = {
             "embedding": self.embedding.init(ks[0]),
             "encoder": self.encoder.init(ks[1]),
             "decoder": self.decoder.init(ks[2]),
             "postnet": self.postnet.init(ks[3]),
         }
+        if self.cfg.bidirectional_decoder:
+            params["decoder_backward"] = self.decoder_backward.init(ks[6])
         if self.num_speakers > 0 and not self.use_external_speaker_embedding:
             params["speaker_embedding"] = self.speaker_embedding.init(ks[4])
         if self.use_gst:
@@ -374,13 +380,27 @@ class Tacotron2:
         residual, post_state = self.postnet(params["postnet"], state["postnet"],
                                             dec_out, k_post, train, mask=mel_mask)
         postnet_out = dec_out + residual
-        return {
+        out = {
             "decoder_outputs": dec_out,
             "postnet_outputs": postnet_out,
             "alignments": aligns,
             "stop_logits": stops,
             "state": {"encoder": enc_state, "decoder": dec_state, "postnet": post_state},
         }
+        if self.cfg.bidirectional_decoder and train:
+            # run the backward decoder on time-reversed mels; flip its output
+            # back so losses compare in forward time (reference
+            # _backward_pass + DDC consistency term)
+            mels_rev = jnp.flip(mels, axis=1)
+            k_bwd = None
+            if rng is not None:
+                _, k_bwd = jax.random.split(rng)
+            dec_b, aligns_b, _, _ = self.decoder_backward.forward(
+                params["decoder_backward"], state["decoder"], enc_out,
+                text_lengths, mels_rev, k_bwd, train, r=r)
+            out["decoder_backward_outputs"] = jnp.flip(dec_b, axis=1)
+            out["alignments_backward"] = aligns_b
+        return out
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,

@@ -208,7 +208,7 @@ class WaveRNN:
 
     # --- generation ----------------------------------------------------------
 
-    def generate_fold(self, p: Params, cond, aux, key):
+    def generate_fold(self, p: Params, cond, aux, key, greedy: bool = False):
         """Decode one batch of folds: cond/aux [B, L, *] -> samples [B, L]."""
         a1, a2, a3, a4 = self._split_aux(aux)
         B = cond.shape[0]
@@ -221,8 +221,11 @@ class WaveRNN:
             m_t, a1t, a2t, a3t, a4t = inp
             h1, h2, logits = self._core_step(p, h1, h2, x_prev, m_t,
                                              a1t, a2t, a3t, a4t)
-            k, sub = jax.random.split(k)
-            cls = jax.random.categorical(sub, logits, axis=-1)  # [B]
+            if greedy:
+                cls = jnp.argmax(logits, axis=-1)
+            else:
+                k, sub = jax.random.split(k)
+                cls = jax.random.categorical(sub, logits, axis=-1)  # [B]
             x = decode_mulaw(cls, self.bits)[..., None]
             return (h1, h2, x, k), x[..., 0]
 
@@ -231,22 +234,36 @@ class WaveRNN:
         return jnp.swapaxes(samples, 0, 1)
 
     def generate(self, p: Params, mel, key, batched: bool = True,
-                 target: int = 11_000, overlap: int = 550):
+                 target: int = 11_000, overlap: int = 550,
+                 use_pallas: bool | None = None):
         """mel [T, n_mels] (one utterance) -> waveform [ (T-2*pad)*hop ].
 
         batched=True folds the sample sequence into overlapping segments
         decoded in parallel, then crossfades (reference batched folding).
+        use_pallas: run the weights-resident-in-VMEM Pallas kernel
+        (ops/pallas/wavernn_gen.py) instead of the XLA scan; defaults to
+        auto-enable on the TPU backend.
         """
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         cond, aux = self.upsample(p["upsample"], mel[None])
         cond, aux = cond[0], aux[0]
         L = cond.shape[0]
         if not batched:
-            samples = self.generate_fold(p, cond[None], aux[None], key)[0]
+            samples = self._decode(p, cond[None], aux[None], key, use_pallas)[0]
             return samples
         cond_f = fold_with_overlap(cond, target, overlap)
         aux_f = fold_with_overlap(aux, target, overlap)
-        samples = self.generate_fold(p, cond_f, aux_f, key)
+        samples = self._decode(p, cond_f, aux_f, key, use_pallas)
         return xfade_and_unfold(samples, target, overlap)[:L]
+
+    def _decode(self, p: Params, cond, aux, key, use_pallas: bool):
+        if use_pallas:
+            from ...ops.pallas.wavernn_gen import wavernn_generate_pallas
+
+            seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+            return wavernn_generate_pallas(p, cond, aux, seed, bits=self.bits)
+        return self.generate_fold(p, cond, aux, key)
 
 
 # --- folding -----------------------------------------------------------------
