@@ -128,3 +128,11 @@ def test_trainer_smoke_fit(smoke_cfg, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params)[0]
     b = jax.tree_util.tree_leaves(t2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_trainer_test_run(smoke_cfg, tmp_path):
+    """Per-epoch test-sentence synthesis produces TB figures without error."""
+    trainer = Trainer(smoke_cfg, output_path=str(tmp_path), verbose=False)
+    trainer.model.cfg = dataclasses.replace(trainer.model.cfg, max_decoder_steps=6)
+    trainer.test_run(global_step=1)  # must not raise

@@ -249,6 +249,8 @@ class Trainer:
             if self.eval_data is not None and cfg.training.run_eval:
                 eval_metrics = self.evaluate(r)
                 self.tb.tb_eval_stats(global_step, eval_metrics)
+                if epoch >= cfg.training.test_delay_epochs:
+                    self.test_run(global_step)
                 if self.output_path:
                     self.best_loss = save_best_model(
                         eval_metrics.get("loss", float("inf")), self.best_loss,
@@ -278,6 +280,40 @@ class Trainer:
         out = {k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]}
         out["alignment_score"] = float(np.mean(align_scores))
         return out
+
+    DEFAULT_TEST_SENTENCES = [
+        "It took me quite a long time to develop a voice, and now that I "
+        "have it I'm not going to be silent.",
+        "Be a voice, not an echo.",
+    ]
+
+    def test_run(self, global_step: int) -> None:
+        """Free-running synthesis of test sentences each eval epoch
+        (reference train.py: alignment/spectrogram figures + audio to TB)."""
+        from ..infer.synthesis import synthesis_batch
+        from ..utils.visual import plot_alignment, plot_spectrogram
+
+        sentences = self.DEFAULT_TEST_SENTENCES
+        if self.cfg.io.test_sentences_file:
+            with open(self.cfg.io.test_sentences_file, encoding="utf-8") as f:
+                sentences = [l.strip() for l in f if l.strip()]
+        try:
+            results = synthesis_batch(self.model,
+                                      {"params": self.state.params,
+                                       "state": self.state.model_state},
+                                      sentences, self.cfg, self.ap,
+                                      use_griffin_lim=True)
+        except Exception as e:  # never kill training over a test synth
+            print(f" ! test_run failed: {e}")
+            return
+        figures, audios = {}, {}
+        for i, res in enumerate(results):
+            figures[f"{i}-alignment"] = plot_alignment(res["alignment"])
+            figures[f"{i}-spectrogram"] = plot_spectrogram(res["mel_postnet_spec"])
+            if "wav" in res:
+                audios[f"{i}-audio"] = np.asarray(res["wav"])
+        self.tb.tb_eval_figures(global_step, figures)
+        self.tb.tb_eval_audios(global_step, audios, self.cfg.audio.sample_rate)
 
     # --- persistence -----------------------------------------------------
 

@@ -87,8 +87,13 @@ class TensorboardLogger:
         if self.writer is None:
             return
         for k, wav in audios.items():
-            self.writer.add_audio(f"EvalAudios/{k}", wav[None, :], step,
-                                  sample_rate=sample_rate)
+            try:
+                self.writer.add_audio(f"EvalAudios/{k}", wav[None, :], step,
+                                      sample_rate=sample_rate)
+            except Exception:
+                # tensorboardX's audio encoder needs soundfile, which may be
+                # absent; logging must never take training down
+                return
 
     def flush(self) -> None:
         if self.writer is not None:
