@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import io
 import re
-import struct
 import wave
 
 import numpy as np

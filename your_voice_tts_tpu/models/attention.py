@@ -14,12 +14,10 @@ serves every batch.
 
 from __future__ import annotations
 
-import math
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..nn.core import Conv1d, Dense, Params
 

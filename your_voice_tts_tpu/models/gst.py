@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import GSTConfig
-from ..nn.core import BatchNorm1d, Dense, Params, xavier_uniform
+from ..nn.core import Dense, Params, xavier_uniform
 from ..nn.rnn import GRUCell, gru
 
 

@@ -22,8 +22,6 @@ AudioProcessor transposes to the reference's [F, T] layout at the boundary.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

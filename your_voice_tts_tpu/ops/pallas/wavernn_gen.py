@@ -117,8 +117,16 @@ def _kernel(seed_ref, cond_ref,
     lax.fori_loop(0, chunk, body, 0)
 
 
+def default_chunk(batch: int, channels: int, budget_bytes: int = 2 << 20) -> int:
+    """Chunk length such that the double-buffered conditioning block stays
+    within ~2 MB of VMEM (weights need the rest; 16 MB/core total)."""
+    per_step = batch * channels * 4
+    chunk = max(64, budget_bytes // max(per_step, 1))
+    return min(1024, (chunk // 64) * 64)
+
+
 def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
-                            seed, *, bits: int, chunk: int = 512,
+                            seed, *, bits: int, chunk: int | None = None,
                             interpret: bool = False,
                             greedy: bool = False) -> jnp.ndarray:
     """Decode folds with the weights-resident Pallas kernel.
@@ -129,6 +137,8 @@ def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
     """
     B, L, n_mels = cond.shape
     aux_dims = aux.shape[-1] // 4
+    if chunk is None:
+        chunk = default_chunk(B, n_mels + aux.shape[-1])
     Lp = ((L + chunk - 1) // chunk) * chunk
     stream = jnp.concatenate([cond, aux], axis=-1).astype(F32)
     stream = jnp.pad(stream, ((0, 0), (0, Lp - L), (0, 0)))

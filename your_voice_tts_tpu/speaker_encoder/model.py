@@ -8,8 +8,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..nn.core import Dense, Params
-from ..nn.rnn import LSTMCell
+from ..nn.core import Params
 
 
 class LSTMWithProjection:

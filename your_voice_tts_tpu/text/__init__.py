@@ -11,13 +11,11 @@ rule-based fallback so the phoneme pipeline stays testable offline.
 
 from __future__ import annotations
 
-import re
 import shutil
 import subprocess
 
 import numpy as np
 
-from . import cleaners as _cleaners_mod
 from .cleaners import get_cleaner
 from .symbols import bos, eos, pad, phonemes, symbols
 

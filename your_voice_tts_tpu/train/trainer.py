@@ -31,7 +31,7 @@ from ..models.losses import TacotronLoss
 from ..parallel import make_mesh, replicate, shard_batch
 from ..parallel.mesh import pad_batch_to_devices
 from ..text import phonemes, symbols
-from ..utils.io import count_parameters, create_experiment_folder
+from ..utils.io import count_parameters
 from ..utils.logging import ConsoleLogger, TensorboardLogger
 from ..utils.measures import alignment_diagonal_score
 from .checkpoint import load_checkpoint, restore_partial, save_best_model, save_checkpoint

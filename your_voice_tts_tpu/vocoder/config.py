@@ -2,9 +2,7 @@
 
 from __future__ import annotations
 
-import dataclasses
 import json
-import re
 from dataclasses import dataclass, field
 
 from ..config import AudioConfig, _build, _strip_json_comments

@@ -31,9 +31,8 @@ class VocoderSynthesizer:
                 m.num_res_blocks, m.kernel_size)
             self.params = self.model.init(jax.random.PRNGKey(0))
             if checkpoint:
-                full = {"g": self.params, "d": None}
-                # restore only the generator subtree
-                from ..train.checkpoint import _flatten, _unflatten_like
+                # restore only the generator subtree of a GAN checkpoint
+                from ..train.checkpoint import _unflatten_like
                 import numpy as _np
                 with _np.load(checkpoint) as z:
                     blobs = {k: z[k] for k in z.files if k.startswith("params::")}
