@@ -151,3 +151,51 @@ def test_vocoder_synthesizer_wavernn(tmp_path):
     mel = np.random.default_rng(0).standard_normal((20, 10)).astype(np.float32)
     wav = vs.mel_to_wav(mel)
     assert wav.shape == (10 * 64,)
+
+
+def test_pwgan_generator_and_discriminator():
+    from your_voice_tts_tpu.vocoder.models.pwgan import (
+        ParallelWaveganDiscriminator, ParallelWaveganGenerator,
+    )
+
+    g = ParallelWaveganGenerator(n_mels=20, num_layers=6, stacks=2,
+                                 residual_ch=8, gate_ch=16, skip_ch=8,
+                                 upsample_factors=(4, 4, 4))
+    p = g.init(KEY)
+    mel = jax.random.normal(KEY, (2, 6, 20))
+    audio = g(p, mel, key=jax.random.PRNGKey(1))
+    assert audio.shape == (2, 6 * 64)
+    # same noise -> same output; different noise -> different output
+    a2 = g(p, mel, key=jax.random.PRNGKey(1))
+    a3 = g(p, mel, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(a2))
+    assert not np.allclose(np.asarray(audio), np.asarray(a3))
+
+    d = ParallelWaveganDiscriminator(num_layers=4, channels=8)
+    dp = d.init(KEY)
+    score, feats = d(dp, audio)
+    assert score.shape == (2, 6 * 64, 1)
+    assert len(feats) == 3
+
+
+def test_pwgan_gan_trainer(corpus_items, tmp_path):
+    from your_voice_tts_tpu.vocoder.config import PWGANConfig
+    from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
+
+    cfg = dataclasses.replace(
+        VCFG, model="pwgan",
+        pwgan=PWGANConfig(upsample_factors=(4, 4, 4), num_layers=4, stacks=2,
+                          residual_channels=8, gate_channels=16,
+                          skip_channels=8, disc_layers=3, disc_channels=8))
+    trainer = GANTrainer(cfg, corpus_items, verbose=False)
+    metrics = trainer.fit(max_steps=3)
+    assert np.isfinite(metrics["gen_loss"]) and "disc_loss" in metrics
+    ck = str(tmp_path / "pwgan.npz")
+    trainer.save(ck)
+
+    from your_voice_tts_tpu.vocoder.synthesizer import VocoderSynthesizer
+
+    vs = VocoderSynthesizer(cfg, ck)
+    mel = np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32)
+    wav = vs.mel_to_wav(mel)
+    assert wav.shape == (8 * 64,)

@@ -19,6 +19,19 @@ class MelganConfig:
 
 
 @dataclass(frozen=True)
+class PWGANConfig:
+    upsample_factors: tuple[int, ...] = (4, 4, 4, 4)   # product == hop_length
+    num_layers: int = 30
+    stacks: int = 3
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    kernel_size: int = 3
+    disc_layers: int = 10
+    disc_channels: int = 64
+
+
+@dataclass(frozen=True)
 class WaveRNNConfig:
     mode: str = "mulaw"          # "mulaw" (categorical) | "gauss"
     bits: int = 10               # mu-law quantization bits
@@ -54,9 +67,10 @@ class VocoderTrainingConfig:
 
 @dataclass(frozen=True)
 class VocoderConfig:
-    model: str = "melgan"        # "melgan" | "wavernn"
+    model: str = "melgan"        # "melgan" | "pwgan" | "wavernn"
     audio: AudioConfig = field(default_factory=AudioConfig)
     melgan: MelganConfig = field(default_factory=MelganConfig)
+    pwgan: PWGANConfig = field(default_factory=PWGANConfig)
     wavernn: WaveRNNConfig = field(default_factory=WaveRNNConfig)
     training: VocoderTrainingConfig = field(default_factory=VocoderTrainingConfig)
 
@@ -69,6 +83,7 @@ def load_vocoder_config(path_or_cfg) -> VocoderConfig:
     groups = {}
     groups["audio"] = _build(AudioConfig, raw.get("audio", {}), "audio")
     groups["melgan"] = _build(MelganConfig, raw.get("melgan", {}), "melgan")
+    groups["pwgan"] = _build(PWGANConfig, raw.get("pwgan", {}), "pwgan")
     groups["wavernn"] = _build(WaveRNNConfig, raw.get("wavernn", {}), "wavernn")
     groups["training"] = _build(VocoderTrainingConfig, raw.get("training", {}), "training")
     return VocoderConfig(model=raw.get("model", "melgan"), **groups)

@@ -16,6 +16,17 @@ from .models.melgan import MelganGenerator
 from .models.wavernn import WaveRNN
 
 
+def _restore_generator_subtree(checkpoint: str, template):
+    """Restore only the 'g' generator subtree of a GAN checkpoint."""
+    from ..train.checkpoint import _unflatten_like
+
+    with np.load(checkpoint) as z:
+        blobs = {k: z[k] for k in z.files if k.startswith("params::")}
+    gsec = {k[len("params::"):]: v for k, v in blobs.items()}
+    gsub = {k[len("['g']"):]: v for k, v in gsec.items() if k.startswith("['g']")}
+    return _unflatten_like(template, gsub, strict=True)
+
+
 class VocoderSynthesizer:
     def __init__(self, config: str | VocoderConfig, checkpoint: str | None = None,
                  tts_audio_cfg=None, rng_seed: int = 0):
@@ -24,22 +35,26 @@ class VocoderSynthesizer:
                 tts_audio_cfg.num_mels != self.cfg.audio.num_mels:
             raise ValueError("TTS and vocoder num_mels mismatch")
         self._rng = jax.random.PRNGKey(rng_seed)
-        if self.cfg.model == "melgan":
+        if self.cfg.model == "pwgan":
+            from .models.pwgan import ParallelWaveganGenerator
+
+            m = self.cfg.pwgan
+            self.model = ParallelWaveganGenerator(
+                self.cfg.audio.num_mels, m.num_layers, m.stacks,
+                m.residual_channels, m.gate_channels, m.skip_channels,
+                m.kernel_size, m.upsample_factors)
+            self.params = self.model.init(jax.random.PRNGKey(0))
+            if checkpoint:
+                self.params = _restore_generator_subtree(checkpoint, self.params)
+            self._fn = jax.jit(lambda p, mel, key: self.model(p, mel, key=key))
+        elif self.cfg.model == "melgan":
             m = self.cfg.melgan
             self.model = MelganGenerator(
                 self.cfg.audio.num_mels, m.upsample_factors, m.base_channels,
                 m.num_res_blocks, m.kernel_size)
             self.params = self.model.init(jax.random.PRNGKey(0))
             if checkpoint:
-                # restore only the generator subtree of a GAN checkpoint
-                from ..train.checkpoint import _unflatten_like
-                import numpy as _np
-                with _np.load(checkpoint) as z:
-                    blobs = {k: z[k] for k in z.files if k.startswith("params::")}
-                gsec = {k[len("params::"):]: v for k, v in blobs.items()}
-                gsub = {k[len("['g']"):]: v for k, v in gsec.items()
-                        if k.startswith("['g']")}
-                self.params = _unflatten_like(self.params, gsub, strict=True)
+                self.params = _restore_generator_subtree(checkpoint, self.params)
             self._fn = jax.jit(lambda p, mel: self.model(p, mel))
         elif self.cfg.model == "wavernn":
             w = self.cfg.wavernn
@@ -63,6 +78,9 @@ class VocoderSynthesizer:
         mel_t = jnp.asarray(np.asarray(mel, np.float32).T)[None]  # [1, T, n_mels]
         if self.cfg.model == "melgan":
             wav = self._fn(self.params, mel_t)[0]
+        elif self.cfg.model == "pwgan":
+            self._rng, sub = jax.random.split(self._rng)
+            wav = self._fn(self.params, mel_t, sub)[0]
         else:
             w = self.cfg.wavernn
             # WaveRNN conditioning needs `pad` context frames on each side

@@ -25,6 +25,19 @@ from .losses import (
 from .models.melgan import MelganGenerator, MelganMultiscaleDiscriminator
 
 
+class _SingleScale:
+    """Adapter: a single discriminator presented as a 1-scale list."""
+
+    def __init__(self, disc):
+        self.disc = disc
+
+    def init(self, key):
+        return self.disc.init(key)
+
+    def __call__(self, p, x):
+        return [self.disc(p, x)]
+
+
 class GANTrainState(NamedTuple):
     g_params: Any
     d_params: Any
@@ -39,17 +52,38 @@ class GANTrainer:
         self.cfg = cfg
         self.ap = AudioProcessor(cfg.audio)
         hop = self.ap.hop_length
-        prod = 1
-        for u in cfg.melgan.upsample_factors:
-            prod *= u
-        assert prod == hop, (
-            f"melgan upsample_factors product {prod} != hop_length {hop}")
-        self.generator = MelganGenerator(
-            cfg.audio.num_mels, cfg.melgan.upsample_factors,
-            cfg.melgan.base_channels, cfg.melgan.num_res_blocks,
-            cfg.melgan.kernel_size)
-        self.discriminator = MelganMultiscaleDiscriminator(
-            cfg.melgan.num_scales, cfg.melgan.disc_base_channels)
+        if cfg.model == "pwgan":
+            from .models.pwgan import (
+                ParallelWaveganDiscriminator, ParallelWaveganGenerator,
+            )
+
+            ups = cfg.pwgan.upsample_factors
+            prod = 1
+            for u in ups:
+                prod *= u
+            assert prod == hop, f"pwgan upsample product {prod} != hop {hop}"
+            self.generator = ParallelWaveganGenerator(
+                cfg.audio.num_mels, cfg.pwgan.num_layers, cfg.pwgan.stacks,
+                cfg.pwgan.residual_channels, cfg.pwgan.gate_channels,
+                cfg.pwgan.skip_channels, cfg.pwgan.kernel_size, ups)
+            pw_disc = ParallelWaveganDiscriminator(cfg.pwgan.disc_layers,
+                                                   cfg.pwgan.disc_channels)
+            # uniform interface: a list of (score, feats) scales
+            self.discriminator = _SingleScale(pw_disc)
+            self._gen_needs_key = True
+        else:
+            prod = 1
+            for u in cfg.melgan.upsample_factors:
+                prod *= u
+            assert prod == hop, (
+                f"melgan upsample_factors product {prod} != hop_length {hop}")
+            self.generator = MelganGenerator(
+                cfg.audio.num_mels, cfg.melgan.upsample_factors,
+                cfg.melgan.base_channels, cfg.melgan.num_res_blocks,
+                cfg.melgan.kernel_size)
+            self.discriminator = MelganMultiscaleDiscriminator(
+                cfg.melgan.num_scales, cfg.melgan.disc_base_channels)
+            self._gen_needs_key = False
         self.dataset = GANDataset(items, self.ap, cfg.training.seq_len)
         self.g_optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.training.grad_clip),
@@ -74,8 +108,11 @@ class GANTrainer:
     def _build_steps(self, use_disc: bool):
         cfg = self.cfg.training
 
-        def g_loss_fn(g_params, d_params, mel, audio):
-            fake = self.generator(g_params, mel)
+        def g_loss_fn(g_params, d_params, mel, audio, key):
+            if self._gen_needs_key:
+                fake = self.generator(g_params, mel, key=key)
+            else:
+                fake = self.generator(g_params, mel)
             loss = 0.0
             parts = {}
             if cfg.use_stft_loss:
@@ -97,26 +134,30 @@ class GANTrainer:
             return loss, parts
 
         @jax.jit
-        def g_step(state: GANTrainState, mel, audio):
+        def g_step(state: GANTrainState, mel, audio, key):
             (loss, parts), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.g_params, state.d_params, mel, audio)
+                state.g_params, state.d_params, mel, audio, key)
             updates, g_opt = self.g_optimizer.update(grads, state.g_opt,
                                                      state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
             return state._replace(g_params=g_params, g_opt=g_opt,
                                   step=state.step + 1), parts
 
-        def d_loss_fn(d_params, g_params, mel, audio):
-            fake = jax.lax.stop_gradient(self.generator(g_params, mel))
+        def d_loss_fn(d_params, g_params, mel, audio, key):
+            if self._gen_needs_key:
+                fake = self.generator(g_params, mel, key=key)
+            else:
+                fake = self.generator(g_params, mel)
+            fake = jax.lax.stop_gradient(fake)
             fake_out = self.discriminator(d_params, fake)
             real_out = self.discriminator(d_params, audio)
             loss = disc_adv_loss([s for s, _ in real_out], [s for s, _ in fake_out])
             return loss, {"disc_loss": loss}
 
         @jax.jit
-        def d_step(state: GANTrainState, mel, audio):
+        def d_step(state: GANTrainState, mel, audio, key):
             (loss, parts), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.d_params, state.g_params, mel, audio)
+                state.d_params, state.g_params, mel, audio, key)
             updates, d_opt = self.d_optimizer.update(grads, state.d_opt,
                                                      state.d_params)
             d_params = optax.apply_updates(state.d_params, updates)
@@ -136,12 +177,13 @@ class GANTrainer:
                 self._g_step, self._d_step = self._build_steps(use_disc)
                 steps_built_with_disc = use_disc
             mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
             t0 = time.time()
             self.state, parts = self._g_step(self.state, jnp.asarray(mel),
-                                             jnp.asarray(audio))
+                                             jnp.asarray(audio), key)
             if use_disc:
                 self.state, d_parts = self._d_step(self.state, jnp.asarray(mel),
-                                                   jnp.asarray(audio))
+                                                   jnp.asarray(audio), key)
                 parts = {**parts, **d_parts}
             last = {k: float(v) for k, v in parts.items()}
             last["step_time"] = time.time() - t0
@@ -161,7 +203,7 @@ class GANTrainer:
                         model_state={}, opt_state={"g": self.state.g_opt,
                                                    "d": self.state.d_opt},
                         step=int(self.state.step), epoch=0, r=1,
-                        extra={"vocoder_model": "melgan"})
+                        extra={"vocoder_model": self.cfg.model})
 
     def restore(self, path: str) -> None:
         params, _, opt, meta = load_checkpoint(
