@@ -199,3 +199,24 @@ def test_find_endpoint(ap):
     ep = ap.find_endpoint(wav)
     assert ep < len(wav)
     assert ep >= int(0.4 * ap.sample_rate)
+
+
+def test_gl_fast_projector_matches_composition():
+    """The banded frame-domain GL projector must equal stft(istft(.)) exactly
+    on interior frames (edges use a different pad model, fine inside GL)."""
+    import jax
+    import jax.numpy as jnp
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+
+    n_fft, hop, T = 256, 64, 24
+    w = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
+    F = (jax.random.normal(jax.random.PRNGKey(0), (T, n_fft // 2 + 1)) +
+         1j * jax.random.normal(jax.random.PRNGKey(1), (T, n_fft // 2 + 1))
+         ).astype(jnp.complex64)
+    fast = dsp._gl_project_frames(F, w, n_fft, hop)
+    y = dsp.istft(F, n_fft, hop, w)
+    slow = dsp.stft(y, jnp.int32(hop * (T - 1)), n_fft, hop, w)[:T]
+    K = n_fft // hop - 1
+    np.testing.assert_allclose(np.asarray(fast[K:-K]), np.asarray(slow[K:-K]),
+                               atol=1e-4)

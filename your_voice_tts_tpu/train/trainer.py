@@ -194,6 +194,21 @@ class Trainer:
 
     # --- loops ---------------------------------------------------------------
 
+    def start_profiler(self, port: int = 9999) -> None:
+        """Expose a jax.profiler trace endpoint (SURVEY.md SS5 tracing plan:
+        strict superset of the reference's step-time logging). Connect with
+        TensorBoard's profile plugin or jax.profiler.trace()."""
+        jax.profiler.start_server(port)
+        if self.verbose:
+            print(f" > jax.profiler server on :{port}")
+
+    def capture_trace(self, log_dir: str, fn, *args):
+        """One-shot trace of a callable (e.g. a train step) into log_dir."""
+        with jax.profiler.trace(log_dir):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return out
+
     def fit(self, max_steps: int | None = None) -> dict:
         cfg = self.cfg
         rng = jax.random.PRNGKey(42)
