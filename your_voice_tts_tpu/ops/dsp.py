@@ -237,7 +237,9 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
     if fast:
         def body(_, ang):
             proj = _gl_project_frames(S_c * ang, window, n_fft, hop)
-            return jnp.exp(1j * jnp.angle(proj))
+            # unit phase as proj/|proj| — same as exp(i*angle(proj)) without
+            # the atan2/sin/cos transcendentals
+            return proj / jnp.maximum(jnp.abs(proj), 1e-16)
 
         angles = lax.fori_loop(0, n_iters, body, angles)
         return istft(S_c * angles, n_fft, hop, window)
