@@ -180,6 +180,59 @@ def spectrogram(y: jnp.ndarray, length: jnp.ndarray, *, window: jnp.ndarray,
     return normalize_spec(S, min_level_db, max_norm, symmetric, clip, signal_norm)
 
 
+def _dft_matrices(n_fft: int):
+    """Real DFT matrices for rfft/irfft as MXU matmuls (cached, numpy).
+
+    Returns (C [N,K], S [N,K], iC [K,N], iS [K,N]) with
+    rfft(x) = (x@C) - i*(x@S) and irfft(Fr,Fi) = Fr@iC - Fi@iS.
+    """
+    import numpy as _np
+
+    K = n_fft // 2 + 1
+    n = _np.arange(n_fft)[:, None]
+    k = _np.arange(K)[None, :]
+    ang = 2.0 * _np.pi * n * k / n_fft
+    C = _np.cos(ang)
+    S = _np.sin(ang)
+    w = _np.full((K,), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    iC = (w[:, None] * C.T) / n_fft
+    iS = (w[:, None] * S.T) / n_fft
+    return (C.astype(_np.float32), S.astype(_np.float32),
+            iC.astype(_np.float32), iS.astype(_np.float32))
+
+
+def _gl_project_frames_matmul(Fr, Fi, window, n_fft: int, hop: int):
+    """Real-arithmetic variant of `_gl_project_frames`: the rFFT/irFFT pair
+    becomes four [.., T, K/N] x [K/N, N/K] matmuls on the MXU (XLA's TPU FFT
+    is VPU-bound and slower at these sizes). Works on (real, imag) pairs."""
+    C, S, iC, iS = (jnp.asarray(m) for m in _dft_matrices(n_fft))
+    xw = (jnp.dot(Fr, iC, preferred_element_type=jnp.float32)
+          - jnp.dot(Fi, iS, preferred_element_type=jnp.float32)) * window
+    K_b = -(-n_fft // hop) - 1
+    acc = xw
+    for k in range(1, K_b + 1):
+        s = k * hop
+        fwd = jnp.pad(xw[..., k:, : n_fft - s], [(0, 0)] * (xw.ndim - 2) + [(0, k), (s, 0)])
+        bwd = jnp.pad(xw[..., :-k, s:], [(0, 0)] * (xw.ndim - 2) + [(k, 0), (0, s)])
+        acc = acc + fwd + bwd
+    wsum = jnp.zeros((n_fft,))
+    for k in range(-K_b, K_b + 1):
+        s = k * hop
+        if s > 0:
+            wsum = wsum.at[s:].add(window[: n_fft - s] ** 2)
+        elif s < 0:
+            wsum = wsum.at[: n_fft + s].add(window[-s:] ** 2)
+        else:
+            wsum = wsum + window ** 2
+    g = (acc / jnp.maximum(wsum, 1e-11)) * window
+    Gr = jnp.dot(g, C, preferred_element_type=jnp.float32)
+    Gi = -jnp.dot(g, S, preferred_element_type=jnp.float32)
+    return Gr, Gi
+
+
 def _gl_project_frames(F: jnp.ndarray, window: jnp.ndarray, n_fft: int,
                        hop: int) -> jnp.ndarray:
     """One Griffin-Lim projection stft(istft(F)) computed ENTIRELY in the
@@ -235,13 +288,19 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
     S_c = S_mag.astype(jnp.complex64)
 
     if fast:
+        # real-arithmetic loop: phase carried as (cos, sin); DFTs as matmuls
         def body(_, ang):
-            proj = _gl_project_frames(S_c * ang, window, n_fft, hop)
-            # unit phase as proj/|proj| — same as exp(i*angle(proj)) without
-            # the atan2/sin/cos transcendentals
-            return proj / jnp.maximum(jnp.abs(proj), 1e-16)
+            ar, ai = ang
+            Gr, Gi = _gl_project_frames_matmul(S_mag * ar, S_mag * ai,
+                                               window, n_fft, hop)
+            # unit phase as G/|G| — same as exp(i*angle(G)) without the
+            # atan2/sin/cos transcendentals
+            mag = jnp.maximum(jnp.sqrt(Gr * Gr + Gi * Gi), 1e-16)
+            return Gr / mag, Gi / mag
 
-        angles = lax.fori_loop(0, n_iters, body, angles)
+        ar, ai = lax.fori_loop(0, n_iters, body,
+                               (jnp.cos(phase), jnp.sin(phase)))
+        angles = lax.complex(ar.astype(jnp.float32), ai.astype(jnp.float32))
         return istft(S_c * angles, n_fft, hop, window)
 
     def gl_stft(y):
