@@ -94,25 +94,41 @@ def main() -> None:
             symmetric=acfg.symmetric_norm, clip=acfg.clip_norm,
             power=acfg.power, gl_iters=acfg.griffin_lim_iters))(
                 mel, jax.random.split(key, mel.shape[0]))
-        return wav, out["mel_lengths"]
+        # reduce to a scalar INSIDE the program: timing converts it to a host
+        # float, which cannot complete before the whole computation has run
+        # (block_until_ready over the remote-TPU tunnel has been observed to
+        # return early; a materialized data-dependent scalar cannot lie)
+        return wav, out["mel_lengths"], jnp.abs(wav).sum()
 
     # compile
     t0 = time.time()
-    wav, _ = synthesize(variables, text, lens, jax.random.PRNGKey(0))
-    wav.block_until_ready()
+    wav, _, chk = synthesize(variables, text, lens, jax.random.PRNGKey(0))
+    float(chk)
     compile_time = time.time() - t0
 
     times = []
     for i in range(args.iters):
         t0 = time.time()
-        wav, _ = synthesize(variables, text, lens, jax.random.PRNGKey(i + 1))
-        wav.block_until_ready()
+        wav, _, chk = synthesize(variables, text, lens, jax.random.PRNGKey(i + 1))
+        float(chk)
         times.append(time.time() - t0)
     dt = min(times)
 
     audio_seconds = B * n_frames * acfg.hop_length / acfg.sample_rate
     rtf = audio_seconds / dt
     mel_frames_per_sec = B * n_frames / dt
+
+    # p50 single-utterance latency (BASELINE.json metric), batch=1
+    text1, lens1 = text[:1], lens[:1]
+    _, _, chk1 = synthesize(variables, text1, lens1, jax.random.PRNGKey(99))
+    float(chk1)
+    lat = []
+    for i in range(7):
+        t0 = time.time()
+        _, _, chk1 = synthesize(variables, text1, lens1, jax.random.PRNGKey(100 + i))
+        float(chk1)
+        lat.append(time.time() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
 
     result = {
         "metric": "batched end-to-end synthesis realtime factor per chip "
@@ -127,6 +143,9 @@ def main() -> None:
             "wall_s_per_batch": round(dt, 4),
             "compile_s": round(compile_time, 1),
             "audio_seconds_per_batch": round(audio_seconds, 2),
+            "p50_single_utterance_ms": round(p50_ms, 1),
+            "p50_single_utterance_rtf": round(
+                n_frames * acfg.hop_length / acfg.sample_rate / (p50_ms / 1000), 1),
             "quick": quick,
         },
     }

@@ -44,7 +44,8 @@ def _pad_texts(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 def synthesis_batch(model, variables, texts: list[str], cfg: Config,
                     ap: AudioProcessor, speaker_ids=None, d_vectors=None,
                     style_wav: np.ndarray | None = None, use_griffin_lim: bool = True,
-                    vocoder=None, rng=None, trim_silence: bool = False) -> list[dict]:
+                    vocoder=None, rng=None, trim_silence: bool = False,
+                    max_decoder_steps: int | None = None) -> list[dict]:
     """Batched synthesis; returns one result dict per input text."""
     import jax.numpy as jnp
 
@@ -61,7 +62,8 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
         variables, jnp.asarray(text_arr), jnp.asarray(lengths), rng=rng,
         speaker_ids=None if speaker_ids is None else jnp.asarray(speaker_ids),
         speaker_embeddings=None if d_vectors is None else jnp.asarray(d_vectors),
-        style_mel=None if style_mel is None else jnp.asarray(style_mel))
+        style_mel=None if style_mel is None else jnp.asarray(style_mel),
+        max_decoder_steps=max_decoder_steps)
 
     mels = np.asarray(out["postnet_outputs"])          # [B, T, n_mels]
     aligns = np.asarray(out["alignments"])
