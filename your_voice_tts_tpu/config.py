@@ -84,6 +84,8 @@ class ModelConfig:
     attention_heads: int = 4         # graves GMM components
     attention_norm: str = "sigmoid"  # "sigmoid" | "softmax"
     windowing: bool = False          # inference-time attention windowing
+    win_back: int = 1                # windowing span behind the attention peak
+    win_front: int = 3               # windowing span ahead of the attention peak
     use_forward_attn: bool = False
     forward_attn_mask: bool = False
     transition_agent: bool = False

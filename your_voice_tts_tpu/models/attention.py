@@ -236,13 +236,14 @@ def init_attn(attn_type: str, query_dim: int, embedding_dim: int, attention_dim:
               location_attention: bool, attention_location_n_filters: int,
               attention_location_kernel_size: int, windowing: bool, norm: str,
               forward_attn: bool, trans_agent: bool, forward_attn_mask: bool,
-              attn_K: int = 4):
+              attn_K: int = 4, win_back: int = 1, win_front: int = 3):
     """Factory with reference signature (common_layers.init_attn)."""
     if attn_type == "original":
         return LocationSensitiveAttention(
             query_dim, embedding_dim, attention_dim, location_attention,
             attention_location_n_filters, attention_location_kernel_size,
-            windowing, norm, forward_attn, trans_agent, forward_attn_mask)
+            windowing, norm, forward_attn, trans_agent, forward_attn_mask,
+            win_back=win_back, win_front=win_front)
     if attn_type == "graves":
         return GravesAttention(query_dim, attn_K)
     raise ValueError(f"unknown attention type {attn_type!r}")

@@ -144,7 +144,8 @@ class TacotronDecoder:
             cfg.location_attn, cfg.attention_location_filters,
             cfg.attention_location_kernel_size, cfg.windowing,
             cfg.attention_norm, cfg.use_forward_attn, cfg.transition_agent,
-            cfg.forward_attn_mask, cfg.attention_heads)
+            cfg.forward_attn_mask, cfg.attention_heads, cfg.win_back,
+            cfg.win_front)
         self.project_to_decoder_in = Dense(256 + in_dim, 256)
         self.decoder_rnns = [GRUCell(256, 256), GRUCell(256, 256)]
         self.proj_to_mel = Dense(256, n_mels * r_init)

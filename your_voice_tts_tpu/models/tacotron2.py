@@ -117,7 +117,7 @@ class Decoder:
             cfg.location_attn, cfg.attention_location_filters,
             cfg.attention_location_kernel_size, cfg.windowing, cfg.attention_norm,
             cfg.use_forward_attn, cfg.transition_agent, cfg.forward_attn_mask,
-            cfg.attention_heads)
+            cfg.attention_heads, cfg.win_back, cfg.win_front)
         self.decoder_rnn = LSTMCell(cfg.attention_rnn_dim + in_dim, cfg.decoder_rnn_dim)
         self.linear_projection = Dense(cfg.decoder_rnn_dim + in_dim, n_mels * r_init)
         self.stopnet = Dense(cfg.decoder_rnn_dim + n_mels * r_init, 1)
