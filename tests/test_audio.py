@@ -220,3 +220,12 @@ def test_gl_fast_projector_matches_composition():
     K = n_fft // hop - 1
     np.testing.assert_allclose(np.asarray(fast[K:-K]), np.asarray(slow[K:-K]),
                                atol=1e-4)
+
+
+def test_melspectrogram_batch_matches_single(ap):
+    wavs = [speech_like(dur=d) for d in (0.3, 0.7, 1.1)]
+    batch = ap.melspectrogram_batch(wavs)
+    for y, m in zip(wavs, batch):
+        single = ap.melspectrogram(y).T
+        assert m.shape == single.shape
+        np.testing.assert_allclose(m, single, atol=1e-5)

@@ -106,6 +106,47 @@ class AudioProcessor:
         """wav [T] -> normalized mel [num_mels, n_frames]."""
         return self._forward("mel", y)
 
+    def melspectrogram_batch(self, wavs: list[np.ndarray]) -> list[np.ndarray]:
+        """N wavs -> N time-major mels [n_frames_i, num_mels] in ONE vmapped
+        device call per length bucket (per-item dispatch is latency-bound,
+        especially over a remote-TPU tunnel; dataset prep uses this)."""
+        import jax
+
+        by_bucket: dict[int, list[int]] = {}
+        for i, y in enumerate(wavs):
+            by_bucket.setdefault(self._sig_bucket(len(y)), []).append(i)
+        out: list = [None] * len(wavs)
+        for lb, idxs in by_bucket.items():
+            # batch dim is bucketed too (next power of two, capped) so the
+            # set of compiled (length, count) variants stays small
+            n = len(idxs)
+            nb = 1
+            while nb < min(n, 64):
+                nb *= 2
+            groups = [idxs[s: s + nb] for s in range(0, n, nb)]
+            for g in groups:
+                self._mel_batch_group(wavs, g, lb, nb, out)
+        return out
+
+    def _mel_batch_group(self, wavs, idxs, lb: int, nb: int, out: list) -> None:
+        import jax
+
+        buf = np.zeros((nb, lb), np.float32)
+        lens = np.full((nb,), self.hop_length, np.int32)  # phantom rows
+        for j, i in enumerate(idxs):
+            buf[j, : len(wavs[i])] = wavs[i]
+            lens[j] = len(wavs[i])
+        key = ("mel_batch", lb, nb)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            base = self._get_jit("mel", lb)
+            fn = jax.jit(jax.vmap(lambda y, n: base(y, n)))
+            self._jit_cache[key] = fn
+        mels = np.asarray(fn(jnp.asarray(buf), jnp.asarray(lens)))
+        for j, i in enumerate(idxs):
+            n_frames = lens[j] // self.hop_length + 1
+            out[i] = mels[j, :n_frames].astype(np.float32)
+
     def spectrogram(self, y: np.ndarray) -> np.ndarray:
         """wav [T] -> normalized linear spectrogram [num_freq, n_frames]."""
         return self._forward("spec", y)

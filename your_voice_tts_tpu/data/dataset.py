@@ -80,21 +80,32 @@ class TTSDataset:
         return os.path.join(self.cache_dir, f"mel_{h}.npy")
 
     def _compute_mels(self, verbose: bool) -> None:
-        for e in self.entries:
+        # batched extraction: one vmapped device call per length bucket
+        # (per-item dispatch is latency-bound on remote accelerators)
+        pending: list[int] = []
+        wavs: list[np.ndarray] = []
+        for i, e in enumerate(self.entries):
             cpath = self._mel_path(e["wav"])
             if cpath and os.path.exists(cpath) and not self.need_linear:
-                mel = np.load(cpath)
-            else:
-                wav = self.ap.load_wav(e["wav"])
-                if self.cfg.audio.do_trim_silence:
-                    wav = self.ap.trim_silence(wav)
-                mel = self.ap.melspectrogram(wav).T.astype(np.float32)  # [T, n_mels]
+                e["mel"] = np.load(cpath)
+                e["mel_len"] = e["mel"].shape[0]
+                continue
+            wav = self.ap.load_wav(e["wav"])
+            if self.cfg.audio.do_trim_silence:
+                wav = self.ap.trim_silence(wav)
+            pending.append(i)
+            wavs.append(wav)
+        if pending:
+            mels = self.ap.melspectrogram_batch(wavs)
+            for i, wav, mel in zip(pending, wavs, mels):
+                e = self.entries[i]
+                e["mel"] = mel  # already time-major [T, n_mels]
+                e["mel_len"] = mel.shape[0]
                 if self.need_linear:
                     e["linear"] = self.ap.spectrogram(wav).T.astype(np.float32)
+                cpath = self._mel_path(e["wav"])
                 if cpath:
                     np.save(cpath, mel)
-            e["mel"] = mel
-            e["mel_len"] = mel.shape[0]
 
     def __len__(self) -> int:
         return len(self.entries)

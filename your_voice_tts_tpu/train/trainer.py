@@ -261,6 +261,8 @@ class Trainer:
                                 for k in epoch_metrics[0]}
                 self.console.print_epoch_end(epoch, last_metrics)
                 self.tb.tb_train_epoch_stats(global_step, last_metrics)
+                if cfg.io.tb_model_param_stats:
+                    self.tb.tb_model_weights(global_step, self.state.params)
             if self.eval_data is not None and cfg.training.run_eval:
                 eval_metrics = self.evaluate(r)
                 self.tb.tb_eval_stats(global_step, eval_metrics)

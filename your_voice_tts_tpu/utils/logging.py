@@ -95,6 +95,25 @@ class TensorboardLogger:
                 # absent; logging must never take training down
                 return
 
+    def tb_model_weights(self, step: int, params) -> None:
+        """Per-layer weight histograms + norms (reference
+        tb_model_param_stats config flag)."""
+        if self.writer is None:
+            return
+        import jax
+        import numpy as np
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            name = jax.tree_util.keystr(path).replace("'", "").replace("][", "/") \
+                .strip("[]")
+            arr = np.asarray(leaf)
+            try:
+                self.writer.add_scalar(f"ModelParams/{name}/norm",
+                                       float(np.linalg.norm(arr)), step)
+                self.writer.add_histogram(f"ModelParams/{name}", arr, step)
+            except Exception:
+                return
+
     def flush(self) -> None:
         if self.writer is not None:
             self.writer.flush()
