@@ -209,3 +209,20 @@ def test_bidirectional_decoder():
     # inference ignores the backward decoder
     inf = model.inference(variables, text, text_len)
     assert inf["postnet_outputs"].shape[0] == text.shape[0]
+
+
+def test_inference_incremental_matches_full(model, variables):
+    """Chunked early-exit decode must produce the same outputs as the one-shot
+    scan over the steps it runs (deterministic, rng=None)."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(20))
+    full = model.inference(variables, text, text_len, rng=None)
+    inc = model.inference_incremental(variables, text, text_len, rng=None,
+                                      chunk_steps=5)
+    T = min(inc["postnet_outputs"].shape[1], full["postnet_outputs"].shape[1])
+    np.testing.assert_allclose(np.asarray(inc["postnet_outputs"][:, :T]),
+                               np.asarray(full["postnet_outputs"][:, :T]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(inc["mel_lengths"]),
+                               np.asarray(full["mel_lengths"]))
+    # early exit: never runs past max_decoder_steps, stops on chunk boundary
+    assert inc["postnet_outputs"].shape[1] <= full["postnet_outputs"].shape[1]

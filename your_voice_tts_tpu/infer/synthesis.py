@@ -58,7 +58,10 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
         style_mel = np.broadcast_to(style_mel,
                                     (len(texts),) + style_mel.shape[1:])
 
-    out = model.inference(
+    # serving prefers chunked early-exit decoding (stops when all samples
+    # fire their stop token instead of always scanning max_decoder_steps)
+    infer_fn = getattr(model, "inference_incremental", model.inference)
+    out = infer_fn(
         variables, jnp.asarray(text_arr), jnp.asarray(lengths), rng=rng,
         speaker_ids=None if speaker_ids is None else jnp.asarray(speaker_ids),
         speaker_embeddings=None if d_vectors is None else jnp.asarray(d_vectors),

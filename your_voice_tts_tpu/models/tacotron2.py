@@ -233,6 +233,31 @@ class Decoder:
         """
         r = r or self.r_init
         B = inputs.shape[0]
+        carry0 = self.init_inference_carry(B, inputs, rng)
+        carry, (dec_out, aligns, stops) = self.inference_scan(
+            p, state, inputs, input_lengths, carry0, max_steps, r)
+        steps_done = carry[3]
+        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * r, self.n_mels)
+        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            steps_done * r
+
+    def init_inference_carry(self, B: int, inputs, rng):
+        return (
+            self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4],
+            jnp.zeros((B, self.n_mels), inputs.dtype),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            rng,
+        )
+
+    def inference_scan(self, p: Params, state: Params, inputs, input_lengths,
+                       carry, n_steps: int, r: int):
+        """Resumable decode: run `n_steps` from `carry`, return (carry, ys).
+
+        Powers both one-shot inference and chunked early-exit decoding (host
+        checks the carry's done mask between chunks and stops scanning once
+        every sample has emitted its stop token).
+        """
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
         thresh = self.cfg.stop_threshold
@@ -259,18 +284,7 @@ class Decoder:
             return (inner4, new_frame, done, steps_done, rng_), \
                 (dec_out, align, stop_prob)
 
-        carry0 = (
-            self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4],
-            jnp.zeros((B, self.n_mels), inputs.dtype),
-            jnp.zeros((B,), bool),
-            jnp.zeros((B,), jnp.int32),
-            rng,
-        )
-        (_, _, done, steps_done, _), (dec_out, aligns, stops) = lax.scan(
-            step, carry0, None, length=max_steps)
-        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * r, self.n_mels)
-        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
-            steps_done * r
+        return lax.scan(step, carry, None, length=n_steps)
 
 
 class Tacotron2:
@@ -424,4 +438,81 @@ class Tacotron2:
             "alignments": aligns,
             "stop_probs": stops,
             "mel_lengths": out_lengths,
+        }
+
+    def inference_incremental(self, variables, text, text_lengths, rng=None,
+                              speaker_ids=None, speaker_embeddings=None,
+                              style_mel=None, max_decoder_steps: int | None = None,
+                              chunk_steps: int = 64, r: int | None = None):
+        """Early-exit decoding: scan in jitted chunks and stop as soon as every
+        sample has fired its stop token (host checks the done mask between
+        chunks). Same outputs as inference(), but wall-clock scales with the
+        ACTUAL utterance length instead of max_decoder_steps — the serving
+        (p50 latency) path. Chunks reuse one compiled program.
+
+        Note: each chunk is a separate dispatch; on a host-attached TPU that
+        costs ~100us, so early exit wins whenever it saves >1 chunk of steps.
+        (Over a remote-tunnel device where dispatch is ~100ms, prefer
+        model.inference in one call.)"""
+        r = r or self.r
+        params, state = variables["params"], variables["state"]
+        max_steps = max_decoder_steps or self.cfg.max_decoder_steps
+
+        if not hasattr(self, "_jit_fns"):
+            self._jit_fns = {}
+        enc_key = ("encode",)
+        if enc_key not in self._jit_fns:
+            def encode(params, state, text, text_lengths, speaker_ids,
+                       speaker_embeddings, style_mel):
+                x = self.embedding(params["embedding"], text)
+                enc_out, _ = self.encoder(params["encoder"], state["encoder"],
+                                          x, text_lengths, None, train=False)
+                return self._condition(params, enc_out, speaker_ids,
+                                       speaker_embeddings, style_mel=style_mel)
+
+            self._jit_fns[enc_key] = jax.jit(encode)
+        enc_out = self._jit_fns[enc_key](params, state, text, text_lengths,
+                                         speaker_ids, speaker_embeddings,
+                                         style_mel)
+
+        ck = ("chunk", r, chunk_steps)
+        if ck not in self._jit_fns:
+            def run_chunk(p_dec, s_dec, enc_out, text_lengths, carry):
+                return self.decoder.inference_scan(p_dec, s_dec, enc_out,
+                                                   text_lengths, carry,
+                                                   chunk_steps, r)
+
+            self._jit_fns[ck] = jax.jit(run_chunk)
+        pk = ("postnet",)
+        if pk not in self._jit_fns:
+            def post(params, state, dec_out):
+                res, _ = self.postnet(params["postnet"], state["postnet"],
+                                      dec_out, None, train=False)
+                return dec_out + res
+
+            self._jit_fns[pk] = jax.jit(post)
+
+        B = text.shape[0]
+        carry = self.decoder.init_inference_carry(B, enc_out, rng)
+        chunks = []
+        steps = 0
+        while steps < max_steps:
+            carry, ys = self._jit_fns[ck](params["decoder"], state["decoder"],
+                                          enc_out, text_lengths, carry)
+            chunks.append(ys)
+            steps += chunk_steps
+            if bool(carry[2].all()):  # every sample emitted its stop token
+                break
+        dec_out = jnp.concatenate([c[0] for c in chunks], axis=0)   # [T_r, B, .]
+        aligns = jnp.concatenate([c[1] for c in chunks], axis=0)
+        stops = jnp.concatenate([c[2] for c in chunks], axis=0)
+        T_r = dec_out.shape[0]
+        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, T_r * r, self.n_mels)
+        postnet_out = self._jit_fns[pk](params, state, dec_out)
+        return {
+            "decoder_outputs": dec_out,
+            "postnet_outputs": postnet_out,
+            "alignments": jnp.swapaxes(aligns, 0, 1),
+            "stop_probs": jnp.swapaxes(stops, 0, 1),
+            "mel_lengths": carry[3] * r,
         }
