@@ -86,14 +86,13 @@ def main() -> None:
     def synthesize(variables, text, lens, key):
         out = model.inference(variables, text, lens, rng=None)
         mel = out["postnet_outputs"]  # [B, T, n_mels]
-        wav = jax.vmap(lambda m, k: dsp.inv_melspectrogram(
-            m, k, mel_inv_basis=inv_basis, window=window, n_fft=acfg.fft_size,
-            hop=acfg.hop_length, preemph=acfg.preemphasis,
+        wav = dsp.inv_melspectrogram_batch(
+            mel, key, mel_inv_basis=inv_basis, window=window,
+            n_fft=acfg.fft_size, hop=acfg.hop_length, preemph=acfg.preemphasis,
             ref_level_db=acfg.ref_level_db, min_level_db=acfg.min_level_db,
             spec_gain=acfg.spec_gain, max_norm=acfg.max_norm,
             symmetric=acfg.symmetric_norm, clip=acfg.clip_norm,
-            power=acfg.power, gl_iters=acfg.griffin_lim_iters))(
-                mel, jax.random.split(key, mel.shape[0]))
+            power=acfg.power, gl_iters=acfg.griffin_lim_iters)
         # reduce to a scalar INSIDE the program: timing converts it to a host
         # float, which cannot complete before the whole computation has run
         # (block_until_ready over the remote-TPU tunnel has been observed to

@@ -1,0 +1,245 @@
+"""Fused Griffin-Lim iteration as a Pallas TPU kernel.
+
+One GL iteration is: irfft -> synthesis window -> overlap-add -> renormalize
+-> analysis window -> rfft -> unit-phase projection -> re-magnitude. The XLA
+fast path (ops/dsp.py) lowers this to 4 MXU matmuls plus a chain of
+elementwise/shift ops whose INTERMEDIATES round-trip HBM every iteration —
+the dominant cost of end-to-end synthesis after the banded reformulation.
+
+Here the whole iteration is ONE kernel: the grid walks utterance-sized frame
+tiles; each step holds its tile in VMEM, does the inverse-DFT matmul against
+VMEM-resident bf16 cosine/sine matrices, the banded overlap-add (K = n_fft/hop
+- 1 shifted adds, pure VPU), normalization, the forward-DFT matmul, and the
+phase projection F' = S_mag * G/|G| — emitting the next iteration's complex
+spectrogram directly. HBM traffic per iteration: read (Fr, Fi, S_mag), write
+(Fr', Fi'). Tiles are independent (one per utterance in the batched layout),
+so there is no cross-tile halo.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def ola_wsum_inv(window: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Interior overlap-add window-square normalization (reciprocal)."""
+    K = -(-n_fft // hop) - 1
+    wsum = np.zeros((n_fft,), np.float64)
+    w = np.asarray(window, np.float64)
+    for k in range(-K, K + 1):
+        s = k * hop
+        if s > 0:
+            wsum[s:] += w[: n_fft - s] ** 2
+        elif s < 0:
+            wsum[: n_fft + s] += w[-s:] ** 2
+        else:
+            wsum += w ** 2
+    return (1.0 / np.maximum(wsum, 1e-11)).astype(np.float32)
+
+
+def _kernel(fr_ref, fi_ref, mag_ref, iC, iS, C, S, win_ref, wsi_ref,
+            out_r, out_i, *, n_fft: int, hop: int, dtype):
+    xw = (jnp.dot(fr_ref[...].astype(dtype), iC[...],
+                  preferred_element_type=F32)
+          - jnp.dot(fi_ref[...].astype(dtype), iS[...],
+                    preferred_element_type=F32)) * win_ref[...]
+    K = -(-n_fft // hop) - 1
+    acc = xw
+    for k in range(1, K + 1):
+        s = k * hop
+        # frame t+k contributes its leading samples to our trailing slots;
+        # frame t-k its trailing samples to our leading slots (banded OLA)
+        fwd = jnp.pad(xw[k:, : n_fft - s], ((0, k), (s, 0)))
+        bwd = jnp.pad(xw[:-k, s:], ((k, 0), (0, s)))
+        acc = acc + fwd + bwd
+    g = acc * wsi_ref[...] * win_ref[...]
+    gr = jnp.dot(g.astype(dtype), C[...], preferred_element_type=F32)
+    gi = -jnp.dot(g.astype(dtype), S[...], preferred_element_type=F32)
+    inv = jax.lax.rsqrt(jnp.maximum(gr * gr + gi * gi, 1e-30))
+    m = mag_ref[...]
+    out_r[...] = m * gr * inv
+    out_i[...] = m * gi * inv
+
+
+def gl_iteration_pallas(Fr, Fi, S_mag, window, wsum_inv, n_fft: int, hop: int,
+                        tile: int, interpret: bool = False,
+                        dtype=jnp.bfloat16):
+    """One fused GL iteration over independent frame tiles.
+
+    Fr/Fi/S_mag: [T_total, K_freq] with T_total % tile == 0; each tile is one
+    utterance (or one independent segment). Returns (Fr', Fi')."""
+    from ..dsp import _dft_matrices
+
+    T, Kf = Fr.shape
+    assert T % tile == 0, (T, tile)
+    n_tiles = T // tile
+    C, S, iC, iS = (jnp.asarray(m, dtype) for m in _dft_matrices(n_fft))
+
+    tile_idx = lambda i: (i, 0)        # noqa: E731
+    const2 = lambda i: (0, 0)          # noqa: E731
+    const1 = lambda i: (0,)            # noqa: E731
+
+    kernel = functools.partial(_kernel, n_fft=n_fft, hop=hop, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(iC.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(iS.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(C.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(S.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, Kf), tile_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((T, Kf), F32),
+                   jax.ShapeDtypeStruct((T, Kf), F32)),
+        interpret=interpret,
+    )(Fr, Fi, S_mag, iC, iS, C, S, window, wsum_inv)
+
+
+def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
+                 out_r, out_i, *, n_fft: int, hop: int, n_iters: int, dtype):
+    """All n_iters GL iterations on one VMEM-resident tile: HBM traffic is
+    read(mag) + write(F_final) for the WHOLE loop.
+
+    VMEM economy: the forward DFT reuses the inverse matrices through
+    transposed contraction dims — C[n,k] == iC[k,n] * (N / w_k) — so only
+    iC/iS live in VMEM, halving resident matrix bytes."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    m = mag_ref[...]
+    bits = pltpu.prng_random_bits(m.shape)
+    phase = (bits.astype(F32) + 0.5) * (2.0 * np.pi / 4294967296.0)
+    K = -(-n_fft // hop) - 1
+    win = win_ref[...]
+    wsi = wsi_ref[...]
+    scale = scale_ref[...]
+    dn_t = (((1,), (1,)), ((), ()))  # contract last dims: g @ iC.T
+
+    def project(FrFi, _=None):
+        # loop state in bf16 (phase rounding only; magnitudes reapplied each
+        # iteration) to stay under the VMEM scoped limit
+        Fr, Fi = FrFi
+        xw = (jnp.dot(Fr, iC[...], preferred_element_type=F32)
+              - jnp.dot(Fi, iS[...], preferred_element_type=F32)) * win
+        acc = xw
+        for k in range(1, K + 1):
+            s = k * hop
+            acc = acc + jnp.pad(xw[k:, : n_fft - s], ((0, k), (s, 0))) \
+                      + jnp.pad(xw[:-k, s:], ((k, 0), (0, s)))
+        g = (acc * wsi * win).astype(dtype)
+        gr = jax.lax.dot_general(g, iC[...], dn_t,
+                                 preferred_element_type=F32) * scale
+        gi = -jax.lax.dot_general(g, iS[...], dn_t,
+                                  preferred_element_type=F32) * scale
+        inv = jax.lax.rsqrt(jnp.maximum(gr * gr + gi * gi, 1e-30))
+        return (m * gr * inv).astype(dtype), (m * gi * inv).astype(dtype)
+
+    Fr = (m * jnp.cos(phase)).astype(dtype)
+    Fi = (m * jnp.sin(phase)).astype(dtype)
+    Fr, Fi = jax.lax.fori_loop(0, n_iters, lambda _, c: project(c), (Fr, Fi))
+    out_r[...] = Fr.astype(F32)
+    out_i[...] = Fi.astype(F32)
+
+
+def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
+                            hop: int, window, interpret: bool = False,
+                            dtype=jnp.bfloat16):
+    """Batched GL, whole loop in-kernel: S_mag [B, T, Kf] -> complex F
+    [B, T, Kf] (= S_mag * final unit phase); caller istfts per item."""
+    from ..dsp import _dft_matrices
+
+    B, T, Kf = S_mag.shape
+    Tp = ((T + 7) // 8) * 8
+    flat = jnp.pad(S_mag, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
+    flat = flat.astype(F32)
+    _, _, iC_np, iS_np = _dft_matrices(n_fft)
+    iC = jnp.asarray(iC_np, dtype)
+    iS = jnp.asarray(iS_np, dtype)
+    # forward DFT via transposed contraction: scale[k] = N / w_k
+    w_k = np.full((Kf,), 2.0, np.float32)
+    w_k[0] = 1.0
+    if n_fft % 2 == 0:
+        w_k[-1] = 1.0
+    scale = jnp.asarray(n_fft / w_k)
+    wsi = jnp.asarray(ola_wsum_inv(np.asarray(window), n_fft, hop))
+    win = jnp.asarray(window, F32)
+
+    tile_idx = lambda i, *_: (i, 0)    # noqa: E731
+    const2 = lambda i, *_: (0, 0)      # noqa: E731
+    const1 = lambda i, *_: (0,)        # noqa: E731
+    kernel = functools.partial(_kernel_full, n_fft=n_fft, hop=hop,
+                               n_iters=n_iters, dtype=dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(iC.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(iS.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kf,), const1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
+        ),
+    )
+    Fr, Fi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B * Tp, Kf), F32),
+                   jax.ShapeDtypeStruct((B * Tp, Kf), F32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray([seed], jnp.int32), flat, iC, iS, win, wsi, scale)
+    F = jax.lax.complex(Fr, Fi).reshape(B, Tp, Kf)[:, :T]
+    return F
+
+
+def griffin_lim_pallas_batch(S_mag, key, *, n_iters: int, n_fft: int,
+                             hop: int, window, interpret: bool = False):
+    """Batched Griffin-Lim with the fused iteration kernel.
+
+    S_mag: [B, T, K_freq] time-major magnitudes (each utterance one tile).
+    Returns angles (complex [B, T, K_freq]) such that the caller's
+    istft(S_mag * angles) yields the waveform — matching dsp.griffin_lim's
+    fast path semantics.
+    """
+    B, T, Kf = S_mag.shape
+    # Mosaic needs the sublane (frame) tile divisible by 8; zero-magnitude
+    # pad frames contribute nothing to the in-tile OLA and are sliced off
+    Tp = ((T + 7) // 8) * 8
+    S_pad = jnp.pad(S_mag, ((0, 0), (0, Tp - T), (0, 0)))
+    wsi = jnp.asarray(ola_wsum_inv(np.asarray(window), n_fft, hop))
+    win = jnp.asarray(window, F32)
+    flat_mag = S_pad.reshape(B * Tp, Kf).astype(F32)
+    phase = jax.random.uniform(key, (B, T, Kf), minval=0.0,
+                               maxval=2.0 * jnp.pi)
+    phase = jnp.pad(phase, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
+    Fr = flat_mag * jnp.cos(phase)
+    Fi = flat_mag * jnp.sin(phase)
+
+    def body(_, FrFi):
+        Fr, Fi = FrFi
+        return gl_iteration_pallas(Fr, Fi, flat_mag, win, wsi, n_fft, hop,
+                                   tile=Tp, interpret=interpret)
+
+    Fr, Fi = jax.lax.fori_loop(0, n_iters, body, (Fr, Fi))
+    ang = jax.lax.complex(Fr, Fi) / jnp.maximum(flat_mag, 1e-16).astype(F32)
+    return ang.reshape(B, Tp, Kf)[:, :T]
