@@ -340,8 +340,9 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
         # batched magnitudes go through the fused Pallas iteration kernel
         use_pallas = jax.default_backend() == "tpu" and B > 1
     if use_pallas:
-        if T <= 256:
-            # whole GL loop in-kernel: per-tile VMEM residency fits
+        if T <= 512:
+            # whole GL loop in-kernel: per-tile VMEM residency fits (with the
+            # raised scoped-vmem budget; validated through 500-frame tiles)
             from .pallas.griffin_lim import griffin_lim_pallas_full
 
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)

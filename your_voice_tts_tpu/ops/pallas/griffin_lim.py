@@ -206,7 +206,12 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
         out_shape=(jax.ShapeDtypeStruct((B * Tp, Kf), F32),
                    jax.ShapeDtypeStruct((B * Tp, Kf), F32)),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the default scoped-vmem budget is 16MB; v5e cores have
+            # headroom beyond it, and the ~17MB working set at 500-frame
+            # tiles fits when raised
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(jnp.asarray([seed], jnp.int32), flat, iC, iS, win, wsi, scale)
     F = jax.lax.complex(Fr, Fi).reshape(B, Tp, Kf)[:, :T]
     return F
