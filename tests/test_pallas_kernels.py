@@ -103,3 +103,98 @@ def test_gl_batch_xla_path_reconstruction():
                               window=w, use_pallas=False)
     assert y.shape == (2, hop * (T - 1))
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_gl_full_kernel_matches_iteration_kernel():
+    """The whole-loop kernel (default TPU serving path for T<=512) must equal
+    n_iters applications of the per-iteration kernel from the same injected
+    initial phase (f32; the transposed-contraction forward DFT and the C/S
+    matrices agree to f32 rounding)."""
+    from your_voice_tts_tpu.ops.filters import hann_window
+    from your_voice_tts_tpu.ops.pallas.griffin_lim import (
+        gl_iteration_pallas, griffin_lim_pallas_full, ola_wsum_inv,
+    )
+
+    n_fft, hop, B, T, n_iters = 256, 64, 2, 24, 3
+    Kf = n_fft // 2 + 1
+    w = hann_window(n_fft, n_fft).astype(np.float32)
+    wj = jnp.asarray(w)
+    wsi = jnp.asarray(ola_wsum_inv(w, n_fft, hop))
+    mag = jnp.abs(jax.random.normal(KEY, (B, T, Kf))) + 0.1
+    ph = jax.random.uniform(jax.random.PRNGKey(5), (B, T, Kf)) * 2 * np.pi
+
+    with pltpu.force_tpu_interpret_mode():
+        F = griffin_lim_pallas_full(mag, 0, n_iters=n_iters, n_fft=n_fft,
+                                    hop=hop, window=wj, dtype=jnp.float32,
+                                    init_phase=ph)
+        # reference: per-iteration kernel, same padded/flattened layout
+        Tp = ((T + 7) // 8) * 8
+        mag_p = jnp.pad(mag, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
+        ph_p = jnp.pad(ph, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
+        Fr = mag_p * jnp.cos(ph_p)
+        Fi = mag_p * jnp.sin(ph_p)
+        for _ in range(n_iters):
+            Fr, Fi = gl_iteration_pallas(Fr, Fi, mag_p, wj, wsi, n_fft, hop,
+                                         tile=Tp, dtype=jnp.float32)
+    ref = np.asarray(jax.lax.complex(Fr, Fi).reshape(B, Tp, Kf)[:, :T])
+    got = np.asarray(F)
+    np.testing.assert_allclose(got.real, ref.real, atol=3e-3)
+    np.testing.assert_allclose(got.imag, ref.imag, atol=3e-3)
+
+
+def test_gl_full_kernel_reconstruction_gate():
+    """Quality gate for the default TPU serving path: |STFT(GL(S))| must
+    approach S (err/sig <= 0.25) through the use_pallas=True route with the
+    production bf16 loop state and in-kernel PRNG phase init."""
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+
+    n_fft, hop, T, B = 256, 64, 40, 2
+    sr_len = hop * (T + 3)
+    t = np.arange(sr_len) / 8000.0
+    wav = np.stack([
+        0.6 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(2 * np.pi * 1313.0 * t),
+        0.5 * np.sin(2 * np.pi * 220.0 * t) * np.linspace(0.2, 1.0, sr_len),
+    ]).astype(np.float32)
+    w = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
+    S = jnp.abs(jax.vmap(
+        lambda y: dsp.stft(y, jnp.int32(sr_len), n_fft, hop, w))(
+            jnp.asarray(wav)))[:, :T]
+    with pltpu.force_tpu_interpret_mode():
+        y = dsp.griffin_lim_batch(S, KEY, n_iters=30, n_fft=n_fft, hop=hop,
+                                  window=w, use_pallas=True)
+    assert y.shape == (B, hop * (T - 1))
+    S2 = jnp.abs(jax.vmap(
+        lambda v: dsp.stft(v, jnp.int32(y.shape[1]), n_fft, hop, w))(y))[:, :T]
+    err = float(jnp.linalg.norm(S2 - S) / jnp.linalg.norm(S))
+    assert err <= 0.25, f"GL reconstruction err/sig {err:.3f} > 0.25"
+
+
+def test_gl_batch_routing_by_length(monkeypatch):
+    """T<=512 must route to the whole-loop kernel, T>512 to the per-iteration
+    kernel (VMEM residency bound) — guard the dispatch in griffin_lim_batch."""
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+    from your_voice_tts_tpu.ops.pallas import griffin_lim as glmod
+
+    calls = []
+
+    def fake_full(S_mag, seed, **kw):
+        calls.append("full")
+        return S_mag.astype(jnp.complex64)
+
+    def fake_batch(S_mag, key, **kw):
+        calls.append("iter")
+        return jnp.ones(S_mag.shape, jnp.complex64)
+
+    monkeypatch.setattr(glmod, "griffin_lim_pallas_full", fake_full)
+    monkeypatch.setattr(glmod, "griffin_lim_pallas_batch", fake_batch)
+    n_fft, hop = 256, 64
+    w = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
+    short = jnp.ones((2, 32, n_fft // 2 + 1))
+    long = jnp.ones((2, 520, n_fft // 2 + 1))
+    dsp.griffin_lim_batch(short, KEY, n_iters=1, n_fft=n_fft, hop=hop,
+                          window=w, use_pallas=True)
+    dsp.griffin_lim_batch(long, KEY, n_iters=1, n_fft=n_fft, hop=hop,
+                          window=w, use_pallas=True)
+    assert calls == ["full", "iter"]

@@ -112,22 +112,14 @@ def gl_iteration_pallas(Fr, Fi, S_mag, window, wsum_inv, n_fft: int, hop: int,
     )(Fr, Fi, S_mag, iC, iS, C, S, window, wsum_inv)
 
 
-def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
-                 out_r, out_i, *, n_fft: int, hop: int, n_iters: int, dtype):
-    """All n_iters GL iterations on one VMEM-resident tile: HBM traffic is
-    read(mag) + write(F_final) for the WHOLE loop.
+def _gl_loop(m, Fr, Fi, iC, iS, win, wsi, scale, *, n_fft: int, hop: int,
+             n_iters: int, dtype):
+    """n_iters fused GL projections on VMEM-resident state.
 
     VMEM economy: the forward DFT reuses the inverse matrices through
     transposed contraction dims — C[n,k] == iC[k,n] * (N / w_k) — so only
     iC/iS live in VMEM, halving resident matrix bytes."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    m = mag_ref[...]
-    bits = pltpu.prng_random_bits(m.shape)
-    phase = (bits.astype(F32) + 0.5) * (2.0 * np.pi / 4294967296.0)
     K = -(-n_fft // hop) - 1
-    win = win_ref[...]
-    wsi = wsi_ref[...]
-    scale = scale_ref[...]
     dn_t = (((1,), (1,)), ((), ()))  # contract last dims: g @ iC.T
 
     def project(FrFi, _=None):
@@ -149,18 +141,50 @@ def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
         inv = jax.lax.rsqrt(jnp.maximum(gr * gr + gi * gi, 1e-30))
         return (m * gr * inv).astype(dtype), (m * gi * inv).astype(dtype)
 
+    return jax.lax.fori_loop(0, n_iters, lambda _, c: project(c), (Fr, Fi))
+
+
+def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
+                 out_r, out_i, *, n_fft: int, hop: int, n_iters: int, dtype):
+    """All n_iters GL iterations on one VMEM-resident tile: HBM traffic is
+    read(mag) + write(F_final) for the WHOLE loop. Phase init in-kernel via
+    the TPU PRNG (one seed scalar per launch, offset by tile id)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    m = mag_ref[...]
+    bits = pltpu.prng_random_bits(m.shape)
+    phase = (bits.astype(F32) + 0.5) * (2.0 * np.pi / 4294967296.0)
     Fr = (m * jnp.cos(phase)).astype(dtype)
     Fi = (m * jnp.sin(phase)).astype(dtype)
-    Fr, Fi = jax.lax.fori_loop(0, n_iters, lambda _, c: project(c), (Fr, Fi))
+    Fr, Fi = _gl_loop(m, Fr, Fi, iC, iS, win_ref[...], wsi_ref[...],
+                      scale_ref[...], n_fft=n_fft, hop=hop, n_iters=n_iters,
+                      dtype=dtype)
+    out_r[...] = Fr.astype(F32)
+    out_i[...] = Fi.astype(F32)
+
+
+def _kernel_full_init(mag_ref, fr0_ref, fi0_ref, iC, iS, win_ref, wsi_ref,
+                      scale_ref, out_r, out_i, *, n_fft: int, hop: int,
+                      n_iters: int, dtype):
+    """_kernel_full with the initial complex spectrogram injected from HBM —
+    the testability entry (equivalence vs the per-iteration kernel needs a
+    shared initial phase, which the in-kernel PRNG cannot provide)."""
+    m = mag_ref[...]
+    Fr, Fi = _gl_loop(m, fr0_ref[...].astype(dtype), fi0_ref[...].astype(dtype),
+                      iC, iS, win_ref[...], wsi_ref[...], scale_ref[...],
+                      n_fft=n_fft, hop=hop, n_iters=n_iters, dtype=dtype)
     out_r[...] = Fr.astype(F32)
     out_i[...] = Fi.astype(F32)
 
 
 def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
                             hop: int, window, interpret: bool = False,
-                            dtype=jnp.bfloat16):
+                            dtype=jnp.bfloat16, init_phase=None):
     """Batched GL, whole loop in-kernel: S_mag [B, T, Kf] -> complex F
-    [B, T, Kf] (= S_mag * final unit phase); caller istfts per item."""
+    [B, T, Kf] (= S_mag * final unit phase); caller istfts per item.
+
+    init_phase [B, T, Kf] (optional): injected initial phase replacing the
+    in-kernel PRNG init — used by the equivalence tests; production passes
+    None and pays no HBM read for the phase."""
     from ..dsp import _dft_matrices
 
     B, T, Kf = S_mag.shape
@@ -182,37 +206,47 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
     tile_idx = lambda i, *_: (i, 0)    # noqa: E731
     const2 = lambda i, *_: (0, 0)      # noqa: E731
     const1 = lambda i, *_: (0,)        # noqa: E731
-    kernel = functools.partial(_kernel_full, n_fft=n_fft, hop=hop,
-                               n_iters=n_iters, dtype=dtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(iC.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(iS.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kf,), const1, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM),
-        ),
-    )
-    Fr, Fi = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B * Tp, Kf), F32),
-                   jax.ShapeDtypeStruct((B * Tp, Kf), F32)),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # the default scoped-vmem budget is 16MB; v5e cores have
-            # headroom beyond it, and the ~17MB working set at 500-frame
-            # tiles fits when raised
-            vmem_limit_bytes=64 * 1024 * 1024),
-    )(jnp.asarray([seed], jnp.int32), flat, iC, iS, win, wsi, scale)
+    tile_spec = pl.BlockSpec((Tp, Kf), tile_idx, memory_space=pltpu.VMEM)
+    mat_specs = [
+        pl.BlockSpec(iC.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(iS.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fft,), const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kf,), const1, memory_space=pltpu.VMEM),
+    ]
+    out_specs = (tile_spec, tile_spec)
+    out_shape = (jax.ShapeDtypeStruct((B * Tp, Kf), F32),
+                 jax.ShapeDtypeStruct((B * Tp, Kf), F32))
+    compiler_params = pltpu.CompilerParams(
+        has_side_effects=True,
+        # the default scoped-vmem budget is 16MB; v5e cores have
+        # headroom beyond it, and the ~17MB working set at 500-frame
+        # tiles fits when raised
+        vmem_limit_bytes=64 * 1024 * 1024)
+
+    if init_phase is None:
+        kernel = functools.partial(_kernel_full, n_fft=n_fft, hop=hop,
+                                   n_iters=n_iters, dtype=dtype)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B,),
+            in_specs=[tile_spec] + mat_specs, out_specs=out_specs)
+        Fr, Fi = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret, compiler_params=compiler_params,
+        )(jnp.asarray([seed], jnp.int32), flat, iC, iS, win, wsi, scale)
+    else:
+        ph = jnp.pad(init_phase.astype(F32),
+                     ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
+        fr0 = flat * jnp.cos(ph)
+        fi0 = flat * jnp.sin(ph)
+        kernel = functools.partial(_kernel_full_init, n_fft=n_fft, hop=hop,
+                                   n_iters=n_iters, dtype=dtype)
+        Fr, Fi = pl.pallas_call(
+            kernel, grid=(B,),
+            in_specs=[tile_spec, tile_spec, tile_spec] + mat_specs,
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret, compiler_params=compiler_params,
+        )(flat, fr0, fi0, iC, iS, win, wsi, scale)
     F = jax.lax.complex(Fr, Fi).reshape(B, Tp, Kf)[:, :T]
     return F
 
