@@ -199,3 +199,79 @@ def test_pwgan_gan_trainer(corpus_items, tmp_path):
     mel = np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32)
     wav = vs.mel_to_wav(mel)
     assert wav.shape == (8 * 64,)
+
+
+# --- MoL / Gaussian output modes (reference wavernn MOLD/GAUSS; SURVEY.md:110) ---
+
+def test_mol_loss_matches_bruteforce_numpy():
+    """Discretized MoL NLL must equal a direct numpy evaluation of the
+    mixture CDF difference over the 16-bit bin."""
+    from your_voice_tts_tpu.vocoder.models.distribs import (
+        LOG_SCALE_MIN, discretized_mix_logistic_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    M, N = 3, 17
+    y_hat = rng.standard_normal((N, 3 * M)).astype(np.float32)
+    y = rng.uniform(-0.9, 0.9, N).astype(np.float32)
+    got = float(discretized_mix_logistic_loss(jnp.asarray(y_hat), jnp.asarray(y)))
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    lp = y_hat[:, :M] - np.log(np.exp(y_hat[:, :M]).sum(-1, keepdims=True))
+    means, log_s = y_hat[:, M:2 * M], np.maximum(y_hat[:, 2 * M:], LOG_SCALE_MIN)
+    half = 1.0 / 65535.0
+    c = y[:, None] - means
+    p = sigmoid((c + half) / np.exp(log_s)) - sigmoid((c - half) / np.exp(log_s))
+    ref = -np.log(np.exp(lp + np.log(np.maximum(p, 1e-12))).sum(-1)).mean()
+    np.testing.assert_allclose(got, ref, rtol=5e-4)
+
+
+def test_mol_gauss_sampling_stats():
+    """Samples must follow the parameterized distribution: a tight logistic/
+    Gaussian centered at mu yields samples near mu; wide scales spread."""
+    from your_voice_tts_tpu.vocoder.models.distribs import (
+        sample_from_discretized_mix_logistic, sample_from_gaussian,
+    )
+
+    N, M = 2048, 4
+    # mixture heavily favoring component 1 with mean 0.5, tiny scale
+    y_hat = np.zeros((N, 3 * M), np.float32)
+    y_hat[:, 1] = 8.0            # logits: component 1 dominates
+    y_hat[:, M + 1] = 0.5        # its mean
+    y_hat[:, 2 * M:] = -6.0      # all scales tiny
+    s = np.asarray(sample_from_discretized_mix_logistic(
+        jnp.asarray(y_hat), KEY))
+    assert abs(s.mean() - 0.5) < 0.01 and s.std() < 0.05
+    g = np.asarray(sample_from_gaussian(
+        jnp.asarray(np.tile([[0.25, -5.0]], (N, 1)).astype(np.float32)), KEY))
+    assert abs(g.mean() - 0.25) < 0.01 and g.std() < 0.05
+
+
+@pytest.mark.parametrize("mode", ["mol", "gauss"])
+def test_wavernn_mode_train_loss_decreases(corpus_items, mode):
+    from your_voice_tts_tpu.vocoder.train_wavernn import WaveRNNTrainer
+
+    cfg = dataclasses.replace(
+        VCFG, model="wavernn",
+        wavernn=dataclasses.replace(SMALL_WAVERNN, mode=mode, num_mixtures=4))
+    trainer = WaveRNNTrainer(cfg, corpus_items, verbose=False)
+    l0 = trainer.fit(max_steps=1)["loss"]
+    l5 = trainer.fit(max_steps=5)["loss"]
+    assert np.isfinite(l0) and np.isfinite(l5)
+    assert l5 < l0
+
+
+@pytest.mark.parametrize("mode", ["mol", "gauss"])
+def test_wavernn_mode_generate(mode):
+    w = SMALL_WAVERNN
+    model = WaveRNN(20, w.bits, w.rnn_dims, w.fc_dims, w.compute_dims,
+                    w.res_out_dims, w.num_res_blocks, w.pad,
+                    w.upsample_factors, mode=mode, num_mixtures=4)
+    p = model.init(KEY)
+    mel = jax.random.normal(KEY, (10, 20))
+    wav = model.generate(p, mel, KEY, batched=False, use_pallas=False)
+    a = np.asarray(wav)
+    assert a.shape == ((10 - 2 * w.pad) * 64,)
+    assert np.all(np.abs(a) <= 1.0) and np.all(np.isfinite(a))

@@ -14,8 +14,11 @@ This kernel keeps ALL weights resident in VMEM for the entire utterance:
   and skips the re-fetch on every later grid step.
 - the conditioning stream [L, B, C] is blocked over the grid; Pallas
   double-buffers the next chunk's DMA behind the current chunk's compute.
-- sampling runs in-kernel: per-step PRNG bits -> Gumbel-argmax over the
-  mu-law categorical, decoded to the next float sample.
+- sampling runs in-kernel for every I/O mode (mu-law categorical via
+  Gumbel-argmax, mixture-of-logistics, Gaussian), driven by a counter-based
+  hash PRNG keyed on (seed, global sample index) — deterministic across
+  backends and chunk sizes (pltpu.prng_random_bits is signed and returns
+  zeros under interpret mode; see _uniform).
 
 Batch rows B are the FOLDS of batched sequence folding, so the per-step
 matmuls are [B, 512] x [512, 1536] MXU ops instead of vector-matrix products.
@@ -48,11 +51,98 @@ def _gru(x_part, h, wh, bh):
     return (1.0 - z) * n + z * h
 
 
+# Counter-based in-kernel PRNG. pltpu.prng_random_bits silently returns
+# zeros under interpret mode (observed on this jax), which makes sampling
+# untestable off-TPU; a murmur3-finalizer hash over (seed, global step, call
+# salt, element index) gives identical, chunk-invariant draws on every
+# backend for a handful of integer VPU ops per sample. int32 arithmetic
+# wraps mod 2^32 in XLA, so the uint32 hash constants are pre-wrapped.
+_C1 = 0x85EBCA6B - (1 << 32)
+_C2 = 0xC2B2AE35 - (1 << 32)
+_GOLD = 0x9E3779B9 - (1 << 32)
+
+
+def _fmix32(x):
+    x = x ^ lax.shift_right_logical(x, 16)
+    x = x * np.int32(_C1)
+    x = x ^ lax.shift_right_logical(x, 13)
+    x = x * np.int32(_C2)
+    x = x ^ lax.shift_right_logical(x, 16)
+    return x
+
+
+def _uniform(shape, key, salt: int):
+    """Uniform(0,1) strictly inside (0,1); key is a traced int32 scalar
+    unique per (seed, sample step)."""
+    r = lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    lin = r * np.int32(shape[-1]) + c
+    x = _fmix32(lin * np.int32(_GOLD) + key + np.int32(salt * 7919))
+    mant = x & np.int32(0xFFFFFF)                  # 24 mantissa-safe bits
+    return (mant.astype(F32) + 0.5) * (1.0 / 16777216.0)
+
+
+def _sample_mulaw(logits, key, bits: int, greedy: bool):
+    mu = float(2 ** bits - 1)
+    log1p_mu = float(np.log1p(mu))
+    if greedy:
+        cls = jnp.argmax(logits, axis=-1)
+    else:
+        g = -jnp.log(-jnp.log(_uniform(logits.shape, key, 0)))  # Gumbel
+        cls = jnp.argmax(logits + g, axis=-1)                   # [B]
+    # mu-law decode to the next float sample (exp(x)-1: expm1 has no
+    # Mosaic lowering; x in [0, log1p(mu)] so precision loss is nil)
+    f = 2.0 * cls.astype(F32) / mu - 1.0
+    return jnp.sign(f) * (jnp.exp(jnp.abs(f) * log1p_mu) - 1.0) / mu
+
+
+def _sample_mol(logits, key, num_mixtures: int, greedy: bool):
+    """In-kernel mixture-of-logistics sampling (distribs.py semantics):
+    Gumbel-argmax mixture select as a one-hot reduce, then the logistic
+    inverse-CDF draw — all [B, M]-shaped VPU ops, no gathers."""
+    from ...vocoder.models.distribs import LOG_SCALE_MIN
+
+    M = num_mixtures
+    lp = logits[:, :M]
+    means = logits[:, M:2 * M]
+    log_s = jnp.maximum(logits[:, 2 * M:3 * M], LOG_SCALE_MIN)
+    if greedy:
+        idx = jnp.argmax(lp, axis=-1)
+    else:
+        g = -jnp.log(-jnp.log(_uniform(lp.shape, key, 1)))
+        idx = jnp.argmax(lp + g, axis=-1)
+    onehot = (lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+              == idx[:, None]).astype(F32)
+    mu = jnp.sum(onehot * means, axis=-1)
+    if greedy:
+        return jnp.clip(mu, -1.0, 1.0)
+    ls = jnp.sum(onehot * log_s, axis=-1)
+    u = jnp.sum(onehot * _uniform(lp.shape, key, 2), axis=-1)
+    u = jnp.clip(u, 1e-5, 1.0 - 1e-5)
+    x = mu + jnp.exp(ls) * (jnp.log(u) - jnp.log1p(-u))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def _sample_gauss(logits, key, greedy: bool):
+    from ...vocoder.models.distribs import LOG_SCALE_MIN
+
+    mu = logits[:, 0]
+    if greedy:
+        return jnp.clip(mu, -1.0, 1.0)
+    log_s = jnp.maximum(logits[:, 1], LOG_SCALE_MIN)
+    # Box-Muller from two independent uniform planes
+    u1 = _uniform(mu.shape + (1,), key, 3)[:, 0]
+    u2 = _uniform(mu.shape + (1,), key, 4)[:, 0]
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+    return jnp.clip(mu + jnp.exp(log_s) * z, -1.0, 1.0)
+
+
 def _kernel(seed_ref, cond_ref,
             i_w, i_b, g1_wx, g1_wh, g1_bx, g1_bh, g2_wx, g2_wh, g2_bx, g2_bh,
             fc1_w, fc1_b, fc2_w, fc2_b, fc3_w, fc3_b,
             out_ref, h1_ref, h2_ref, x_ref, *, chunk: int, n_mels: int,
-            aux_dims: int, bits: int, greedy: bool = False):
+            aux_dims: int, bits: int, mode: str = "mulaw",
+            num_mixtures: int = 10, greedy: bool = False):
     step0 = pl.program_id(0) == 0
 
     @pl.when(step0)
@@ -61,11 +151,13 @@ def _kernel(seed_ref, cond_ref,
         h2_ref[...] = jnp.zeros_like(h2_ref)
         x_ref[...] = jnp.zeros_like(x_ref)
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    mu = float(2 ** bits - 1)
-    log1p_mu = float(np.log1p(mu))
+    seed = seed_ref[0]
+    chunk_base = pl.program_id(0) * np.int32(chunk)
 
     def body(t, _):
+        # per-sample PRNG key: unique per (seed, global sample index),
+        # independent of chunking
+        key = _fmix32(seed + (chunk_base + t) * np.int32(_GOLD))
         c_t = cond_ref[t]                      # [B, C] = [B, 1+n_mels+4*aux]
         m_t = c_t[:, :n_mels]
         a1 = c_t[:, n_mels: n_mels + aux_dims]
@@ -94,19 +186,12 @@ def _kernel(seed_ref, cond_ref,
                                  preferred_element_type=F32) + fc2_b[...])
         logits = jnp.dot(f2, fc3_w[...], preferred_element_type=F32) + fc3_b[...]
 
-        if greedy:
-            cls = jnp.argmax(logits, axis=-1)  # deterministic (testing)
+        if mode == "mulaw":
+            sample = _sample_mulaw(logits, key, bits, greedy)
+        elif mode == "mol":
+            sample = _sample_mol(logits, key, num_mixtures, greedy)
         else:
-            # Gumbel-argmax categorical sample
-            bits_u32 = pltpu.prng_random_bits(logits.shape)
-            u = (bits_u32.astype(F32) + 0.5) * (1.0 / 4294967296.0) + 1e-12
-            g = -jnp.log(-jnp.log(u))
-            cls = jnp.argmax(logits + g, axis=-1)  # [B]
-
-        # mu-law decode to the next float sample (exp(x)-1: expm1 has no
-        # Mosaic lowering; x in [0, log1p(mu)] so precision loss is nil)
-        f = 2.0 * cls.astype(F32) / mu - 1.0
-        sample = jnp.sign(f) * (jnp.exp(jnp.abs(f) * log1p_mu) - 1.0) / mu
+            sample = _sample_gauss(logits, key, greedy)
 
         h1_ref[...] = h1
         h2_ref[...] = h2
@@ -127,13 +212,16 @@ def default_chunk(batch: int, channels: int, budget_bytes: int = 2 << 20) -> int
 
 def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
                             seed, *, bits: int, chunk: int | None = None,
-                            interpret: bool = False,
+                            interpret: bool = False, mode: str = "mulaw",
+                            num_mixtures: int = 10,
                             greedy: bool = False) -> jnp.ndarray:
     """Decode folds with the weights-resident Pallas kernel.
 
     params: the WaveRNN param pytree (models/wavernn.py layout).
     cond: [B, L, n_mels] upsampled conditioning; aux: [B, L, 4*aux_dims].
-    Returns samples [B, L]. L is padded up to a chunk multiple internally.
+    mode: 'mulaw' (categorical), 'mol', or 'gauss' — sampling runs in-kernel
+    for all three. Returns samples [B, L]; L is padded up to a chunk multiple
+    internally.
     """
     B, L, n_mels = cond.shape
     aux_dims = aux.shape[-1] // 4
@@ -158,6 +246,13 @@ def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
     w = [jnp.asarray(x, F32) for x in w]
     rnn_dims = w[2].shape[0]
     n_classes = w[14].shape[1]
+    if n_classes % 128:
+        # lane-pad the narrow MoL/Gauss head; pad logits take a huge negative
+        # bias so a full-width argmax (mulaw path) could never pick them, and
+        # the mode samplers slice the real columns anyway
+        padn = 128 - n_classes % 128
+        w[14] = jnp.pad(w[14], ((0, 0), (0, padn)))
+        w[15] = jnp.pad(w[15], ((0, padn),), constant_values=-1e9)
 
     # The input sample channel slot: cond stream layout is [mel | a1..a4];
     # x_prev is carried in scratch, so C here excludes it.
@@ -177,7 +272,8 @@ def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
         ],
     )
     kernel = functools.partial(_kernel, chunk=chunk, n_mels=n_mels,
-                               aux_dims=aux_dims, bits=bits, greedy=greedy)
+                               aux_dims=aux_dims, bits=bits, mode=mode,
+                               num_mixtures=num_mixtures, greedy=greedy)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -33,8 +33,9 @@ class PWGANConfig:
 
 @dataclass(frozen=True)
 class WaveRNNConfig:
-    mode: str = "mulaw"          # "mulaw" (categorical) | "gauss"
+    mode: str = "mulaw"          # "mulaw" (categorical) | "mol" | "gauss"
     bits: int = 10               # mu-law quantization bits
+    num_mixtures: int = 10       # MoL components (mode == "mol")
     rnn_dims: int = 512
     fc_dims: int = 512
     compute_dims: int = 128

@@ -134,10 +134,19 @@ class WaveRNN:
     def __init__(self, n_mels: int = 80, bits: int = 10, rnn_dims: int = 512,
                  fc_dims: int = 512, compute_dims: int = 128,
                  res_out_dims: int = 128, num_res_blocks: int = 10,
-                 pad: int = 2, upsample_factors=(4, 8, 8), mode: str = "mulaw"):
+                 pad: int = 2, upsample_factors=(4, 8, 8), mode: str = "mulaw",
+                 num_mixtures: int = 10):
         assert res_out_dims % 4 == 0
+        assert mode in ("mulaw", "mol", "gauss"), mode
         self.n_mels, self.bits, self.mode = n_mels, bits, mode
-        self.n_classes = 2 ** bits
+        self.num_mixtures = num_mixtures
+        # output head width by I/O mode (reference wavernn RAW/MOLD/GAUSS)
+        if mode == "mulaw":
+            self.n_classes = 2 ** bits
+        elif mode == "mol":
+            self.n_classes = 3 * num_mixtures
+        else:
+            self.n_classes = 2
         self.aux_dims = res_out_dims // 4
         self.pad = pad
         self.upsample = UpsampleNetwork(n_mels, upsample_factors, compute_dims,
@@ -180,6 +189,37 @@ class WaveRNN:
         x = jax.nn.relu(self.fc2(p["fc2"], jnp.concatenate([x, a4], axis=-1)))
         return h1, h2, self.fc3(p["fc3"], x)
 
+    def _sample_output(self, logits, key, greedy: bool = False):
+        """Draw the next float sample in [-1,1] from the head output, by mode
+        (greedy: argmax class / most-probable-mixture mean / Gaussian mean)."""
+        if self.mode == "mulaw":
+            if greedy:
+                cls = jnp.argmax(logits, axis=-1)
+            else:
+                cls = jax.random.categorical(key, logits, axis=-1)
+            return decode_mulaw(cls, self.bits)
+        from .distribs import (sample_from_discretized_mix_logistic,
+                               sample_from_gaussian)
+        if self.mode == "mol":
+            return sample_from_discretized_mix_logistic(logits, key, greedy)
+        return sample_from_gaussian(logits, key, greedy)
+
+    def loss(self, p: Params, mels, audio):
+        """Teacher-forced NLL by I/O mode. audio: [B, L] float in [-1,1]."""
+        if self.mode == "mulaw":
+            targets = encode_mulaw(audio, self.bits)
+            x_in = label_to_float(
+                jnp.pad(targets[:, :-1], ((0, 0), (1, 0))), self.bits)
+            logits = self.forward(p, x_in, mels)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
+        from .distribs import discretized_mix_logistic_loss, gaussian_loss
+        x_in = jnp.pad(audio[:, :-1], ((0, 0), (1, 0)))
+        y_hat = self.forward(p, x_in, mels)
+        if self.mode == "mol":
+            return discretized_mix_logistic_loss(y_hat, audio)
+        return gaussian_loss(y_hat, audio)
+
     def forward(self, p: Params, x, mels):
         """Teacher-forced training pass.
 
@@ -221,12 +261,8 @@ class WaveRNN:
             m_t, a1t, a2t, a3t, a4t = inp
             h1, h2, logits = self._core_step(p, h1, h2, x_prev, m_t,
                                              a1t, a2t, a3t, a4t)
-            if greedy:
-                cls = jnp.argmax(logits, axis=-1)
-            else:
-                k, sub = jax.random.split(k)
-                cls = jax.random.categorical(sub, logits, axis=-1)  # [B]
-            x = decode_mulaw(cls, self.bits)[..., None]
+            k, sub = jax.random.split(k)
+            x = self._sample_output(logits, sub, greedy)[..., None]
             return (h1, h2, x, k), x[..., 0]
 
         seq = tuple(jnp.swapaxes(a, 0, 1) for a in (cond, a1, a2, a3, a4))
@@ -262,7 +298,9 @@ class WaveRNN:
             from ...ops.pallas.wavernn_gen import wavernn_generate_pallas
 
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
-            return wavernn_generate_pallas(p, cond, aux, seed, bits=self.bits)
+            return wavernn_generate_pallas(p, cond, aux, seed, bits=self.bits,
+                                           mode=self.mode,
+                                           num_mixtures=self.num_mixtures)
         return self.generate_fold(p, cond, aux, key)
 
 

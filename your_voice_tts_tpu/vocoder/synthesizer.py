@@ -61,7 +61,7 @@ class VocoderSynthesizer:
             self.model = WaveRNN(self.cfg.audio.num_mels, w.bits, w.rnn_dims,
                                  w.fc_dims, w.compute_dims, w.res_out_dims,
                                  w.num_res_blocks, w.pad, w.upsample_factors,
-                                 w.mode)
+                                 w.mode, num_mixtures=w.num_mixtures)
             self.params = self.model.init(jax.random.PRNGKey(0))
             if checkpoint:
                 self.params, _, _, _ = load_checkpoint(

@@ -1,5 +1,6 @@
 """WaveRNN trainer (reference vocoder WaveRNN training loop): teacher-forced
-cross-entropy over mu-law classes, one jitted scan step."""
+NLL by I/O mode (mu-law cross-entropy / MoL / Gaussian), one jitted scan
+step."""
 
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from ..audio import AudioProcessor
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from .config import VocoderConfig
 from .dataset import GANDataset
-from .models.wavernn import WaveRNN, encode_mulaw, label_to_float
+from .models.wavernn import WaveRNN
 
 
 class WaveRNNTrainState(NamedTuple):
@@ -38,7 +39,8 @@ class WaveRNNTrainer:
             f"wavernn upsample product {prod} != hop {self.ap.hop_length}")
         self.model = WaveRNN(cfg.audio.num_mels, w.bits, w.rnn_dims, w.fc_dims,
                              w.compute_dims, w.res_out_dims, w.num_res_blocks,
-                             w.pad, w.upsample_factors, w.mode)
+                             w.pad, w.upsample_factors, w.mode,
+                             num_mixtures=w.num_mixtures)
         self.dataset = GANDataset(items, self.ap, cfg.training.seq_len, pad=w.pad)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.training.grad_clip),
@@ -51,17 +53,10 @@ class WaveRNNTrainer:
         self._step_fn = self._build_step()
 
     def _build_step(self):
-        bits = self.cfg.wavernn.bits
-
         def loss_fn(params, mel, audio):
-            # classes for each sample; inputs are previous samples
-            targets = encode_mulaw(audio, bits)                  # [B, L]
-            x_in = label_to_float(
-                jnp.pad(targets[:, :-1], ((0, 0), (1, 0))), bits)  # x_{t-1}
-            logits = self.model.forward(params, x_in, mel)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-            return nll.mean()
+            # NLL by I/O mode: mu-law cross-entropy, discretized MoL, or
+            # Gaussian (models/wavernn.py::WaveRNN.loss)
+            return self.model.loss(params, mel, audio)
 
         @jax.jit
         def train_step(state: WaveRNNTrainState, mel, audio):
