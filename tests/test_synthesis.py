@@ -137,3 +137,19 @@ def test_server_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(server + "/nope")
     assert ei.value.code == 404
+
+
+def test_synthesizer_streaming_yields_chunks(cfg, model_and_vars, tmp_path):
+    """tts_streaming must yield one wav chunk per text piece with decoder
+    state carried between pieces (inference_truncated path)."""
+    model, variables = model_and_vars
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params=variables["params"],
+                    model_state=variables["state"], opt_state={}, step=1,
+                    epoch=0, r=2)
+    synth = Synthesizer(cfg, ckpt)
+    chunks = list(synth.tts_streaming("Sentence one. Sentence two."))
+    assert len(chunks) == 2
+    for c in chunks:
+        assert c.dtype == np.float32 and c.ndim == 1 and len(c) > 0
+        assert np.all(np.isfinite(c))

@@ -226,3 +226,44 @@ def test_inference_incremental_matches_full(model, variables):
                                np.asarray(full["mel_lengths"]))
     # early exit: never runs past max_decoder_steps, stops on chunk boundary
     assert inc["postnet_outputs"].shape[1] <= full["postnet_outputs"].shape[1]
+
+
+def test_inference_truncated_fresh_equals_inference(model, variables):
+    """With no incoming stream state, inference_truncated must equal
+    inference() exactly (same carry init, same scan)."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(7))
+    full = model.inference(variables, text, text_len, max_decoder_steps=10)
+    out, stream = model.inference_truncated(variables, text, text_len,
+                                            max_decoder_steps=10)
+    np.testing.assert_allclose(np.asarray(out["postnet_outputs"]),
+                               np.asarray(full["postnet_outputs"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["alignments"]),
+                               np.asarray(full["alignments"]), atol=1e-6)
+    assert len(stream) == 3  # (attn_hc, dec_hc, prev_frame)
+
+
+def test_inference_truncated_streams_state_across_chunks(model, variables):
+    """Chunk 2 decoded with chunk 1's stream state must (a) start from
+    chunk 1's last frame and RNN hiddens — differing from a cold decode of
+    the same text — and (b) return a usable next state (long-text streaming,
+    reference inference_truncated)."""
+    text1, len1, _, _, _ = make_batch(jax.random.PRNGKey(8))
+    text2, len2, _, _, _ = make_batch(jax.random.PRNGKey(9))
+    out1, stream1 = model.inference_truncated(variables, text1, len1,
+                                              max_decoder_steps=8)
+    # stream state reflects real decoding (nonzero hiddens / frame)
+    assert any(float(jnp.abs(x).max()) > 0 for x in jax.tree_util.tree_leaves(stream1))
+    warm, stream2 = model.inference_truncated(variables, text2, len2,
+                                              max_decoder_steps=8,
+                                              stream_state=stream1)
+    cold, _ = model.inference_truncated(variables, text2, len2,
+                                        max_decoder_steps=8)
+    w = np.asarray(warm["postnet_outputs"])
+    c = np.asarray(cold["postnet_outputs"])
+    assert w.shape == c.shape and np.all(np.isfinite(w))
+    assert not np.allclose(w, c)  # carried state changed the decode
+    # determinism: same state, same chunk -> identical output
+    again, _ = model.inference_truncated(variables, text2, len2,
+                                         max_decoder_steps=8,
+                                         stream_state=stream1)
+    np.testing.assert_allclose(w, np.asarray(again["postnet_outputs"]), atol=0)

@@ -110,6 +110,43 @@ class Synthesizer:
                 pieces.append(silence)
         return np.concatenate(pieces) if pieces else silence
 
+    def tts_streaming(self, text: str, chunk_chars: int = 120):
+        """Generator: yield waveform chunks as they are decoded, with decoder
+        state carried across text chunks via Tacotron2.inference_truncated —
+        arbitrarily long text streams with memory bounded by the chunk size
+        (reference inference_truncated; SURVEY.md:96).
+
+        Chunks are sentence-aligned where possible; sentences longer than
+        chunk_chars are split hard."""
+        import jax
+        import jax.numpy as jnp
+
+        from .synthesis import text_to_seq
+
+        if not hasattr(self.model, "inference_truncated"):
+            yield self.tts(text)
+            return
+        pieces: list[str] = []
+        for s in split_into_sentences(text) or [text]:
+            while len(s) > chunk_chars:
+                pieces.append(s[:chunk_chars])
+                s = s[chunk_chars:]
+            pieces.append(s)
+        stream = None
+        for piece in pieces:
+            seq = text_to_seq(piece, self.cfg)
+            text_ids = jnp.asarray(seq, jnp.int32)[None]
+            lengths = jnp.asarray([len(seq)], jnp.int32)
+            out, stream = self.model.inference_truncated(
+                self.variables, text_ids, lengths, stream_state=stream)
+            n = int(out["mel_lengths"][0])
+            mel = np.asarray(out["postnet_outputs"][0][:max(n, 1)])
+            if self.vocoder is not None:
+                wav = np.asarray(self.vocoder.mel_to_wav(mel[None])[0])
+            else:
+                wav = np.asarray(self.ap.inv_melspectrogram(mel.T))
+            yield wav.astype(np.float32)
+
     def tts_to_wav_bytes(self, text: str, **kw) -> bytes:
         """WAV container bytes for HTTP streaming (reference server flow)."""
         wav = self.tts(text, **kw)

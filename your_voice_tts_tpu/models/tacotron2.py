@@ -241,14 +241,45 @@ class Decoder:
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             steps_done * r
 
-    def init_inference_carry(self, B: int, inputs, rng):
+    def init_inference_carry(self, B: int, inputs, rng, stream=None):
+        """Fresh decode carry; if `stream` (attn_hc, dec_hc, prev_frame) from
+        a previous text chunk is given, the RNN hiddens and last emitted
+        frame persist while attention state and context reset for the new
+        chunk (reference Decoder.inference_truncated `_init_states(...,
+        keep_states=True)` semantics)."""
+        inner4 = self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4]
+        prev_frame = jnp.zeros((B, self.n_mels), inputs.dtype)
+        if stream is not None:
+            attn_hc, dec_hc, prev_frame = stream
+            inner4 = (attn_hc, dec_hc) + inner4[2:]
         return (
-            self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4],
-            jnp.zeros((B, self.n_mels), inputs.dtype),
+            inner4,
+            prev_frame,
             jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32),
             rng,
         )
+
+    def inference_truncated(self, p: Params, state: Params, inputs,
+                            input_lengths, rng, max_steps: int,
+                            r: int | None = None, stream=None):
+        """Streaming decode across text chunks with bounded memory (reference
+        models/tacotron2.py inference_truncated): RNN hidden states and the
+        last mel frame carry from chunk to chunk, so arbitrarily long text
+        streams as a sequence of bounded decodes.
+
+        Returns (outputs, alignments, stop_probs, out_lengths, stream') where
+        stream' = (attn_hc, dec_hc, prev_frame) seeds the next chunk."""
+        r = r or self.r_init
+        B = inputs.shape[0]
+        carry0 = self.init_inference_carry(B, inputs, rng, stream=stream)
+        carry, (dec_out, aligns, stops) = self.inference_scan(
+            p, state, inputs, input_lengths, carry0, max_steps, r)
+        inner4, prev_frame = carry[0], carry[1]
+        dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, max_steps * r, self.n_mels)
+        stream_out = (inner4[0], inner4[1], prev_frame)
+        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            carry[3] * r, stream_out
 
     def inference_scan(self, p: Params, state: Params, inputs, input_lengths,
                        carry, n_steps: int, r: int):
@@ -439,6 +470,41 @@ class Tacotron2:
             "stop_probs": stops,
             "mel_lengths": out_lengths,
         }
+
+    def inference_truncated(self, variables, text, text_lengths, rng=None,
+                            speaker_ids=None, speaker_embeddings=None,
+                            style_mel=None, max_decoder_steps: int | None = None,
+                            r: int | None = None, stream_state=None):
+        """Streaming synthesis over text CHUNKS with state carried between
+        calls (reference Tacotron2.inference_truncated; SURVEY.md:96):
+        decoder RNN hiddens + last mel frame persist across calls, attention
+        restarts on each chunk's encoder memory. Feed successive pieces of a
+        long text and concatenate the returned mels — memory stays bounded by
+        the chunk length.
+
+        Returns (outputs_dict, stream_state'); pass stream_state' to the next
+        call. stream_state=None starts a fresh utterance."""
+        r = r or self.r
+        params, state = variables["params"], variables["state"]
+        max_steps = max_decoder_steps or self.cfg.max_decoder_steps
+        x = self.embedding(params["embedding"], text)
+        enc_out, _ = self.encoder(params["encoder"], state["encoder"],
+                                  x, text_lengths, None, train=False)
+        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
+                                  style_mel=style_mel)
+        dec_out, aligns, stops, out_lengths, stream_out = \
+            self.decoder.inference_truncated(
+                params["decoder"], state["decoder"], enc_out, text_lengths,
+                rng, max_steps, r=r, stream=stream_state)
+        residual, _ = self.postnet(params["postnet"], state["postnet"],
+                                   dec_out, None, train=False)
+        return {
+            "decoder_outputs": dec_out,
+            "postnet_outputs": dec_out + residual,
+            "alignments": aligns,
+            "stop_probs": stops,
+            "mel_lengths": out_lengths,
+        }, stream_out
 
     def inference_incremental(self, variables, text, text_lengths, rng=None,
                               speaker_ids=None, speaker_embeddings=None,
