@@ -229,3 +229,44 @@ def test_melspectrogram_batch_matches_single(ap):
         single = ap.melspectrogram(y).T
         assert m.shape == single.shape
         np.testing.assert_allclose(m, single, atol=1e-5)
+
+
+def test_stats_path_mean_std_normalization(tmp_path):
+    """AudioConfig.stats_path switches normalization to per-bin mean/std
+    scaling (reference scale_stats.npy): normalized corpus mels must be
+    ~zero-mean/unit-std per bin, and inv_melspectrogram must invert through
+    the same scaler."""
+    import dataclasses
+
+    from your_voice_tts_tpu.bin.compute_statistics import compute_statistics
+    from your_voice_tts_tpu.config import AudioConfig
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+    from your_voice_tts_tpu.data.formatters import synthetic
+
+    corpus = str(tmp_path / "corp")
+    make_synthetic_corpus(corpus, n_items=4, sr=8000)
+    base = AudioConfig(sample_rate=8000, fft_size=256, hop_length=64,
+                       win_length=256, num_mels=20, mel_fmax=None,
+                       do_trim_silence=False, griffin_lim_iters=4)
+    items = synthetic(corpus)
+    cfg_for_stats = dataclasses.replace(base)
+    stats = compute_statistics(cfg_like(cfg_for_stats), items)
+    sp = str(tmp_path / "scale_stats.npy")
+    np.save(sp, stats, allow_pickle=True)
+
+    ap = AudioProcessor(dataclasses.replace(base, stats_path=sp))
+    mels = np.concatenate(
+        [ap.melspectrogram(ap.load_wav(it[1])) for it in items], axis=1)
+    assert abs(float(mels.mean())) < 0.1          # ~zero mean per corpus
+    assert 0.8 < float(mels.std()) < 1.2          # ~unit variance
+    # scaler round-trips through the inverse path (GL is lossy; check shape
+    # + the denormalized dB range is plausible rather than clipped)
+    wav = ap.inv_melspectrogram(mels[:, :32])
+    assert wav.ndim == 1 and len(wav) > 0 and np.all(np.isfinite(wav))
+
+
+def cfg_like(audio_cfg):
+    """Wrap a bare AudioConfig in the minimal object compute_statistics needs."""
+    import types
+
+    return types.SimpleNamespace(audio=audio_cfg)

@@ -18,7 +18,7 @@ KEY = jax.random.PRNGKey(0)
 N_MELS, N_FREQ = 20, 129
 SMALL = ModelConfig(model="Tacotron", r=5, memory_size=4, max_decoder_steps=8,
                     attention_dim=24, attention_location_filters=8,
-                    attention_location_kernel_size=15)
+                    attention_location_kernel_size=15, tacotron_width=32)
 
 
 @pytest.fixture(scope="module")
@@ -75,12 +75,17 @@ def test_train_step_linear_loss_and_params_change(model, variables):
 
     params, state = variables["params"], variables["state"]
     opt_state = optimizer.init(params)
-    losses = []
-    for _ in range(4):
+
+    @jax.jit
+    def step(params, state, opt_state):
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state)
         updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = step(params, state, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     flat0 = {jax.tree_util.keystr(k): v for k, v in

@@ -99,3 +99,72 @@ def test_pad_with_eos_bos():
 def test_unknown_chars_dropped():
     seq = text_to_sequence("a你b", "basic_cleaners")
     assert sequence_to_text(seq) == "ab"
+
+
+# --- CMUDict / inline ARPAbet (reference utils/text/cmudict.py) -------------
+
+CMU_FIXTURE = """;;; fixture lexicon
+HELLO  HH AH0 L OW1
+HELLO(1)  HH EH0 L OW1
+WORLD  W ER1 L D
+LEFT  L EH1 F T
+BAD SYMBOLS QQ XX
+"""
+
+
+def _fixture_dict(tmp_path):
+    p = tmp_path / "cmudict.txt"
+    p.write_text(CMU_FIXTURE, encoding="latin-1")
+    return str(p)
+
+
+def test_cmudict_parse_and_lookup(tmp_path):
+    from your_voice_tts_tpu.text.cmudict import CMUDict
+
+    d = CMUDict(_fixture_dict(tmp_path))
+    assert len(d) == 3  # invalid-symbol line dropped
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    assert d.lookup("WORLD") == ["W ER1 L D"]
+    assert d.lookup("missing") is None
+
+
+def test_arpabet_to_ipa_stress():
+    from your_voice_tts_tpu.text.cmudict import arpabet_to_ipa
+
+    assert arpabet_to_ipa("HH AH0 L OW1") == "hʌlˈoʊ"
+    assert arpabet_to_ipa("W ER1 L D") == "wˈɚld"
+
+
+def test_inline_arpabet_in_text_to_sequence():
+    from your_voice_tts_tpu.text import sequence_to_text, text_to_sequence
+
+    seq = text_to_sequence("turn {L EH1 F T} now")
+    rendered = sequence_to_text(seq)
+    # the four ARPAbet ids sit between the cleaned text segments
+    assert rendered == "turn @L@EH1@F@T now"
+    # unknown phones are dropped, text segments survive
+    seq2 = text_to_sequence("a {QQ} b")
+    assert sequence_to_text(seq2) == "a  b"
+
+
+def test_cmudict_backend_phonemize_and_oov(tmp_path):
+    from your_voice_tts_tpu.text import CMUDictBackend
+
+    b = CMUDictBackend(_fixture_dict(tmp_path))
+    ipa = b.phonemize("hello world")
+    assert "ˈ" in ipa and " " in ipa
+    assert b.oov_count == 0
+    b.phonemize("zyxwv")  # OOV -> rule fallback
+    assert b.oov_count == 1
+
+
+def test_default_g2p_backend_warns_on_rule_fallback(caplog):
+    import logging
+
+    from your_voice_tts_tpu.text import RuleG2PBackend, default_g2p_backend
+
+    with caplog.at_level(logging.WARNING, logger="your_voice_tts_tpu.text"):
+        b = default_g2p_backend("en-us")  # no espeak in this env
+    assert isinstance(b, RuleG2PBackend)
+    assert any("not linguistically faithful" in r.message.lower() or
+               "rule-based" in r.message.lower() for r in caplog.records)

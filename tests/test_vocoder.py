@@ -275,3 +275,29 @@ def test_wavernn_mode_generate(mode):
     a = np.asarray(wav)
     assert a.shape == ((10 - 2 * w.pad) * 64,)
     assert np.all(np.abs(a) <= 1.0) and np.all(np.isfinite(a))
+
+
+def test_vocoder_trainers_shard_over_mesh(corpus_items):
+    """Both vocoder trainers must run their steps data-parallel over the
+    8-virtual-device mesh (params replicated, batch sharded — mirroring the
+    TTS trainer; reference DP wraps all training, SURVEY.md SS2.3)."""
+    from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
+    from your_voice_tts_tpu.vocoder.train_wavernn import WaveRNNTrainer
+
+    train8 = dataclasses.replace(SMALL_TRAIN, batch_size=8)
+    gcfg = dataclasses.replace(VCFG, training=train8)
+    gan = GANTrainer(gcfg, corpus_items, verbose=False)
+    assert gan.n_devices == 8
+    m = gan.fit(max_steps=1)
+    assert np.isfinite(m["gen_loss"])
+    # params stayed replicated after the sharded update
+    leaf = jax.tree_util.tree_leaves(gan.state.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    wcfg = dataclasses.replace(VCFG, model="wavernn", training=train8)
+    wrnn = WaveRNNTrainer(wcfg, corpus_items, verbose=False)
+    assert wrnn.n_devices == 8
+    m = wrnn.fit(max_steps=1)
+    assert np.isfinite(m["loss"])
+    leaf = jax.tree_util.tree_leaves(wrnn.state.params)[0]
+    assert leaf.sharding.is_fully_replicated

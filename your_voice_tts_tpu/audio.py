@@ -49,6 +49,16 @@ class AudioProcessor:
         ).astype(np.float32)
         self.inv_mel_basis = inv_mel_basis(self.mel_basis.astype(np.float64)).astype(np.float32)
         self.window = hann_window(self.win_length, config.fft_size).astype(np.float32)
+        # mean/std scaler stats (reference stats_path -> scale_stats.npy):
+        # per-bin (mean, std) over dB-minus-ref values, replacing range norm
+        self.mel_stats = self.linear_stats = None
+        if config.stats_path:
+            stats = np.load(config.stats_path, allow_pickle=True).item()
+            self.mel_stats = (np.asarray(stats["mel_mean"], np.float32),
+                              np.asarray(stats["mel_std"], np.float32))
+            if "linear_mean" in stats:
+                self.linear_stats = (np.asarray(stats["linear_mean"], np.float32),
+                                     np.asarray(stats["linear_std"], np.float32))
         self._jit_cache: dict = {}
         self._gl_key = jax.random.PRNGKey(0)
 
@@ -74,17 +84,25 @@ class AudioProcessor:
             max_norm=c.max_norm, symmetric=c.symmetric_norm, clip=c.clip_norm,
             signal_norm=c.signal_norm,
         )
+        def _stats(pair):
+            return None if pair is None else (jnp.asarray(pair[0]),
+                                              jnp.asarray(pair[1]))
+
         if kind == "mel":
-            fn = jax.jit(partial(dsp.melspectrogram, mel_basis=jnp.asarray(self.mel_basis), **common))
+            fn = jax.jit(partial(dsp.melspectrogram, mel_basis=jnp.asarray(self.mel_basis),
+                                 stats=_stats(self.mel_stats), **common))
         elif kind == "spec":
-            fn = jax.jit(partial(dsp.spectrogram, **common))
+            fn = jax.jit(partial(dsp.spectrogram,
+                                 stats=_stats(self.linear_stats), **common))
         elif kind == "inv_mel":
             fn = jax.jit(partial(
                 dsp.inv_melspectrogram, mel_inv_basis=jnp.asarray(self.inv_mel_basis),
-                power=c.power, gl_iters=c.griffin_lim_iters, **common))
+                power=c.power, gl_iters=c.griffin_lim_iters,
+                stats=_stats(self.mel_stats), **common))
         elif kind == "inv_spec":
             fn = jax.jit(partial(
-                dsp.inv_spectrogram, power=c.power, gl_iters=c.griffin_lim_iters, **common))
+                dsp.inv_spectrogram, power=c.power, gl_iters=c.griffin_lim_iters,
+                stats=_stats(self.linear_stats), **common))
         else:
             raise KeyError(kind)
         self._jit_cache[key] = fn
@@ -110,8 +128,15 @@ class AudioProcessor:
         """N wavs -> N time-major mels [n_frames_i, num_mels] in ONE vmapped
         device call per length bucket (per-item dispatch is latency-bound,
         especially over a remote-TPU tunnel; dataset prep uses this)."""
-        import jax
+        return self._forward_batch("mel", wavs)
 
+    def spectrogram_batch(self, wavs: list[np.ndarray]) -> list[np.ndarray]:
+        """N wavs -> N time-major linear specs [n_frames_i, num_freq], same
+        bucketed-vmapped dispatch as melspectrogram_batch (Tacotron1's
+        linear-target extraction path)."""
+        return self._forward_batch("spec", wavs)
+
+    def _forward_batch(self, kind: str, wavs: list[np.ndarray]) -> list[np.ndarray]:
         by_bucket: dict[int, list[int]] = {}
         for i, y in enumerate(wavs):
             by_bucket.setdefault(self._sig_bucket(len(y)), []).append(i)
@@ -125,10 +150,11 @@ class AudioProcessor:
                 nb *= 2
             groups = [idxs[s: s + nb] for s in range(0, n, nb)]
             for g in groups:
-                self._mel_batch_group(wavs, g, lb, nb, out)
+                self._batch_group(kind, wavs, g, lb, nb, out)
         return out
 
-    def _mel_batch_group(self, wavs, idxs, lb: int, nb: int, out: list) -> None:
+    def _batch_group(self, kind: str, wavs, idxs, lb: int, nb: int,
+                     out: list) -> None:
         import jax
 
         buf = np.zeros((nb, lb), np.float32)
@@ -136,16 +162,16 @@ class AudioProcessor:
         for j, i in enumerate(idxs):
             buf[j, : len(wavs[i])] = wavs[i]
             lens[j] = len(wavs[i])
-        key = ("mel_batch", lb, nb)
+        key = (f"{kind}_batch", lb, nb)
         fn = self._jit_cache.get(key)
         if fn is None:
-            base = self._get_jit("mel", lb)
+            base = self._get_jit(kind, lb)
             fn = jax.jit(jax.vmap(lambda y, n: base(y, n)))
             self._jit_cache[key] = fn
-        mels = np.asarray(fn(jnp.asarray(buf), jnp.asarray(lens)))
+        specs = np.asarray(fn(jnp.asarray(buf), jnp.asarray(lens)))
         for j, i in enumerate(idxs):
             n_frames = lens[j] // self.hop_length + 1
-            out[i] = mels[j, :n_frames].astype(np.float32)
+            out[i] = specs[j, :n_frames].astype(np.float32)
 
     def spectrogram(self, y: np.ndarray) -> np.ndarray:
         """wav [T] -> normalized linear spectrogram [num_freq, n_frames]."""

@@ -80,6 +80,7 @@ class ModelConfig:
     model: str = "Tacotron2"         # "Tacotron" | "Tacotron2"
     r: int = 2                       # reduction factor: decoder emits r frames/step
     memory_size: int = 5             # Tacotron1 decoder memory queue
+    tacotron_width: int = 256        # Tacotron1 base width (reference: 256 hard-coded)
     attention_type: str = "original" # "original" (location-sensitive) | "graves"
     attention_heads: int = 4         # graves GMM components
     attention_norm: str = "sigmoid"  # "sigmoid" | "softmax"
@@ -152,6 +153,7 @@ class DataConfig:
     use_phonemes: bool = False
     phoneme_language: str = "en-us"
     phoneme_cache_path: str | None = None
+    cmudict_path: str | None = None  # offline dictionary G2P (no espeak)
     enable_eos_bos_chars: bool = False
     text_cleaner: str = "english_cleaners"
     compute_input_seq_cache: bool = False

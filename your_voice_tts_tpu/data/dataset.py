@@ -45,13 +45,23 @@ class TTSDataset:
             os.makedirs(cache_dir, exist_ok=True)
 
         # text -> id sequences (phoneme path honors use_phonemes; reference
-        # caches phonemizations the same way)
+        # caches phonemizations the same way). One shared G2P backend; its
+        # name is recorded in checkpoints so a host without espeak can't
+        # silently swap phoneme streams under a trained model.
+        g2p = None
+        if cfg.data.use_phonemes:
+            from ..text import default_g2p_backend
+
+            g2p = default_g2p_backend(cfg.data.phoneme_language,
+                                      cfg.data.cmudict_path)
+        self.g2p_backend_name = type(g2p).__name__ if g2p else None
         self.entries = []
         for text, wav_path, speaker in items:
             if cfg.data.use_phonemes:
                 seq = phoneme_to_sequence(
                     text, language=cfg.data.phoneme_language,
-                    enable_eos_bos=cfg.data.enable_eos_bos_chars)
+                    enable_eos_bos=cfg.data.enable_eos_bos_chars,
+                    backend=g2p)
             else:
                 seq = text_to_sequence(text, cfg.data.text_cleaner)
             if not (cfg.data.min_seq_len <= len(seq) <= cfg.data.max_seq_len):
@@ -73,11 +83,24 @@ class TTSDataset:
 
     # --- mel extraction (once, through the TPU DSP path) --------------------
 
-    def _mel_path(self, wav_path: str) -> str | None:
+    def _cache_path(self, wav_path: str, kind: str = "mel") -> str | None:
         if not self.cache_dir:
             return None
+        # the key includes the audio/trim config: changing sample_rate,
+        # num_mels, normalization, trim, ... must invalidate cached features
+        if not hasattr(self, "_cfg_hash"):
+            import dataclasses
+            import json
+
+            blob = json.dumps(dataclasses.asdict(self.cfg.audio),
+                              sort_keys=True, default=str)
+            self._cfg_hash = hashlib.md5(blob.encode()).hexdigest()[:8]
         h = hashlib.md5(wav_path.encode()).hexdigest()[:16]
-        return os.path.join(self.cache_dir, f"mel_{h}.npy")
+        return os.path.join(self.cache_dir, f"{kind}_{self._cfg_hash}_{h}.npy")
+
+    # back-compat alias used by tests/tools
+    def _mel_path(self, wav_path: str) -> str | None:
+        return self._cache_path(wav_path, "mel")
 
     def _compute_mels(self, verbose: bool) -> None:
         # batched extraction: one vmapped device call per length bucket
@@ -85,10 +108,15 @@ class TTSDataset:
         pending: list[int] = []
         wavs: list[np.ndarray] = []
         for i, e in enumerate(self.entries):
-            cpath = self._mel_path(e["wav"])
-            if cpath and os.path.exists(cpath) and not self.need_linear:
+            cpath = self._cache_path(e["wav"], "mel")
+            lpath = self._cache_path(e["wav"], "lin")
+            cached = cpath and os.path.exists(cpath) and (
+                not self.need_linear or os.path.exists(lpath))
+            if cached:
                 e["mel"] = np.load(cpath)
                 e["mel_len"] = e["mel"].shape[0]
+                if self.need_linear:
+                    e["linear"] = np.load(lpath)
                 continue
             wav = self.ap.load_wav(e["wav"])
             if self.cfg.audio.do_trim_silence:
@@ -97,15 +125,20 @@ class TTSDataset:
             wavs.append(wav)
         if pending:
             mels = self.ap.melspectrogram_batch(wavs)
-            for i, wav, mel in zip(pending, wavs, mels):
+            linears = self.ap.spectrogram_batch(wavs) if self.need_linear \
+                else [None] * len(pending)
+            for i, mel, lin in zip(pending, mels, linears):
                 e = self.entries[i]
                 e["mel"] = mel  # already time-major [T, n_mels]
                 e["mel_len"] = mel.shape[0]
-                if self.need_linear:
-                    e["linear"] = self.ap.spectrogram(wav).T.astype(np.float32)
-                cpath = self._mel_path(e["wav"])
+                cpath = self._cache_path(e["wav"], "mel")
                 if cpath:
                     np.save(cpath, mel)
+                if self.need_linear:
+                    e["linear"] = lin
+                    lpath = self._cache_path(e["wav"], "lin")
+                    if lpath:
+                        np.save(lpath, lin)
 
     def __len__(self) -> int:
         return len(self.entries)

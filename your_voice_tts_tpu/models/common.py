@@ -57,9 +57,12 @@ class Prenet:
                 x = jax.nn.relu(x)
             else:
                 x = jax.nn.relu(x)
+                # dropout stays on even at eval (reference quirk); rng=None
+                # disables it — model inference entry points substitute a
+                # fixed key so the quirk holds by default
                 if self.dropout_enabled and rng is not None:
                     rng, sub = jax.random.split(rng)
-                    x = prenet_dropout(sub, x, 0.5, True)  # always on, even eval
+                    x = prenet_dropout(sub, x, 0.5, True)
         return x, new_state
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import GSTConfig
-from ..nn.core import Dense, Params, xavier_uniform
+from ..nn.core import Dense, Params, _host_rng, xavier_uniform
 from ..nn.rnn import GRUCell, gru
 
 
@@ -78,7 +78,10 @@ class StyleTokenLayer:
     def init(self, key) -> Params:
         k0, k1, k2, k3 = jax.random.split(key, 4)
         return {
-            "tokens": jax.random.normal(k0, (self.num_tokens, self.token_dim // self.num_heads)) * 0.5,
+            "tokens": jnp.asarray(
+                _host_rng(k0).standard_normal(
+                    (self.num_tokens, self.token_dim // self.num_heads)) * 0.5,
+                jnp.float32),
             "q": self.q_proj.init(k1),
             "k": self.k_proj.init(k2),
             "v": self.v_proj.init(k3),

@@ -131,25 +131,29 @@ class TacotronDecoder:
 
     def __init__(self, in_dim: int, n_mels: int, r_init: int, memory_size: int,
                  cfg: ModelConfig):
-        self.in_dim = in_dim            # encoder output width (256)
+        # reference hard-codes 256/128; cfg.tacotron_width scales the whole
+        # stack (tests use tiny widths — compile time, not parity)
+        w = cfg.tacotron_width
+        h = w // 2
+        self.in_dim = in_dim            # encoder output width (w)
         self.n_mels = n_mels
         self.r_init = r_init
         self.memory_size = memory_size if memory_size > 0 else r_init
         mem_dim = n_mels * self.memory_size
         self.prenet = Prenet(mem_dim, cfg.prenet_type, cfg.prenet_dropout,
-                             (256, 128))
-        self.attention_rnn = GRUCell(128 + in_dim, 256)
+                             (w, h))
+        self.attention_rnn = GRUCell(h + in_dim, w)
         self.attention = init_attn(
-            cfg.attention_type, 256, in_dim, cfg.attention_dim,
+            cfg.attention_type, w, in_dim, cfg.attention_dim,
             cfg.location_attn, cfg.attention_location_filters,
             cfg.attention_location_kernel_size, cfg.windowing,
             cfg.attention_norm, cfg.use_forward_attn, cfg.transition_agent,
             cfg.forward_attn_mask, cfg.attention_heads, cfg.win_back,
             cfg.win_front)
-        self.project_to_decoder_in = Dense(256 + in_dim, 256)
-        self.decoder_rnns = [GRUCell(256, 256), GRUCell(256, 256)]
-        self.proj_to_mel = Dense(256, n_mels * r_init)
-        self.stopnet = Dense(256 + n_mels * r_init, 1)
+        self.project_to_decoder_in = Dense(w + in_dim, w)
+        self.decoder_rnns = [GRUCell(w, w), GRUCell(w, w)]
+        self.proj_to_mel = Dense(w, n_mels * r_init)
+        self.stopnet = Dense(w + n_mels * r_init, 1)
         self.cfg = cfg
 
     def init(self, key) -> Params:
@@ -287,11 +291,14 @@ class Tacotron:
         self.num_speakers = num_speakers
         self.use_external_speaker_embedding = num_speakers > 0 and speaker_embedding_dim > 0
         self.spk_dim = speaker_embedding_dim if num_speakers > 0 else 0
+        w = cfg.tacotron_width
+        h = w // 2
         if num_speakers > 0 and speaker_embedding_dim == 0:
-            self.spk_dim = 256
-        self.embedding = Embedding(num_chars, 256)
-        self.enc_prenet = Prenet(256, cfg.prenet_type, cfg.prenet_dropout, (256, 128))
-        self.encoder_cbhg = CBHG(128)
+            self.spk_dim = w
+        self.embedding = Embedding(num_chars, w)
+        self.enc_prenet = Prenet(w, cfg.prenet_type, cfg.prenet_dropout, (w, h))
+        self.encoder_cbhg = CBHG(h, bank_channels=h, projections=(h, h),
+                                 highway_dim=h, gru_dim=h)
         enc_out = self.encoder_cbhg.out_dim + self.spk_dim
         self.use_gst = use_gst
         if use_gst:
@@ -299,8 +306,8 @@ class Tacotron:
             self.gst = GST(n_mels, self.encoder_cbhg.out_dim, gst_cfg)
         self.decoder = TacotronDecoder(enc_out, n_mels, self.r_init,
                                        cfg.memory_size, cfg)
-        self.post_cbhg = CBHG(n_mels, K=8, projections=(256, n_mels),
-                              highway_dim=128, gru_dim=128)
+        self.post_cbhg = CBHG(n_mels, K=8, projections=(w, n_mels),
+                              highway_dim=h, gru_dim=h)
         self.last_linear = Dense(self.post_cbhg.out_dim, num_freq)
         if num_speakers > 0 and not self.use_external_speaker_embedding:
             self.speaker_embedding = Embedding(num_speakers, self.spk_dim)
@@ -384,6 +391,10 @@ class Tacotron:
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
                   max_decoder_steps: int | None = None, r: int | None = None):
         r = r or self.r
+        if rng is None and self.cfg.prenet_dropout:
+            # prenet dropout stays ON at inference (reference quirk); with no
+            # key we substitute a fixed one so it applies deterministically
+            rng = jax.random.PRNGKey(0)
         params, state = variables["params"], variables["state"]
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         enc_out, _, _ = self._encode(params, state, text, rng, False,

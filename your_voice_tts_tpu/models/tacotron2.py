@@ -445,11 +445,23 @@ class Tacotron2:
             out["alignments_backward"] = aligns_b
         return out
 
+
+    def _default_inference_rng(self, rng):
+        """Reference parity: prenet dropout stays ON at inference (Tacotron2
+        paper quirk). With rng=None we substitute a FIXED key so dropout is
+        applied (deterministically); pass a real key for sampled masks, or
+        set cfg.prenet_dropout=False for a truly dropout-free decode."""
+        if rng is None and self.cfg.prenet_dropout:
+            import jax as _jax
+            return _jax.random.PRNGKey(0)
+        return rng
+
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
                   max_decoder_steps: int | None = None, r: int | None = None):
         """Free-running synthesis. Output lengths are in mel frames."""
         r = r or self.r
+        rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         x = self.embedding(params["embedding"], text)
@@ -485,6 +497,7 @@ class Tacotron2:
         Returns (outputs_dict, stream_state'); pass stream_state' to the next
         call. stream_state=None starts a fresh utterance."""
         r = r or self.r
+        rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         x = self.embedding(params["embedding"], text)
@@ -521,6 +534,7 @@ class Tacotron2:
         (Over a remote-tunnel device where dispatch is ~100ms, prefer
         model.inference in one call.)"""
         r = r or self.r
+        rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
 

@@ -13,11 +13,22 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Params = dict[str, Any]
 
 _GAINS = {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0, "sigmoid": 1.0}
+
+
+def _host_rng(key) -> np.random.Generator:
+    """Deterministic numpy RNG from a JAX PRNG key. Weight init runs on HOST
+    numpy: each distinct shape drawn with jax.random compiles its own tiny
+    threefry executable (XLA:CPU compiles are ~0.5-2s each — a fresh model
+    init paid ~44s of compile for zero value). Init needs determinism, not
+    device execution."""
+    return np.random.default_rng(np.asarray(jax.random.key_data(key),
+                                            np.uint32))
 
 
 def xavier_uniform(key, shape, gain: float = 1.0, dtype=jnp.float32):
@@ -26,7 +37,7 @@ def xavier_uniform(key, shape, gain: float = 1.0, dtype=jnp.float32):
         rf = shape[0]
         fan_in, fan_out = shape[1] * rf, shape[2] * rf
     a = gain * math.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(key, shape, dtype, -a, a)
+    return jnp.asarray(_host_rng(key).uniform(-a, a, shape), dtype)
 
 
 class Dense:
@@ -56,7 +67,8 @@ class Embedding:
         self.num, self.dim, self.init_std = num, dim, init_std
 
     def init(self, key) -> Params:
-        return {"table": jax.random.normal(key, (self.num, self.dim)) * self.init_std}
+        table = _host_rng(key).standard_normal((self.num, self.dim)) * self.init_std
+        return {"table": jnp.asarray(table, jnp.float32)}
 
     def __call__(self, p: Params, ids):
         return jnp.take(p["table"], ids, axis=0)

@@ -22,7 +22,11 @@ Params = dict[str, Any]
 
 
 def _uniform(key, shape, scale):
-    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+    # host-numpy init: see nn/core.py::_host_rng (avoids per-shape threefry
+    # compiles at model init)
+    from .core import _host_rng
+
+    return jnp.asarray(_host_rng(key).uniform(-scale, scale, shape), jnp.float32)
 
 
 class LSTMCell:

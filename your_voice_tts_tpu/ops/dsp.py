@@ -123,9 +123,16 @@ def db_to_amp(x, spec_gain: float = 20.0):
 
 
 def normalize_spec(S, min_level_db: float, max_norm: float,
-                   symmetric: bool, clip: bool, signal_norm: bool = True):
+                   symmetric: bool, clip: bool, signal_norm: bool = True,
+                   stats=None):
+    """Range normalization, or per-bin mean/std scaling when `stats`
+    (mean [F], std [F]) is given (reference `stats_path`/scale_stats.npy
+    scaler path; operates on the same dB-minus-ref values)."""
     if not signal_norm:
         return S
+    if stats is not None:
+        mean, std = stats
+        return (S - mean) / jnp.maximum(std, 1e-8)
     S_norm = (S - min_level_db) / (-min_level_db)
     if symmetric:
         S_norm = 2.0 * max_norm * S_norm - max_norm
@@ -135,9 +142,13 @@ def normalize_spec(S, min_level_db: float, max_norm: float,
 
 
 def denormalize_spec(S, min_level_db: float, max_norm: float,
-                     symmetric: bool, clip: bool, signal_norm: bool = True):
+                     symmetric: bool, clip: bool, signal_norm: bool = True,
+                     stats=None):
     if not signal_norm:
         return S
+    if stats is not None:
+        mean, std = stats
+        return S * jnp.maximum(std, 1e-8) + mean
     if symmetric:
         if clip:
             S = jnp.clip(S, -max_norm, max_norm)
@@ -155,7 +166,7 @@ def melspectrogram(y: jnp.ndarray, length: jnp.ndarray, *, mel_basis: jnp.ndarra
                    window: jnp.ndarray, n_fft: int, hop: int, preemph: float,
                    ref_level_db: float, min_level_db: float, spec_gain: float,
                    max_norm: float, symmetric: bool, clip: bool,
-                   signal_norm: bool = True) -> jnp.ndarray:
+                   signal_norm: bool = True, stats=None) -> jnp.ndarray:
     """Normalized mel spectrogram, time-major [n_frames_max, n_mels].
 
     Exact pipeline parity with reference melspectrogram():
@@ -167,17 +178,20 @@ def melspectrogram(y: jnp.ndarray, length: jnp.ndarray, *, mel_basis: jnp.ndarra
     mel = jnp.dot(mag, mel_basis.T, preferred_element_type=jnp.float32,
                   precision=lax.Precision.HIGHEST)
     S = amp_to_db(mel, spec_gain, min_level_db) - ref_level_db
-    return normalize_spec(S, min_level_db, max_norm, symmetric, clip, signal_norm)
+    return normalize_spec(S, min_level_db, max_norm, symmetric, clip,
+                          signal_norm, stats)
 
 
 def spectrogram(y: jnp.ndarray, length: jnp.ndarray, *, window: jnp.ndarray,
                 n_fft: int, hop: int, preemph: float, ref_level_db: float,
                 min_level_db: float, spec_gain: float, max_norm: float,
-                symmetric: bool, clip: bool, signal_norm: bool = True) -> jnp.ndarray:
+                symmetric: bool, clip: bool, signal_norm: bool = True,
+                stats=None) -> jnp.ndarray:
     """Normalized linear spectrogram, time-major [n_frames_max, n_freq]."""
     mag = stft_magnitude(preemphasis(y, preemph), length, n_fft, hop, window)
     S = amp_to_db(mag, spec_gain, min_level_db) - ref_level_db
-    return normalize_spec(S, min_level_db, max_norm, symmetric, clip, signal_norm)
+    return normalize_spec(S, min_level_db, max_norm, symmetric, clip,
+                          signal_norm, stats)
 
 
 def _dft_matrices(n_fft: int):
@@ -366,11 +380,11 @@ def inv_melspectrogram_batch(mel_norm: jnp.ndarray, key: jax.Array, *,
                              ref_level_db: float, min_level_db: float,
                              spec_gain: float, max_norm: float, symmetric: bool,
                              clip: bool, power: float, gl_iters: int,
-                             signal_norm: bool = True,
+                             signal_norm: bool = True, stats=None,
                              use_pallas: bool | None = None) -> jnp.ndarray:
     """Batched normalized mel [B, T, n_mels] -> waveforms [B, L]."""
     D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip,
-                         signal_norm)
+                         signal_norm, stats)
     S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
     y = griffin_lim_batch(S ** power, key, n_iters=gl_iters, n_fft=n_fft,
                           hop=hop, window=window, use_pallas=use_pallas)
@@ -389,9 +403,11 @@ def inv_melspectrogram(mel_norm: jnp.ndarray, key: jax.Array, *,
                        n_fft: int, hop: int, preemph: float, ref_level_db: float,
                        min_level_db: float, spec_gain: float, max_norm: float,
                        symmetric: bool, clip: bool, power: float,
-                       gl_iters: int, signal_norm: bool = True) -> jnp.ndarray:
+                       gl_iters: int, signal_norm: bool = True,
+                       stats=None) -> jnp.ndarray:
     """Normalized mel [T, n_mels] -> waveform (reference inv_melspectrogram)."""
-    D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip, signal_norm)
+    D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip,
+                         signal_norm, stats)
     S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
     y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
     return inv_preemphasis(y, preemph)
@@ -401,9 +417,10 @@ def inv_spectrogram(spec_norm: jnp.ndarray, key: jax.Array, *, window: jnp.ndarr
                     n_fft: int, hop: int, preemph: float, ref_level_db: float,
                     min_level_db: float, spec_gain: float, max_norm: float,
                     symmetric: bool, clip: bool, power: float, gl_iters: int,
-                    signal_norm: bool = True) -> jnp.ndarray:
+                    signal_norm: bool = True, stats=None) -> jnp.ndarray:
     """Normalized linear spec [T, n_freq] -> waveform (reference inv_spectrogram)."""
-    D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip, signal_norm)
+    D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip,
+                         signal_norm, stats)
     S = db_to_amp(D + ref_level_db, spec_gain)
     y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
     return inv_preemphasis(y, preemph)

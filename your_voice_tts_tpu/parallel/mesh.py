@@ -60,6 +60,36 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return out
 
 
+def sync_batch_shapes(batch: dict, r: int) -> dict:
+    """Multi-host SPMD requires every process to compile and run the SAME
+    program each step, so per-process bucket shapes (text/mel pad lengths,
+    derived from local batch maxima) must be reconciled to the global max
+    before `shard_batch` assembles the global arrays. One tiny
+    process_allgather of the two ints per batch; single-process is a no-op."""
+    if jax.process_count() <= 1:
+        return batch
+    from jax.experimental import multihost_utils
+
+    t_text = batch["text"].shape[1]
+    t_mel = batch["mel"].shape[1]
+    dims = multihost_utils.process_allgather(np.array([t_text, t_mel], np.int32))
+    g_text, g_mel = int(dims[:, 0].max()), int(dims[:, 1].max())
+    if g_text == t_text and g_mel == t_mel:
+        return batch
+    out = dict(batch)
+    out["text"] = np.pad(batch["text"], ((0, 0), (0, g_text - t_text)))
+    out["mel"] = np.pad(batch["mel"],
+                        ((0, 0), (0, g_mel - t_mel), (0, 0)))
+    if "linear" in batch:
+        out["linear"] = np.pad(batch["linear"],
+                               ((0, 0), (0, g_mel - t_mel), (0, 0)))
+    # stop target padding keeps the terminal 1s: pad frames past the end stay 1
+    st = batch["stop_targets"]
+    out["stop_targets"] = np.pad(st, ((0, 0), (0, g_mel // r - st.shape[1])),
+                                 constant_values=1.0)
+    return out
+
+
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
     """Pad the batch dim up to a multiple of the mesh size (phantom rows carry
     mel_len=0 so losses ignore them — see data/dataset.py)."""

@@ -11,6 +11,8 @@ rule-based fallback so the phoneme pipeline stays testable offline.
 
 from __future__ import annotations
 
+import logging
+import re
 import shutil
 import subprocess
 
@@ -18,6 +20,9 @@ import numpy as np
 
 from .cleaners import get_cleaner
 from .symbols import bos, eos, pad, phonemes, symbols
+
+_log = logging.getLogger(__name__)
+_curly_re = re.compile(r"(.*?)\{(.+?)\}(.*)")
 
 _symbol_to_id = {s: i for i, s in enumerate(symbols)}
 _id_to_symbol = {i: s for i, s in enumerate(symbols)}
@@ -36,10 +41,25 @@ def _clean(text: str, cleaner_names: str | list[str]) -> str:
 
 
 def text_to_sequence(text: str, cleaner_names: str | list[str] = "english_cleaners") -> np.ndarray:
-    """Grapheme path: clean then map chars to ids, dropping unknown chars."""
-    text = _clean(text, cleaner_names)
-    ids = [_symbol_to_id[ch] for ch in text if ch in _symbol_to_id and ch != pad]
+    """Grapheme path: clean then map chars to ids, dropping unknown chars.
+
+    Curly-brace segments carry inline ARPAbet ("{HH AH0 L OW1}") mapped to
+    the "@PHONE" symbol entries (reference text_to_sequence + cmudict)."""
+    ids: list[int] = []
+    while text:
+        m = _curly_re.match(text)
+        if not m:
+            ids += _chars_to_ids(_clean(text, cleaner_names))
+            break
+        ids += _chars_to_ids(_clean(m.group(1), cleaner_names))
+        ids += [_symbol_to_id["@" + p] for p in m.group(2).split()
+                if "@" + p in _symbol_to_id]
+        text = m.group(3)
     return np.asarray(ids, dtype=np.int32)
+
+
+def _chars_to_ids(text: str) -> list[int]:
+    return [_symbol_to_id[ch] for ch in text if ch in _symbol_to_id and ch != pad]
 
 
 def sequence_to_text(seq) -> str:
@@ -164,16 +184,66 @@ class RuleG2PBackend(G2PBackend):
         return "".join(out)
 
 
-def default_g2p_backend(language: str = "en-us") -> G2PBackend:
+class CMUDictBackend(G2PBackend):
+    """Dictionary-backed offline G2P (reference utils/text/cmudict.py,
+    SURVEY.md:59): per-word CMUDict lookup, ARPAbet mapped to the IPA
+    phoneme table; out-of-vocabulary words fall through to the rule
+    fallback. Linguistically faithful for in-vocabulary English."""
+
+    name = "cmudict"
+
+    def __init__(self, cmudict_path: str):
+        from .cmudict import CMUDict, arpabet_to_ipa
+
+        self.dict = CMUDict(cmudict_path)
+        self._to_ipa = arpabet_to_ipa
+        self._fallback = RuleG2PBackend()
+        self.oov_count = 0
+
+    def phonemize(self, text: str) -> str:
+        out: list[str] = []
+        for tok in re.split(r"(\s+|[!'(),\-.:;?])", text):
+            if not tok:
+                continue
+            if tok.isspace() or tok in _PUNCT_KEEP:
+                out.append(tok)
+                continue
+            prons = self.dict.lookup(tok)
+            if prons:
+                out.append(self._to_ipa(prons[0]))
+            else:
+                self.oov_count += 1
+                out.append(self._fallback.phonemize(tok))
+        return "".join(out)
+
+
+def default_g2p_backend(language: str = "en-us",
+                        cmudict_path: str | None = None) -> G2PBackend:
+    """espeak-ng when present (the reference's engine), else CMUDict when a
+    lexicon is provided, else the rule fallback — WITH a loud warning,
+    because a checkpoint trained on espeak phonemes gets a different symbol
+    stream from the fallback."""
     try:
         return EspeakBackend(language)
     except RuntimeError:
-        return RuleG2PBackend()
+        pass
+    if cmudict_path:
+        try:
+            return CMUDictBackend(cmudict_path)
+        except OSError as e:
+            _log.warning("cmudict_path %s unusable (%s)", cmudict_path, e)
+    _log.warning(
+        "G2P: espeak-ng not found and no CMUDict lexicon configured — "
+        "falling back to the rule-based letter-to-IPA backend, which is NOT "
+        "linguistically faithful. Phoneme streams will differ from any "
+        "espeak-trained checkpoint. Install espeak-ng or set "
+        "data.cmudict_path to a CMU dictionary file.")
+    return RuleG2PBackend()
 
 
 __all__ = [
     "text_to_sequence", "sequence_to_text", "phoneme_to_sequence",
     "sequence_to_phoneme", "pad_with_eos_bos", "symbols", "phonemes",
     "pad", "eos", "bos", "G2PBackend", "EspeakBackend", "CacheBackend",
-    "RuleG2PBackend", "default_g2p_backend",
+    "RuleG2PBackend", "CMUDictBackend", "default_g2p_backend",
 ]

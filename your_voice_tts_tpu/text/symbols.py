@@ -32,7 +32,13 @@ _phoneme_chars = (
     + _diacritics
 )
 
-symbols: list[str] = [_pad, _eos, _bos] + list(_characters)
+# "@PHONE" entries allow inline curly-brace ARPAbet in text ("{HH AH0 L OW1}"),
+# like the reference's _arpabet symbols (utils/text/symbols.py + cmudict.py).
+from .cmudict import VALID_SYMBOLS as _ARPABET  # noqa: E402
+
+_arpabet = ["@" + s for s in _ARPABET]
+
+symbols: list[str] = [_pad, _eos, _bos] + list(_characters) + _arpabet
 phonemes: list[str] = [_pad, _eos, _bos] + sorted(set(_phoneme_chars)) + list(_punctuations)
 
 pad = _pad

@@ -29,7 +29,7 @@ from ..data import TTSDataset, load_meta_data
 from ..models import setup_model
 from ..models.losses import TacotronLoss
 from ..parallel import make_mesh, replicate, shard_batch
-from ..parallel.mesh import pad_batch_to_devices
+from ..parallel.mesh import pad_batch_to_devices, sync_batch_shapes
 from ..text import phonemes, symbols
 from ..utils.io import count_parameters
 from ..utils.logging import ConsoleLogger, TensorboardLogger
@@ -68,9 +68,14 @@ class Trainer:
         self.verbose = verbose
 
         train_items, eval_items = load_meta_data(cfg.data.datasets)
-        # multi-host: shard the corpus by process (DistributedSampler analogue)
+        # multi-host: shard the corpus by process (DistributedSampler
+        # analogue), truncated to EQUAL per-process counts so every process
+        # yields the same number of batches per epoch (SPMD requires
+        # identical step counts; see also sync_batch_shapes in the loop)
         if jax.process_count() > 1:
-            train_items = train_items[jax.process_index():: jax.process_count()]
+            per = len(train_items) // jax.process_count()
+            train_items = train_items[jax.process_index()::
+                                      jax.process_count()][:per]
         self.num_chars = len(phonemes) if cfg.data.use_phonemes else len(symbols)
 
         speakers = None
@@ -225,6 +230,7 @@ class Trainer:
             for batch in self.train_data.batches(bs, r, shuffle=True,
                                                  seed=epoch):
                 loader_time = time.time() - t_loader
+                batch = sync_batch_shapes(batch, r)
                 batch = pad_batch_to_devices(batch, self.n_devices)
                 batch = shard_batch(batch, self.mesh)
                 rng, sub = jax.random.split(rng)
@@ -289,6 +295,7 @@ class Trainer:
         align_scores = []
         for batch in self.eval_data.batches(self.cfg.training.eval_batch_size, r,
                                             shuffle=False):
+            batch = sync_batch_shapes(batch, r)
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch = shard_batch(batch, self.mesh)
             parts, aligns = eval_step(self.state, batch)
@@ -338,7 +345,10 @@ class Trainer:
         path = os.path.join(self.output_path, f"checkpoint_{step}.npz")
         save_checkpoint(path, params=self.state.params,
                         model_state=self.state.model_state,
-                        opt_state=self.state.opt_state, step=step, epoch=epoch, r=r)
+                        opt_state=self.state.opt_state, step=step, epoch=epoch,
+                        r=r,
+                        extra={"g2p_backend":
+                               self.train_data.g2p_backend_name or ""})
         if self.verbose:
             print(f" > CHECKPOINT: {path}")
 

@@ -2,6 +2,11 @@
 
 Generator warm-up on multi-res STFT loss alone, then alternating LSGAN
 updates with feature matching — each side one jitted step.
+
+Data parallel like the TTS trainer (reference DP wraps ALL training,
+SURVEY.md SS2.3): params/opt replicated over the 1-axis mesh, the
+(mel, audio) batch sharded on the data axis, XLA inserts the gradient
+all-reduce over ICI.
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ import numpy as np
 import optax
 
 from ..audio import AudioProcessor
+from ..parallel import make_mesh, replicate, shard_batch
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from .config import VocoderConfig
 from .dataset import GANDataset
@@ -91,12 +97,20 @@ class GANTrainer:
         self.d_optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.training.grad_clip),
             optax.adam(cfg.training.lr_disc, b1=0.5, b2=0.9))
+        # GAN losses are unmasked means, so phantom padding rows would skew
+        # them — shard over the largest device count that divides the batch
+        import math
+        self.mesh = make_mesh(math.gcd(cfg.training.batch_size,
+                                       len(jax.devices())))
+        self.n_devices = self.mesh.devices.size
+        rep = replicate(self.mesh)
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        g_params = self.generator.init(k1)
-        d_params = self.discriminator.init(k2)
+        g_params = jax.device_put(self.generator.init(k1), rep)
+        d_params = jax.device_put(self.discriminator.init(k2), rep)
         self.state = GANTrainState(
             g_params, d_params,
-            self.g_optimizer.init(g_params), self.d_optimizer.init(d_params),
+            jax.device_put(self.g_optimizer.init(g_params), rep),
+            jax.device_put(self.d_optimizer.init(d_params), rep),
             jnp.zeros((), jnp.int32))
         self.output_path = output_path
         self.verbose = verbose
@@ -177,13 +191,14 @@ class GANTrainer:
                 self._g_step, self._d_step = self._build_steps(use_disc)
                 steps_built_with_disc = use_disc
             mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            sharded = shard_batch({"mel": mel, "audio": audio}, self.mesh)
+            mel_s, audio_s = sharded["mel"], sharded["audio"]
             key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
             t0 = time.time()
-            self.state, parts = self._g_step(self.state, jnp.asarray(mel),
-                                             jnp.asarray(audio), key)
+            self.state, parts = self._g_step(self.state, mel_s, audio_s, key)
             if use_disc:
-                self.state, d_parts = self._d_step(self.state, jnp.asarray(mel),
-                                                   jnp.asarray(audio), key)
+                self.state, d_parts = self._d_step(self.state, mel_s, audio_s,
+                                                   key)
                 parts = {**parts, **d_parts}
             last = {k: float(v) for k, v in parts.items()}
             last["step_time"] = time.time() - t0

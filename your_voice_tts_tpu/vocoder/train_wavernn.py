@@ -14,6 +14,7 @@ import numpy as np
 import optax
 
 from ..audio import AudioProcessor
+from ..parallel import make_mesh, replicate, shard_batch
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from .config import VocoderConfig
 from .dataset import GANDataset
@@ -45,9 +46,19 @@ class WaveRNNTrainer:
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.training.grad_clip),
             optax.adam(cfg.training.lr_gen))
-        params = self.model.init(jax.random.PRNGKey(0))
-        self.state = WaveRNNTrainState(params, self.optimizer.init(params),
-                                       jnp.zeros((), jnp.int32))
+        # DP like the TTS trainer: params/opt replicated, batch sharded on
+        # the data axis, XLA inserts the gradient all-reduce (SURVEY.md SS2.3)
+        # shard over the largest device count that divides the batch (the
+        # NLL is an unmasked mean; no phantom-row padding)
+        import math
+        self.mesh = make_mesh(math.gcd(cfg.training.batch_size,
+                                       len(jax.devices())))
+        self.n_devices = self.mesh.devices.size
+        rep = replicate(self.mesh)
+        params = jax.device_put(self.model.init(jax.random.PRNGKey(0)), rep)
+        self.state = WaveRNNTrainState(
+            params, jax.device_put(self.optimizer.init(params), rep),
+            jnp.zeros((), jnp.int32))
         self.output_path = output_path
         self.verbose = verbose
         self._step_fn = self._build_step()
@@ -74,9 +85,10 @@ class WaveRNNTrainer:
         last: dict = {}
         for _ in range(max_steps):
             mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            sharded = shard_batch({"mel": mel, "audio": audio}, self.mesh)
             t0 = time.time()
-            self.state, loss = self._step_fn(self.state, jnp.asarray(mel),
-                                             jnp.asarray(audio))
+            self.state, loss = self._step_fn(self.state, sharded["mel"],
+                                             sharded["audio"])
             step = int(self.state.step)
             last = {"loss": float(loss), "step_time": time.time() - t0}
             if self.verbose and step % cfg.print_step == 0:
