@@ -91,6 +91,7 @@ def corpus_items(tmp_path_factory):
     return synthetic(path)
 
 
+@pytest.mark.slow
 def test_gan_trainer_steps(corpus_items, tmp_path):
     from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
 
@@ -109,10 +110,11 @@ def test_wavernn_forward_and_train(corpus_items):
 
     cfg = dataclasses.replace(VCFG, model="wavernn")
     trainer = WaveRNNTrainer(cfg, corpus_items, verbose=False)
-    l0 = trainer.fit(max_steps=1)["loss"]
-    l5 = trainer.fit(max_steps=5)["loss"]
-    assert np.isfinite(l0) and np.isfinite(l5)
-    assert l5 < l0  # CE should drop fast from uniform ~log(256)
+    # each fit() call reseeds the data rng, so repeated fit(1) trains on the
+    # SAME batch — a same-batch loss comparison, not cross-batch noise
+    losses = [trainer.fit(max_steps=1)["loss"] for _ in range(4)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # CE drops fast from uniform ~log(256)
 
 
 def test_wavernn_generate_batched_equals_length():
@@ -178,6 +180,7 @@ def test_pwgan_generator_and_discriminator():
     assert len(feats) == 3
 
 
+@pytest.mark.slow
 def test_pwgan_gan_trainer(corpus_items, tmp_path):
     from your_voice_tts_tpu.vocoder.config import PWGANConfig
     from your_voice_tts_tpu.vocoder.train_gan import GANTrainer
@@ -249,7 +252,8 @@ def test_mol_gauss_sampling_stats():
     assert abs(g.mean() - 0.25) < 0.01 and g.std() < 0.05
 
 
-@pytest.mark.parametrize("mode", ["mol", "gauss"])
+@pytest.mark.parametrize("mode", [
+    "mol", pytest.param("gauss", marks=pytest.mark.slow)])
 def test_wavernn_mode_train_loss_decreases(corpus_items, mode):
     from your_voice_tts_tpu.vocoder.train_wavernn import WaveRNNTrainer
 
@@ -257,10 +261,10 @@ def test_wavernn_mode_train_loss_decreases(corpus_items, mode):
         VCFG, model="wavernn",
         wavernn=dataclasses.replace(SMALL_WAVERNN, mode=mode, num_mixtures=4))
     trainer = WaveRNNTrainer(cfg, corpus_items, verbose=False)
-    l0 = trainer.fit(max_steps=1)["loss"]
-    l5 = trainer.fit(max_steps=5)["loss"]
-    assert np.isfinite(l0) and np.isfinite(l5)
-    assert l5 < l0
+    # same-batch comparison (fit() reseeds its data rng each call)
+    losses = [trainer.fit(max_steps=1)["loss"] for _ in range(6)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
 
 
 @pytest.mark.parametrize("mode", ["mol", "gauss"])

@@ -91,9 +91,12 @@ def _sample_mulaw(logits, key, bits: int, greedy: bool):
         g = -jnp.log(-jnp.log(_uniform(logits.shape, key, 0)))  # Gumbel
         cls = jnp.argmax(logits + g, axis=-1)                   # [B]
     # mu-law decode to the next float sample (exp(x)-1: expm1 has no
-    # Mosaic lowering; x in [0, log1p(mu)] so precision loss is nil)
+    # Mosaic lowering; x in [0, log1p(mu)] so precision loss is nil). The
+    # clip guards f32 rounding at the extreme classes (exp(log1p(mu)) can
+    # land a hair above mu+1).
     f = 2.0 * cls.astype(F32) / mu - 1.0
-    return jnp.sign(f) * (jnp.exp(jnp.abs(f) * log1p_mu) - 1.0) / mu
+    return jnp.clip(
+        jnp.sign(f) * (jnp.exp(jnp.abs(f) * log1p_mu) - 1.0) / mu, -1.0, 1.0)
 
 
 def _sample_mol(logits, key, num_mixtures: int, greedy: bool):
