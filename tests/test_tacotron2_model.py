@@ -267,3 +267,45 @@ def test_inference_truncated_streams_state_across_chunks(model, variables):
                                          max_decoder_steps=8,
                                          stream_state=stream1)
     np.testing.assert_allclose(w, np.asarray(again["postnet_outputs"]), atol=0)
+
+
+def test_bf16_inference_matches_f32(model, variables):
+    """bf16 serving path (compute_dtype=jnp.bfloat16): outputs are f32,
+    finite, and track the f32 decode within bf16 rounding tolerance — the
+    quality gate for the MXU-native inference precision (VERDICT r1 #10)."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(10))
+    f32 = model.inference(variables, text, text_len, max_decoder_steps=12)
+    b16 = model.inference(variables, text, text_len, max_decoder_steps=12,
+                          compute_dtype=jnp.bfloat16)
+    for k in ("postnet_outputs", "decoder_outputs", "alignments", "stop_probs"):
+        a, b = np.asarray(f32[k]), np.asarray(b16[k])
+        assert b.dtype == np.float32, k  # boundary casts back to f32
+        assert np.all(np.isfinite(b)), k
+        # bf16 has ~3 decimal digits; autoregressive feedback compounds it.
+        # scale-relative gate, measured ~1e-2 on this model.
+        scale = max(float(np.abs(a).max()), 1e-3)
+        assert float(np.abs(a - b).max()) <= 0.08 * scale, (
+            k, float(np.abs(a - b).max()), scale)
+    # alignment rows remain normalized
+    np.testing.assert_allclose(np.asarray(b16["alignments"]).sum(-1), 1.0,
+                               atol=1e-2)
+
+
+def test_bf16_incremental_and_truncated_paths(model, variables):
+    """The chunked serving path and the streaming path both run under bf16
+    and produce finite f32 outputs with plausible stop behavior."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(11))
+    inc = model.inference_incremental(variables, text, text_len,
+                                      chunk_steps=4, max_decoder_steps=12,
+                                      compute_dtype=jnp.bfloat16)
+    assert inc["postnet_outputs"].dtype == jnp.float32
+    assert bool(jnp.isfinite(inc["postnet_outputs"]).all())
+    out, stream = model.inference_truncated(variables, text, text_len,
+                                            max_decoder_steps=8,
+                                            compute_dtype=jnp.bfloat16)
+    assert bool(jnp.isfinite(out["postnet_outputs"]).all())
+    # a bf16 stream state seeds a follow-up f32 chunk (dtype bridging)
+    out2, _ = model.inference_truncated(variables, text, text_len,
+                                        max_decoder_steps=8,
+                                        stream_state=stream)
+    assert bool(jnp.isfinite(out2["postnet_outputs"]).all())

@@ -123,3 +123,18 @@ def test_factory_and_synthesis_linear_path(tmp_path):
     res = synthesis(model, variables, "hello", cfg, ap)
     assert res["mel_postnet_spec"].shape[0] == audio.num_freq
     assert len(res["wav"]) > 0
+
+
+def test_bf16_inference_matches_f32(model, variables):
+    """Tacotron(1) under the bf16 serving path: f32 outputs, finite, within
+    bf16 rounding of the f32 decode (shared gate with Tacotron2)."""
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(12))
+    f32 = model.inference(variables, text, text_len)
+    b16 = model.inference(variables, text, text_len,
+                          compute_dtype=jnp.bfloat16)
+    for k in ("postnet_outputs", "decoder_outputs"):
+        a, b = np.asarray(f32[k]), np.asarray(b16[k])
+        assert b.dtype == np.float32 and np.all(np.isfinite(b)), k
+        scale = max(float(np.abs(a).max()), 1e-3)
+        assert float(np.abs(a - b).max()) <= 0.08 * scale, (
+            k, float(np.abs(a - b).max()), scale)

@@ -108,6 +108,10 @@ class ModelConfig:
     postnet_dim: int = 512
     max_decoder_steps: int = 500
     stop_threshold: float = 0.6      # sigmoid(stop) > thresh ends inference
+    # serving fast path: "bfloat16" runs inference matmuls at MXU-native
+    # precision (alignments/outputs stay f32; see models/tacotron2.py).
+    # Training precision is unaffected.
+    inference_compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -309,6 +313,9 @@ def check_config(cfg: Config) -> None:
         raise ValueError(f"model: unknown prenet_type {cfg.model.prenet_type!r}")
     if cfg.model.attention_norm not in ("sigmoid", "softmax"):
         raise ValueError(f"model: unknown attention_norm {cfg.model.attention_norm!r}")
+    if cfg.model.inference_compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError("model: inference_compute_dtype must be "
+                         f"float32|bfloat16, got {cfg.model.inference_compute_dtype!r}")
     if cfg.training.gradual_training:
         for row in cfg.training.gradual_training:
             if len(row) != 3:

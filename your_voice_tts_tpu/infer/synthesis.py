@@ -58,15 +58,19 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
         style_mel = np.broadcast_to(style_mel,
                                     (len(texts),) + style_mel.shape[1:])
 
-    # serving prefers chunked early-exit decoding (stops when all samples
-    # fire their stop token instead of always scanning max_decoder_steps)
+    # serving knobs: chunked early-exit decoding (stop when all samples fire
+    # their stop token instead of always scanning max_decoder_steps), and the
+    # configured inference compute dtype (bf16 = MXU-native serving precision)
     infer_fn = getattr(model, "inference_incremental", model.inference)
+    compute_dtype = None
+    if getattr(cfg.model, "inference_compute_dtype", "float32") == "bfloat16":
+        compute_dtype = jnp.bfloat16
     out = infer_fn(
         variables, jnp.asarray(text_arr), jnp.asarray(lengths), rng=rng,
         speaker_ids=None if speaker_ids is None else jnp.asarray(speaker_ids),
         speaker_embeddings=None if d_vectors is None else jnp.asarray(d_vectors),
         style_mel=None if style_mel is None else jnp.asarray(style_mel),
-        max_decoder_steps=max_decoder_steps)
+        max_decoder_steps=max_decoder_steps, compute_dtype=compute_dtype)
 
     mels = np.asarray(out["postnet_outputs"])          # [B, T, n_mels]
     aligns = np.asarray(out["alignments"])

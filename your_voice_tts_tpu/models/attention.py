@@ -100,7 +100,11 @@ class LocationSensitiveAttention:
     def _energies(self, p: Params, query, processed_inputs, state: AttentionState):
         processed = self.query_layer(p["query"], query)[:, None, :]  # [B,1,A]
         if self.location_attention:
-            cat = jnp.stack([state.attention, state.attention_cum], axis=-1)  # [B,T,2]
+            # alignment state stays f32 across the scan (cumulative sums lose
+            # precision in bf16); cast at the conv boundary so lax.conv sees
+            # matching dtypes under the bf16 inference path
+            cat = jnp.stack([state.attention, state.attention_cum],
+                            axis=-1).astype(p["loc_conv"]["w"].dtype)  # [B,T,2]
             f = self.location_conv(p["loc_conv"], cat)                        # [B,T,F]
             processed = processed + self.location_dense(p["loc_dense"], f)
         e = self.v(p["v"], jnp.tanh(processed + processed_inputs))[..., 0]    # [B,T]
@@ -116,6 +120,10 @@ class LocationSensitiveAttention:
         return jnp.where(inside, e, -jnp.inf)
 
     def _normalize(self, e, mask):
+        # alignments are f32 regardless of compute dtype: they accumulate
+        # across the decode (attention_cum, forward-attention alpha) and the
+        # [B, T_in] normalization is a trivial share of step FLOPs
+        e = e.astype(jnp.float32)
         if mask is not None:
             e = jnp.where(mask, e, -jnp.inf)
         if self.norm == "softmax":

@@ -17,6 +17,28 @@ def sequence_mask(lengths, max_len: int):
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
+def cast_compute(params, state, compute_dtype, *extras):
+    """Cast float params/state (and optional conditioning inputs) to the
+    inference compute dtype. bf16 keeps every decode matmul at the MXU's
+    native precision; alignment math stays f32 (see models/attention.py) and
+    outputs cast back to f32 at the model boundary (outputs_f32)."""
+    from ..nn.core import tree_cast_floats
+
+    if compute_dtype is None:
+        return (params, state) + extras
+    cast = lambda t: tree_cast_floats(t, compute_dtype)  # noqa: E731
+    return (cast(params), cast(state)) + tuple(
+        None if e is None else cast(e) for e in extras)
+
+
+def outputs_f32(out: dict) -> dict:
+    """Cast every float output back to f32 at the model boundary."""
+    return {k: (v.astype(jnp.float32)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                else v)
+            for k, v in out.items()}
+
+
 class Prenet:
     """2-layer bottleneck ahead of the decoder (reference common_layers.Prenet).
 

@@ -23,7 +23,7 @@ from ..config import ModelConfig
 from ..nn.core import BatchNorm1d, Conv1d, Dense, Embedding, Params
 from ..nn.rnn import GRUCell, gru
 from .attention import init_attn
-from .common import Prenet, sequence_mask
+from .common import Prenet, cast_compute, outputs_f32, sequence_mask
 
 
 class Highway:
@@ -181,6 +181,9 @@ class TacotronDecoder:
         attn_state, context, alignment = self.attention(
             p["attention"], attn_h, inputs, processed_inputs, attn_state,
             mask=mask, context_prev=context, inference=inference)
+        # f32 alignment math emits an f32 context; rejoin the carry's compute
+        # dtype (scan carries are dtype-invariant; bf16 inference path)
+        context = context.astype(attn_h.dtype)
         x = self.project_to_decoder_in(
             p["project"], jnp.concatenate([attn_h, context], axis=-1))
         new_dec_hs = []
@@ -389,13 +392,16 @@ class Tacotron:
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
-                  max_decoder_steps: int | None = None, r: int | None = None):
+                  max_decoder_steps: int | None = None, r: int | None = None,
+                  compute_dtype=None):
         r = r or self.r
         if rng is None and self.cfg.prenet_dropout:
             # prenet dropout stays ON at inference (reference quirk); with no
             # key we substitute a fixed one so it applies deterministically
             rng = jax.random.PRNGKey(0)
         params, state = variables["params"], variables["state"]
+        params, state, speaker_embeddings, style_mel = cast_compute(
+            params, state, compute_dtype, speaker_embeddings, style_mel)
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         enc_out, _, _ = self._encode(params, state, text, rng, False,
                                      speaker_ids, speaker_embeddings, style_mel)
@@ -405,10 +411,10 @@ class Tacotron:
         post, _ = self.post_cbhg(params["post_cbhg"], state["post_cbhg"],
                                  dec_out, False)
         linear = self.last_linear(params["last_linear"], post)
-        return {
+        return outputs_f32({
             "decoder_outputs": dec_out,
             "postnet_outputs": linear,
             "alignments": aligns,
             "stop_probs": stops,
             "mel_lengths": out_lengths,
-        }
+        })

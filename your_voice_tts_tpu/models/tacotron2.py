@@ -25,7 +25,8 @@ from ..config import ModelConfig
 from ..nn.core import Dense, Embedding, Params
 from ..nn.rnn import LSTMCell, bilstm
 from .attention import init_attn
-from .common import ConvBNBlock, Prenet, sequence_mask
+from .common import (ConvBNBlock, Prenet, cast_compute, outputs_f32,
+                     sequence_mask)
 
 
 class Encoder:
@@ -156,6 +157,10 @@ class Decoder:
         attn_state, context, alignment = self.attention(
             p["attention"], attn_h, inputs, processed_inputs, attn_state,
             mask=mask, context_prev=context, inference=inference)
+        # alignment math runs f32 even under bf16 inference; the context it
+        # emits must rejoin the carry's compute dtype (scan carries are
+        # dtype-invariant) and feed the decoder matmuls in bf16
+        context = context.astype(attn_h.dtype)
 
         dec_in = jnp.concatenate([attn_h, context], axis=-1)
         dec_hc, dec_h = self.decoder_rnn(p["decoder_rnn"], dec_hc, dec_in)
@@ -250,7 +255,10 @@ class Decoder:
         inner4 = self._init_carry(B, inputs.shape[1], None, inputs.dtype)[:4]
         prev_frame = jnp.zeros((B, self.n_mels), inputs.dtype)
         if stream is not None:
-            attn_hc, dec_hc, prev_frame = stream
+            # cast to the current compute dtype: a stream saved from an f32
+            # chunk may seed a bf16 decode (or vice versa)
+            attn_hc, dec_hc, prev_frame = jax.tree_util.tree_map(
+                lambda a: a.astype(inputs.dtype), tuple(stream))
             inner4 = (attn_hc, dec_hc) + inner4[2:]
         return (
             inner4,
@@ -456,13 +464,22 @@ class Tacotron2:
             return _jax.random.PRNGKey(0)
         return rng
 
+    _cast_compute = staticmethod(cast_compute)
+    _outputs_f32 = staticmethod(outputs_f32)
+
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
-                  max_decoder_steps: int | None = None, r: int | None = None):
-        """Free-running synthesis. Output lengths are in mel frames."""
+                  max_decoder_steps: int | None = None, r: int | None = None,
+                  compute_dtype=None):
+        """Free-running synthesis. Output lengths are in mel frames.
+
+        compute_dtype=jnp.bfloat16 runs the encoder/decoder/postnet matmuls in
+        bf16 (f32 alignments, f32 outputs) — the serving fast path."""
         r = r or self.r
         rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
+        params, state, speaker_embeddings, style_mel = self._cast_compute(
+            params, state, compute_dtype, speaker_embeddings, style_mel)
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         x = self.embedding(params["embedding"], text)
         enc_out, _ = self.encoder(params["encoder"], state["encoder"],
@@ -475,18 +492,19 @@ class Tacotron2:
         residual, _ = self.postnet(params["postnet"], state["postnet"],
                                    dec_out, None, train=False)
         postnet_out = dec_out + residual
-        return {
+        return self._outputs_f32({
             "decoder_outputs": dec_out,
             "postnet_outputs": postnet_out,
             "alignments": aligns,
             "stop_probs": stops,
             "mel_lengths": out_lengths,
-        }
+        })
 
     def inference_truncated(self, variables, text, text_lengths, rng=None,
                             speaker_ids=None, speaker_embeddings=None,
                             style_mel=None, max_decoder_steps: int | None = None,
-                            r: int | None = None, stream_state=None):
+                            r: int | None = None, stream_state=None,
+                            compute_dtype=None):
         """Streaming synthesis over text CHUNKS with state carried between
         calls (reference Tacotron2.inference_truncated; SURVEY.md:96):
         decoder RNN hiddens + last mel frame persist across calls, attention
@@ -499,6 +517,8 @@ class Tacotron2:
         r = r or self.r
         rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
+        params, state, speaker_embeddings, style_mel = self._cast_compute(
+            params, state, compute_dtype, speaker_embeddings, style_mel)
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         x = self.embedding(params["embedding"], text)
         enc_out, _ = self.encoder(params["encoder"], state["encoder"],
@@ -511,18 +531,19 @@ class Tacotron2:
                 rng, max_steps, r=r, stream=stream_state)
         residual, _ = self.postnet(params["postnet"], state["postnet"],
                                    dec_out, None, train=False)
-        return {
+        return self._outputs_f32({
             "decoder_outputs": dec_out,
             "postnet_outputs": dec_out + residual,
             "alignments": aligns,
             "stop_probs": stops,
             "mel_lengths": out_lengths,
-        }, stream_out
+        }), stream_out
 
     def inference_incremental(self, variables, text, text_lengths, rng=None,
                               speaker_ids=None, speaker_embeddings=None,
                               style_mel=None, max_decoder_steps: int | None = None,
-                              chunk_steps: int = 64, r: int | None = None):
+                              chunk_steps: int = 64, r: int | None = None,
+                              compute_dtype=None):
         """Early-exit decoding: scan in jitted chunks and stop as soon as every
         sample has fired its stop token (host checks the done mask between
         chunks). Same outputs as inference(), but wall-clock scales with the
@@ -536,6 +557,8 @@ class Tacotron2:
         r = r or self.r
         rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
+        params, state, speaker_embeddings, style_mel = self._cast_compute(
+            params, state, compute_dtype, speaker_embeddings, style_mel)
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
 
         if not hasattr(self, "_jit_fns"):
@@ -589,10 +612,10 @@ class Tacotron2:
         T_r = dec_out.shape[0]
         dec_out = jnp.swapaxes(dec_out, 0, 1).reshape(B, T_r * r, self.n_mels)
         postnet_out = self._jit_fns[pk](params, state, dec_out)
-        return {
+        return self._outputs_f32({
             "decoder_outputs": dec_out,
             "postnet_outputs": postnet_out,
             "alignments": jnp.swapaxes(aligns, 0, 1),
             "stop_probs": jnp.swapaxes(stops, 0, 1),
             "mel_lengths": carry[3] * r,
-        }
+        })

@@ -190,6 +190,18 @@ class Dropout:
         return jnp.where(mask, x / keep, 0.0)
 
 
+def tree_cast_floats(tree, dtype):
+    """Cast every floating-point leaf of a pytree to `dtype` (ints/bools are
+    left alone). Used by the bf16 inference path: params/state cast once, the
+    MXU runs every matmul in bf16, outputs cast back to f32 at the boundary."""
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def prenet_dropout(key, x, rate: float = 0.5, enabled: bool = True):
     """Prenet dropout is ALWAYS on, train and inference alike — a deliberate
     reference quirk (Tacotron2 paper SS2.2; reference common_layers.Prenet)."""
