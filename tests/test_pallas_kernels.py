@@ -106,7 +106,7 @@ def test_gl_batch_xla_path_reconstruction():
 
 
 def test_gl_full_kernel_matches_iteration_kernel():
-    """The whole-loop kernel (default TPU serving path for T<=512) must equal
+    """The whole-loop kernel (default TPU serving path for T<=1024) must equal
     n_iters applications of the per-iteration kernel from the same injected
     initial phase (f32; the transposed-contraction forward DFT and the C/S
     matrices agree to f32 rounding)."""
@@ -171,8 +171,9 @@ def test_gl_full_kernel_reconstruction_gate():
 
 
 def test_gl_batch_routing_by_length(monkeypatch):
-    """T<=512 must route to the whole-loop kernel, T>512 to the per-iteration
-    kernel (VMEM residency bound) — guard the dispatch in griffin_lim_batch."""
+    """T<=1024 must route to the whole-loop kernel, T>1024 to the
+    per-iteration kernel (VMEM residency bound, validated on v5e at
+    1024-frame tiles) — guard the dispatch in griffin_lim_batch."""
     from your_voice_tts_tpu.ops import dsp
     from your_voice_tts_tpu.ops.filters import hann_window
     from your_voice_tts_tpu.ops.pallas import griffin_lim as glmod
@@ -192,7 +193,7 @@ def test_gl_batch_routing_by_length(monkeypatch):
     n_fft, hop = 256, 64
     w = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
     short = jnp.ones((2, 32, n_fft // 2 + 1))
-    long = jnp.ones((2, 520, n_fft // 2 + 1))
+    long = jnp.ones((2, 1030, n_fft // 2 + 1))
     dsp.griffin_lim_batch(short, KEY, n_iters=1, n_fft=n_fft, hop=hop,
                           window=w, use_pallas=True)
     dsp.griffin_lim_batch(long, KEY, n_iters=1, n_fft=n_fft, hop=hop,
