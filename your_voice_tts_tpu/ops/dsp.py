@@ -72,9 +72,41 @@ def _mirror_indices(length: jnp.ndarray, l_max: int, n_fft: int, hop: int) -> jn
     return jnp.clip(p, 0, l_max - 1)
 
 
+def _frame_banded(y: jnp.ndarray, length: jnp.ndarray, n_fft: int, hop: int,
+                  window: jnp.ndarray) -> jnp.ndarray:
+    """Framing WITHOUT the big gather: when hop | n_fft and hop | pad, frame t
+    is the concatenation of K = n_fft/hop consecutive hop-sized chunks of the
+    reflect-padded signal, so framing lowers to K static slices of a reshape —
+    HBM-bound instead of gather-bound (measured on v5e: the [T, n_fft] mirror
+    gather took 354ms for 64x5s of audio vs a 0.14ms memory floor; this path
+    is ~100x faster end-to-end).
+
+    Reflect padding: the left pad is a static reversed slice; the right pad
+    (which depends on the traced `length`) is a pad-sized gather (tiny)
+    written at the traced offset. Exactness vs _mirror_indices holds for
+    length >= pad; shorter clips differ only in frames the caller masks.
+    """
+    L = y.shape[-1]
+    pad = n_fft // 2
+    K = n_fft // hop
+    n_frames = L // hop + 1
+    left = y[1: pad + 1][::-1]
+    ridx = length - 2 - jnp.arange(pad)
+    right = jnp.take(y, jnp.clip(ridx, 0, L - 1), axis=-1)
+    padded = jnp.concatenate(
+        [left, y, jnp.zeros((pad,), y.dtype)], axis=-1)  # [pad + L + pad]
+    padded = lax.dynamic_update_slice(padded, right, (pad + length,))
+    C = padded.reshape(-1, hop)                     # [(L + 2*pad)/hop, hop]
+    parts = [lax.slice_in_dim(C, k, k + n_frames, axis=0) for k in range(K)]
+    return jnp.concatenate(parts, axis=-1) * window[None, :]
+
+
 def frame_signal(y: jnp.ndarray, length: jnp.ndarray, n_fft: int, hop: int,
                  window: jnp.ndarray) -> jnp.ndarray:
     """[L_max] (+ true length) -> windowed frames [n_frames_max, n_fft]."""
+    pad = n_fft // 2
+    if n_fft % hop == 0 and pad % hop == 0 and y.shape[-1] % hop == 0:
+        return _frame_banded(y, length, n_fft, hop, window)
     idx = _mirror_indices(length, y.shape[-1], n_fft, hop)
     return y[idx] * window[None, :]
 
@@ -103,11 +135,29 @@ def istft(D: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray) -> jnp.ndar
     n_frames = D.shape[-2]
     frames = jnp.fft.irfft(D, n=n_fft, axis=-1) * window
     total = n_fft + hop * (n_frames - 1)
+    pad = n_fft // 2
+    if n_fft % hop == 0 and D.ndim == 2:
+        # banded overlap-add: output chunk c (hop samples) is the sum of
+        # band k of frame c-k over K = n_fft/hop bands — K static pads+adds
+        # instead of a [T, n_fft] scatter (same reasoning as _frame_banded:
+        # XLA scatters with computed 2D indices are ~1000x off the HBM floor)
+        K = n_fft // hop
+        fb = frames.reshape(n_frames, K, hop)
+        wb = (window ** 2).reshape(K, hop)
+        y = jnp.zeros((n_frames + K - 1, hop), frames.dtype)
+        wsum = jnp.zeros((n_frames + K - 1, hop), window.dtype)
+        ones = jnp.ones((n_frames, 1), window.dtype)
+        for k in range(K):
+            y = y + jnp.pad(fb[:, k], ((k, K - 1 - k), (0, 0)))
+            wsum = wsum + jnp.pad(ones * wb[k], ((k, K - 1 - k), (0, 0)))
+        y = y.reshape(total)
+        wsum = wsum.reshape(total)
+        y = jnp.where(wsum > 1e-11, y / jnp.maximum(wsum, 1e-11), y)
+        return y[pad: total - pad]
     pos = (jnp.arange(n_frames) * hop)[:, None] + jnp.arange(n_fft)[None, :]
     y = jnp.zeros(D.shape[:-2] + (total,), frames.dtype).at[..., pos].add(frames)
     wsum = jnp.zeros((total,), window.dtype).at[pos].add(window ** 2)
     y = jnp.where(wsum > 1e-11, y / jnp.maximum(wsum, 1e-11), y)
-    pad = n_fft // 2
     return y[..., pad: total - pad]
 
 
