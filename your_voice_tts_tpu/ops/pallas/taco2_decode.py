@@ -1,0 +1,342 @@
+"""Tacotron2 autoregressive decode as a weights-in-VMEM Pallas TPU kernel.
+
+The decoder scan is the framework's serving hot loop (reference models/
+tacotron2.py Decoder.inference — its per-step Python loop; SURVEY.md SS3.1).
+Under XLA (`lax.scan`), every step re-reads the ~37 MB (bf16) of decoder
+weights from HBM: at batch 1 the whole decode is weight-bandwidth burn
+(500 steps x 37 MB ~= 18 GB of HBM reads ~= 23 ms at v5e bandwidth — which
+is the measured decode time).
+
+This kernel keeps ALL decoder weights resident in VMEM for the entire
+utterance, exactly like ops/pallas/wavernn_gen.py:
+
+- grid = (n_chunks,): TPU Pallas grids run sequentially, so VMEM scratch
+  (LSTM hiddens, attention state, context, previous frame, done mask)
+  persists across grid steps — the grid IS the decode loop, chunked.
+- weights + encoder memory use constant index_maps: DMA'd into VMEM once.
+- the location-sensitive attention's 31-tap conv over [prev_align,
+  cum_align] is folded with the location dense into two banded matrices
+  K_att/K_cum [T, T*A] (built once at trace time), so the in-kernel step is
+  two MXU matmuls `att @ K_att + cum @ K_cum -> [B, T*A] -> [B, T, A]`.
+  (A shifted-slice formulation of the same contraction crashes the Mosaic
+  compiler; the band matrices cost O(T^2 A) VMEM, so the kernel serves
+  T <= MAX_T_BANDED and models fall back to the XLA scan beyond it.)
+- prenet dropout (always-on, the reference quirk) draws from the same
+  counter-based hash PRNG as the WaveRNN kernel — deterministic per
+  (seed, step), chunk-invariant, and functional under interpret mode.
+
+Covers the DEFAULT attention configuration (location-sensitive, sigmoid or
+softmax norm, no forward-attention / transition agent / windowing,
+prenet_type="original"); models/tacotron2.py falls back to the XLA scan for
+anything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavernn_gen import _fmix32, _uniform
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+
+def _lstm(x, h, c, wx, wh, b, dtype):
+    """Fused LSTM cell, torch gate order (i, f, g, o) — nn/rnn.py parity."""
+    gates = (jnp.dot(x.astype(dtype), wx[...], preferred_element_type=F32)
+             + jnp.dot(h.astype(dtype), wh[...], preferred_element_type=F32)
+             + b[...])
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
+            p1_w, p1_b, p2_w, p2_b,
+            a_wx, a_wh, a_b, q_w, k_att, k_cum, v_w, v_b,
+            d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
+            out_ref, align_ref, stop_ref,
+            h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref, att_ref, cum_ref,
+            frame_ref, done_ref,
+            *, chunk: int, n_mels: int, r: int, norm: str,
+            thresh: float, prenet_dropout: bool, dtype):
+    step0 = pl.program_id(0) == 0
+
+    @pl.when(step0)
+    def _():
+        h1_ref[...] = jnp.zeros_like(h1_ref)
+        c1_ref[...] = jnp.zeros_like(c1_ref)
+        h2_ref[...] = jnp.zeros_like(h2_ref)
+        c2_ref[...] = jnp.zeros_like(c2_ref)
+        ctx_ref[...] = jnp.zeros_like(ctx_ref)
+        att_ref[...] = jnp.zeros_like(att_ref)
+        cum_ref[...] = jnp.zeros_like(cum_ref)
+        frame_ref[...] = jnp.zeros_like(frame_ref)
+        done_ref[...] = jnp.zeros_like(done_ref)
+
+    seed = seed_ref[0]
+    chunk_base = pl.program_id(0) * np.int32(chunk)
+    B, T = att_ref.shape
+
+    def body(t, _):
+        key = _fmix32(seed + (chunk_base + t) * np.int32(-1640531527))
+        # --- prenet (dropout always on when enabled; reference quirk) -------
+        x = frame_ref[...]                                     # [B, n_mels]
+        x = jax.nn.relu(jnp.dot(x.astype(dtype), p1_w[...],
+                                preferred_element_type=F32) + p1_b[...])
+        if prenet_dropout:
+            x = jnp.where(_uniform(x.shape, key, 11) < 0.5, 0.0, x * 2.0)
+        x = jax.nn.relu(jnp.dot(x.astype(dtype), p2_w[...],
+                                preferred_element_type=F32) + p2_b[...])
+        if prenet_dropout:
+            x = jnp.where(_uniform(x.shape, key, 12) < 0.5, 0.0, x * 2.0)
+
+        # --- attention LSTM --------------------------------------------------
+        attn_in = jnp.concatenate([x, ctx_ref[...]], axis=-1)
+        h1, c1 = _lstm(attn_in, h1_ref[...], c1_ref[...], a_wx, a_wh, a_b,
+                       dtype)
+
+        # --- location-sensitive attention ------------------------------------
+        # energies = v . tanh(Wq h1 + U [att; cum]_conv + Wk m); the conv +
+        # location dense are pre-folded into banded K_att/K_cum [T, T*A], so
+        # the location features are two MXU matmuls on the raw alignments
+        pq = jnp.dot(h1.astype(dtype), q_w[...],
+                     preferred_element_type=F32)               # [B, A]
+        A = pq.shape[-1]
+        f_proj = (jnp.dot(att_ref[...].astype(dtype), k_att[...],
+                          preferred_element_type=F32)
+                  + jnp.dot(cum_ref[...].astype(dtype), k_cum[...],
+                            preferred_element_type=F32))       # [B, T*A]
+        f_proj = f_proj.reshape(B, T, A)
+        tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
+        e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
+        e = e + maskadd_ref[...]                               # -1e9 at pads
+        if norm == "softmax":
+            align = jax.nn.softmax(e, axis=-1)
+        else:  # sigmoid norm (reference default)
+            s = jax.nn.sigmoid(e)
+            align = s / jnp.maximum(jnp.sum(s, axis=-1, keepdims=True), 1e-8)
+        ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)  # [B, E]
+
+        # --- decoder LSTM + projections --------------------------------------
+        dec_in = jnp.concatenate([h1, ctx], axis=-1)
+        h2, c2 = _lstm(dec_in, h2_ref[...], c2_ref[...], d_wx, d_wh, d_b,
+                       dtype)
+        proj_in = jnp.concatenate([h2, ctx], axis=-1)
+        dec_out = jnp.dot(proj_in.astype(dtype), proj_w[...],
+                          preferred_element_type=F32) + proj_b[...]
+        stop_in = jnp.concatenate([h2, dec_out], axis=-1)
+        stop_logit = jnp.dot(stop_in.astype(dtype), stop_w[...],
+                             preferred_element_type=F32) + stop_b[...]
+        stop_prob = jax.nn.sigmoid(stop_logit[:, 0])           # [B]
+
+        # --- stop masking (inference_scan semantics) --------------------------
+        active = 1.0 - done_ref[...][:, 0]                     # [B]
+        dec_out = dec_out * active[:, None]
+        done = jnp.maximum(done_ref[...][:, 0],
+                           (stop_prob > thresh).astype(F32))
+        new_frame = dec_out[:, n_mels * (r - 1): n_mels * r]
+
+        h1_ref[...] = h1
+        c1_ref[...] = c1
+        h2_ref[...] = h2
+        c2_ref[...] = c2
+        ctx_ref[...] = ctx
+        att_ref[...] = align
+        cum_ref[...] = cum_ref[...] + align
+        frame_ref[...] = new_frame
+        done_ref[...] = done[:, None]
+        out_ref[t] = dec_out
+        align_ref[t] = align
+        stop_ref[t] = stop_prob[:, None]
+        return 0
+
+    lax.fori_loop(0, chunk, body, 0)
+
+
+# the banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
+# (T=256, A=128: 2x16 MB) — beyond this the kernel's VMEM budget is blown
+# and callers must fall back to the XLA scan
+MAX_T_BANDED = 256
+
+
+def supported_config(cfg) -> bool:
+    """The kernel covers the default attention configuration; callers fall
+    back to the XLA scan otherwise."""
+    return (cfg.attention_type == "original" and cfg.location_attn
+            and not cfg.windowing and not cfg.use_forward_attn
+            and not cfg.transition_agent
+            and cfg.prenet_type == "original"
+            and cfg.attention_norm in ("sigmoid", "softmax"))
+
+
+def _band_matrices(wconv, wdense, T: int, dtype):
+    """Fold the location conv [K, 2, F] and location dense [F, A] into banded
+    matrices K_att, K_cum [T, T*A] with
+    K_att[s, t*A + a] = (wconv[:, 0] @ wdense)[s - t + pad, a] (0 outside the
+    band), so that f_proj = att @ K_att + cum @ K_cum equals the scan path's
+    conv1d(pad=SAME) -> dense location features. `wdense` must already be
+    lane-padded to the kernel's A (multiple of 128)."""
+    loc_K = wconv.shape[0]
+    pad = (loc_K - 1) // 2
+    u = jnp.einsum("kcf,fa->cka", wconv, wdense)               # [2, K, A]
+    s_ix = jnp.arange(T)[:, None]
+    t_ix = jnp.arange(T)[None, :]
+    k = s_ix - t_ix + pad                                      # [T, T]
+    valid = (k >= 0) & (k < loc_K)
+    kc = jnp.clip(k, 0, loc_K - 1)
+    k_att = jnp.where(valid[:, :, None], u[0][kc], 0.0)        # [T, T, A]
+    k_cum = jnp.where(valid[:, :, None], u[1][kc], 0.0)
+    return (k_att.reshape(T, -1).astype(dtype),
+            k_cum.reshape(T, -1).astype(dtype))
+
+
+def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
+                            *, n_mels: int, r: int, max_steps: int,
+                            norm: str = "sigmoid", thresh: float = 0.6,
+                            prenet_dropout: bool = True, seed: int = 0,
+                            chunk: int = 50, interpret: bool = False,
+                            dtype=BF16):
+    """Free-running Tacotron2 decode, whole loop in one kernel launch.
+
+    p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
+    [B, T, E] conditioned encoder memory; processed_inputs [B, T, A] = W_k m;
+    mask [B, T] bool. Returns (dec_out [steps, B, n_mels*r_init], alignments
+    [steps, B, T], stop_probs [steps, B], lengths [B] in r-groups) matching
+    Decoder.inference_scan's stacked outputs (time-major).
+    """
+    B0, T, E = enc_out.shape
+    # Mosaic rejects batch-1 (sub-sublane) operands; pad the batch to a
+    # multiple of 8 — MXU matmuls process >=8 sublane rows per pass anyway,
+    # so the padding is free. Padded rows get mask=False everywhere: their
+    # energies are -1e9, alignments collapse to exact 0, and outputs are
+    # sliced away below.
+    B = ((B0 + 7) // 8) * 8
+    if B != B0:
+        padb = ((0, B - B0),)
+        enc_out = jnp.pad(enc_out, padb + ((0, 0), (0, 0)))
+        processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
+        mask = jnp.pad(mask, padb + ((0, 0),))
+    n_steps = ((max_steps + chunk - 1) // chunk) * chunk
+    n_chunks = n_steps // chunk
+
+    if T > MAX_T_BANDED:
+        raise ValueError(
+            f"tacotron2_decode_pallas serves T <= {MAX_T_BANDED} "
+            f"(got {T}); use the XLA scan path for longer inputs")
+    # Mosaic only supports the in-kernel [B, T*A] -> [B, T, A] shape cast
+    # when A is a full lane multiple; pad the attention dim to 128 with zero
+    # columns (q_w/loc_dense/pinp/v all padded -> the extra energies
+    # contribute tanh(0) * 0 = 0, exactly nothing)
+    q_w = p_dec["attention"]["query"]["w"]
+    v_w = p_dec["attention"]["v"]["w"][:, 0]
+    wdense = p_dec["attention"]["loc_dense"]["w"]              # [F, A]
+    A0 = q_w.shape[1]
+    A = ((A0 + 127) // 128) * 128
+    if A != A0:
+        padA = ((0, 0), (0, A - A0))
+        q_w = jnp.pad(q_w, padA)
+        wdense = jnp.pad(wdense, padA)
+        v_w = jnp.pad(v_w, ((0, A - A0),))
+        processed_inputs = jnp.pad(processed_inputs,
+                                   ((0, 0), (0, 0), (0, A - A0)))
+    k_att, k_cum = _band_matrices(
+        p_dec["attention"]["loc_conv"]["w"],                   # [K, 2, F]
+        wdense, T, dtype)
+
+    weights = [
+        p_dec["prenet"]["linears"][0]["w"], p_dec["prenet"]["linears"][0]["b"],
+        p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
+        p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
+        p_dec["attention_rnn"]["b"],
+        q_w, k_att, k_cum,
+        v_w, p_dec["attention"]["v"]["b"],
+        p_dec["decoder_rnn"]["wx"], p_dec["decoder_rnn"]["wh"],
+        p_dec["decoder_rnn"]["b"],
+        p_dec["projection"]["w"], p_dec["projection"]["b"],
+        p_dec["stopnet"]["w"], p_dec["stopnet"]["b"],
+    ]
+    # biases and the attention v vector stay f32 (accumulator side); matmul
+    # operands in bf16 (MXU-native) unless overridden
+    bias_ix = {1, 3, 6, 10, 11, 14, 16, 18}
+    weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
+               for i, w in enumerate(weights)]
+
+    out_width = p_dec["projection"]["w"].shape[1]              # n_mels*r_init
+    maskadd = jnp.where(mask, 0.0, -1e9).astype(F32)
+
+    const = lambda *shape: None  # noqa: E731  (readability only)
+    w_specs = [pl.BlockSpec(w.shape, (lambda i, *_, n=w.ndim: (0,) * n),
+                            memory_space=pltpu.VMEM) for w in weights]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((B, T, E), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(processed_inputs.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=(
+            pl.BlockSpec((chunk, B, out_width), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, T), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, p_dec["attention_rnn"]["wh"].shape[0]), F32),  # h1
+            pltpu.VMEM((B, p_dec["attention_rnn"]["wh"].shape[0]), F32),  # c1
+            pltpu.VMEM((B, p_dec["decoder_rnn"]["wh"].shape[0]), F32),    # h2
+            pltpu.VMEM((B, p_dec["decoder_rnn"]["wh"].shape[0]), F32),    # c2
+            pltpu.VMEM((B, E), F32),                                      # ctx
+            pltpu.VMEM((B, T), F32),                                      # att
+            pltpu.VMEM((B, T), F32),                                      # cum
+            pltpu.VMEM((B, n_mels), F32),                                 # frame
+            pltpu.VMEM((B, 1), F32),                                      # done
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, chunk=chunk, n_mels=n_mels, r=r, norm=norm,
+        thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype)
+    dec_out, aligns, stops = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_steps, B, out_width), F32),
+                   jax.ShapeDtypeStruct((n_steps, B, T), F32),
+                   jax.ShapeDtypeStruct((n_steps, B, 1), F32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray([seed], jnp.int32), enc_out.astype(dtype),
+      processed_inputs.astype(F32), maskadd, *weights)
+
+    dec_out = dec_out[:max_steps, :B0]
+    aligns = aligns[:max_steps, :B0]
+    stops = stops[:max_steps, :B0, 0]
+    B = B0
+    # lengths in r-groups, inference_scan semantics: a step counts while the
+    # sample was still active at its START (done fires the step AFTER the
+    # stop token's own step, which itself still counts)
+    fired = stops > thresh                                     # [steps, B]
+    done_before = jnp.cumsum(fired.astype(jnp.int32), axis=0) > 0
+    done_at_start = jnp.concatenate(
+        [jnp.zeros((1, B), bool), done_before[:-1]], axis=0)
+    lengths = jnp.sum(1 - done_at_start.astype(jnp.int32), axis=0)
+    return dec_out, aligns, stops, lengths
