@@ -158,15 +158,19 @@ class BatchNorm1d:
         from batch statistics (the reference's BN sees padded frames — we do
         better and keep stats clean)."""
         if train:
+            # statistics always in f32: bf16 reductions over B*T elements are
+            # too coarse, and the running stats must accumulate in f32 even
+            # when mixed-precision training feeds bf16 activations
+            xs = x.astype(jnp.float32)
             if mask is not None:
-                m = mask[..., None].astype(x.dtype)
+                m = mask[..., None].astype(jnp.float32)
                 cnt = jnp.maximum(m.sum(), 1.0)
-                mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
-                var = (((x - mean) ** 2) * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+                mean = (xs * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+                var = (((xs - mean) ** 2) * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
             else:
                 axes = tuple(range(x.ndim - 1))
-                mean = x.mean(axis=axes)
-                var = x.var(axis=axes)
+                mean = xs.mean(axis=axes)
+                var = xs.var(axis=axes)
             new_state = {
                 "mean": (1 - self.momentum) * state["mean"] + self.momentum * mean,
                 "var": (1 - self.momentum) * state["var"] + self.momentum * var,
@@ -174,6 +178,9 @@ class BatchNorm1d:
         else:
             mean, var = state["mean"], state["var"]
             new_state = state
+        # normalize in the activation dtype (keeps bf16 activations bf16)
+        mean = mean.astype(x.dtype)
+        var = var.astype(x.dtype)
         y = (x - mean) * lax.rsqrt(var + self.eps) * p["scale"] + p["bias"]
         return y, new_state
 

@@ -139,13 +139,33 @@ class Trainer:
     # --- compiled steps ------------------------------------------------------
 
     def _loss_fn(self, params, model_state, batch, rng, step, r: int):
+        mel_in = batch["mel"]
+        spk_emb = batch.get("speaker_embeddings")
+        if self.cfg.training.mixed_precision:
+            # bf16 compute, f32 master weights: cast params + teacher-forcing
+            # mels down for the forward (the cast is differentiable, so grads
+            # come back f32 against the master params); model_state (BN
+            # running stats) stays f32 — BatchNorm1d computes statistics in
+            # f32 regardless of activation dtype. Losses are f32: every float
+            # output is cast back up before the criterion.
+            cast_down = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+            params = cast_down(params)
+            mel_in = mel_in.astype(jnp.bfloat16)
+            if spk_emb is not None:
+                spk_emb = spk_emb.astype(jnp.bfloat16)
         out = self.model.forward(
             {"params": params, "state": model_state},
-            batch["text"], batch["text_lengths"], batch["mel"],
+            batch["text"], batch["text_lengths"], mel_in,
             rng=rng, train=True,
             speaker_ids=batch.get("speaker_ids") if self.num_speakers else None,
-            speaker_embeddings=batch.get("speaker_embeddings"),
+            speaker_embeddings=spk_emb,
             r=r)
+        if self.cfg.training.mixed_precision:
+            out = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, out)
         total, parts = self.criterion(
             out, batch["mel"], batch["mel_lengths"], batch["stop_targets"],
             batch["text_lengths"], step=step, r=r,
