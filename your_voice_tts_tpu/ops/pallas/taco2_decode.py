@@ -89,6 +89,17 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
     seed = seed_ref[0]
     chunk_base = pl.program_id(0) * np.int32(chunk)
     B, T = att_ref.shape
+    # early exit: once every sample has fired its stop token, later chunks
+    # skip the decode entirely and just zero their output blocks (outputs are
+    # uninitialized VMEM otherwise) — latency tracks the LONGEST utterance in
+    # the batch, not max_steps
+    all_done = jnp.sum(1.0 - done_ref[...]) == 0.0
+
+    @pl.when(all_done)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        align_ref[...] = jnp.zeros_like(align_ref)
+        stop_ref[...] = jnp.zeros_like(stop_ref)
 
     def body(t, _):
         key = _fmix32(seed + (chunk_base + t) * np.int32(-1640531527))
@@ -163,7 +174,9 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         stop_ref[t] = stop_prob[:, None]
         return 0
 
-    lax.fori_loop(0, chunk, body, 0)
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        lax.fori_loop(0, chunk, body, 0)
 
 
 # the banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
