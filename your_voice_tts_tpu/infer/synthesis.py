@@ -45,8 +45,12 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
                     ap: AudioProcessor, speaker_ids=None, d_vectors=None,
                     style_wav: np.ndarray | None = None, use_griffin_lim: bool = True,
                     vocoder=None, rng=None, trim_silence: bool = False,
-                    max_decoder_steps: int | None = None) -> list[dict]:
-    """Batched synthesis; returns one result dict per input text."""
+                    max_decoder_steps: int | None = None, mesh=None) -> list[dict]:
+    """Batched synthesis; returns one result dict per input text.
+
+    mesh: an optional 1-axis ('data') jax.sharding.Mesh — the batch is
+    sharded over it (data-parallel serving: params replicated, each chip
+    decodes its slice of the batch; scale-out mirror of the DP trainer)."""
     import jax.numpy as jnp
 
     seqs = [text_to_seq(t, cfg) for t in texts]
@@ -58,19 +62,31 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
         style_mel = np.broadcast_to(style_mel,
                                     (len(texts),) + style_mel.shape[1:])
 
-    # serving knobs: chunked early-exit decoding (stop when all samples fire
-    # their stop token instead of always scanning max_decoder_steps), and the
-    # configured inference compute dtype (bf16 = MXU-native serving precision)
-    infer_fn = getattr(model, "inference_incremental", model.inference)
+    # serving knobs: early-exit decoding (stop when all samples fire their
+    # stop token instead of always scanning max_decoder_steps) — in-kernel
+    # when the Pallas decode route applies (single launch, weights stay in
+    # VMEM), host-chunked otherwise — and the configured inference compute
+    # dtype (bf16 = MXU-native serving precision)
+    if getattr(model, "pallas_decode_supported",
+               lambda T: False)(text_arr.shape[1]):
+        infer_fn = model.inference
+    else:
+        infer_fn = getattr(model, "inference_incremental", model.inference)
     compute_dtype = None
     if getattr(cfg.model, "inference_compute_dtype", "float32") == "bfloat16":
         compute_dtype = jnp.bfloat16
-    out = infer_fn(
-        variables, jnp.asarray(text_arr), jnp.asarray(lengths), rng=rng,
-        speaker_ids=None if speaker_ids is None else jnp.asarray(speaker_ids),
-        speaker_embeddings=None if d_vectors is None else jnp.asarray(d_vectors),
-        style_mel=None if style_mel is None else jnp.asarray(style_mel),
-        max_decoder_steps=max_decoder_steps, compute_dtype=compute_dtype)
+    if mesh is not None:
+        out = _mesh_inference(
+            mesh, model, variables, text_arr, lengths,
+            speaker_ids=speaker_ids, d_vectors=d_vectors, style_mel=style_mel,
+            max_decoder_steps=max_decoder_steps, compute_dtype=compute_dtype)
+    else:
+        out = infer_fn(
+            variables, jnp.asarray(text_arr), jnp.asarray(lengths), rng=rng,
+            speaker_ids=None if speaker_ids is None else jnp.asarray(speaker_ids),
+            speaker_embeddings=None if d_vectors is None else jnp.asarray(d_vectors),
+            style_mel=None if style_mel is None else jnp.asarray(style_mel),
+            max_decoder_steps=max_decoder_steps, compute_dtype=compute_dtype)
 
     mels = np.asarray(out["postnet_outputs"])          # [B, T, n_mels]
     aligns = np.asarray(out["alignments"])
@@ -95,6 +111,54 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
             res["wav"] = wav
         results.append(res)
     return results
+
+
+def _mesh_inference(mesh, model, variables, text_arr, lengths, *,
+                    speaker_ids=None, d_vectors=None, style_mel=None,
+                    max_decoder_steps=None, compute_dtype=None) -> dict:
+    """Data-parallel serving: shard the batch over the mesh's 'data' axis
+    with params replicated; each device runs the full inference (including
+    the Pallas decode kernel where supported — shard_map hands every device
+    its local batch slice, so the kernel composes) and XLA gathers the
+    outputs. The batch is padded to a multiple of the device count with
+    dummy rows, sliced away on return."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    n = mesh.devices.size
+    B0 = text_arr.shape[0]
+    Bp = ((B0 + n - 1) // n) * n
+
+    def padb(a, fill=0):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if Bp == B0:
+            return a
+        pad = [(0, Bp - B0)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, pad, constant_values=fill)
+
+    text_arr, lengths = padb(text_arr), padb(lengths, 1)
+    opt = {"speaker_ids": padb(speaker_ids),
+           "speaker_embeddings": padb(d_vectors),
+           "style_mel": padb(style_mel)}
+    keys = [k for k, v in opt.items() if v is not None]
+    vals = [jnp.asarray(opt[k]) for k in keys]
+
+    def fn(v, t, l, *extra):
+        kw = dict(zip(keys, extra))
+        return model.inference(v, t, l, rng=None,
+                               max_decoder_steps=max_decoder_steps,
+                               compute_dtype=compute_dtype, **kw)
+
+    out = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(),) + (P("data"),) * (2 + len(vals)),
+        out_specs=P("data"), check_vma=False,
+    )(variables, jnp.asarray(text_arr), jnp.asarray(lengths), *vals)
+    return {k: v[:B0] for k, v in out.items()}
 
 
 def synthesis(model, variables, text: str, cfg: Config, ap: AudioProcessor,

@@ -494,6 +494,14 @@ class Tacotron2:
     _cast_compute = staticmethod(cast_compute)
     _outputs_f32 = staticmethod(outputs_f32)
 
+    def pallas_decode_supported(self, T: int) -> bool:
+        """True when inference() would auto-route the decode loop onto the
+        weights-in-VMEM Pallas kernel for text length T (TPU backend, default
+        attention configuration, T within the banded-matrix budget)."""
+        from ..ops.pallas.taco2_decode import MAX_T_BANDED, supported_config
+        return (jax.default_backend() == "tpu" and supported_config(self.cfg)
+                and T <= MAX_T_BANDED)
+
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
                   max_decoder_steps: int | None = None, r: int | None = None,
@@ -522,11 +530,7 @@ class Tacotron2:
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
         if use_pallas is None:
-            from ..ops.pallas.taco2_decode import (MAX_T_BANDED,
-                                                   supported_config)
-            use_pallas = (jax.default_backend() == "tpu"
-                          and supported_config(self.cfg)
-                          and text.shape[1] <= MAX_T_BANDED)
+            use_pallas = self.pallas_decode_supported(text.shape[1])
         if use_pallas:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
