@@ -38,7 +38,13 @@ def _speech_wave(rng: np.random.Generator, sr: int, dur: float, f0: float) -> np
     env = 0.55 + 0.45 * np.sin(2 * np.pi * 2.2 * t - np.pi / 2)
     x = x * env * 0.25
     fade = np.minimum(1.0, np.minimum(t / 0.02, (dur - t) / 0.02))
-    return (x * fade).astype(np.float32)
+    x = x * fade
+    # trailing near-silence, like every real speech corpus: the stopnet keys
+    # on end-of-utterance frames, and a clip that cuts off mid-tone gives it
+    # nothing separable to learn (observed: stop probs plateau at the
+    # constant-predictor level without this)
+    tail = 0.002 * rng.standard_normal(int(sr * 0.15))
+    return np.concatenate([x, tail]).astype(np.float32)
 
 
 def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
