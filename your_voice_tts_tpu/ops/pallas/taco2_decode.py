@@ -15,11 +15,11 @@ utterance, exactly like ops/pallas/wavernn_gen.py:
   persists across grid steps — the grid IS the decode loop, chunked.
 - weights + encoder memory use constant index_maps: DMA'd into VMEM once.
 - the location-sensitive attention's 31-tap conv over [prev_align,
-  cum_align] is folded with the location dense into two banded matrices
-  K_att/K_cum [T, T*A] (built once at trace time), so the in-kernel step is
-  two MXU matmuls `att @ K_att + cum @ K_cum -> [B, T*A] -> [B, T, A]`.
+  cum_align] is folded with the location dense into one banded matrix
+  K_loc [2T, T*A] (built once at trace time), so the in-kernel step is a
+  single MXU matmul `[att ; cum] @ K_loc -> [B, T*A] -> [B, T, A]`.
   (A shifted-slice formulation of the same contraction crashes the Mosaic
-  compiler; the band matrices cost O(T^2 A) VMEM, so the kernel serves
+  compiler; the band matrix costs O(T^2 A) VMEM, so the kernel serves
   T <= MAX_T_BANDED and models fall back to the XLA scan beyond it.)
 - prenet dropout (always-on, the reference quirk) draws from the same
   counter-based hash PRNG as the WaveRNN kernel — deterministic per
@@ -65,7 +65,7 @@ def _lstm(x, h, c, wx, wh, b, dtype):
 
 def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
-            a_wx, a_wh, a_b, q_w, k_att, k_cum, v_w, v_b,
+            a_wx, a_wh, a_b, q_w, k_loc, v_w, v_b,
             d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
             out_ref, align_ref, stop_ref,
             h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref, att_ref, cum_ref,
@@ -121,15 +121,14 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
         # --- location-sensitive attention ------------------------------------
         # energies = v . tanh(Wq h1 + U [att; cum]_conv + Wk m); the conv +
-        # location dense are pre-folded into banded K_att/K_cum [T, T*A], so
-        # the location features are two MXU matmuls on the raw alignments
+        # location dense are pre-folded into one banded K_loc [2T, T*A], so
+        # the location features are a single MXU matmul on [att ; cum]
         pq = jnp.dot(h1.astype(dtype), q_w[...],
                      preferred_element_type=F32)               # [B, A]
         A = pq.shape[-1]
-        f_proj = (jnp.dot(att_ref[...].astype(dtype), k_att[...],
-                          preferred_element_type=F32)
-                  + jnp.dot(cum_ref[...].astype(dtype), k_cum[...],
-                            preferred_element_type=F32))       # [B, T*A]
+        ac = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)  # [B, 2T]
+        f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
+                         preferred_element_type=F32)           # [B, T*A]
         f_proj = f_proj.reshape(B, T, A)
         tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
         e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
@@ -212,8 +211,10 @@ def _band_matrices(wconv, wdense, T: int, dtype):
     kc = jnp.clip(k, 0, loc_K - 1)
     k_att = jnp.where(valid[:, :, None], u[0][kc], 0.0)        # [T, T, A]
     k_cum = jnp.where(valid[:, :, None], u[1][kc], 0.0)
-    return (k_att.reshape(T, -1).astype(dtype),
-            k_cum.reshape(T, -1).astype(dtype))
+    # stack into one [2T, T*A] operand: the in-kernel step multiplies the
+    # concatenated [att ; cum] row vector against it in a single MXU pass
+    return jnp.concatenate([k_att.reshape(T, -1),
+                            k_cum.reshape(T, -1)], axis=0).astype(dtype)
 
 
 def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
@@ -265,7 +266,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         v_w = jnp.pad(v_w, ((0, A - A0),))
         processed_inputs = jnp.pad(processed_inputs,
                                    ((0, 0), (0, 0), (0, A - A0)))
-    k_att, k_cum = _band_matrices(
+    k_loc = _band_matrices(
         p_dec["attention"]["loc_conv"]["w"],                   # [K, 2, F]
         wdense, T, dtype)
 
@@ -274,7 +275,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
         p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
         p_dec["attention_rnn"]["b"],
-        q_w, k_att, k_cum,
+        q_w, k_loc,
         v_w, p_dec["attention"]["v"]["b"],
         p_dec["decoder_rnn"]["wx"], p_dec["decoder_rnn"]["wh"],
         p_dec["decoder_rnn"]["b"],
@@ -283,7 +284,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     ]
     # biases and the attention v vector stay f32 (accumulator side); matmul
     # operands in bf16 (MXU-native) unless overridden
-    bias_ix = {1, 3, 6, 10, 11, 14, 16, 18}
+    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17}
     weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
                for i, w in enumerate(weights)]
 
