@@ -1,8 +1,15 @@
 """Speaker-encoder trainer (reference speaker_encoder/train.py): GE2E over
-random N x M batches, one jitted step."""
+random N x M batches, one jitted step.
+
+DP over the device mesh like every other trainer here (SURVEY.md SS2.3):
+params/opt replicated, the N-speaker axis sharded on 'data'. The GE2E loss
+couples the whole N x M batch through its similarity matrix, but the
+expensive part — the LSTMP forward over mel windows — shards cleanly, and
+XLA inserts the embedding all-gather ahead of the loss."""
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Any, NamedTuple
@@ -12,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..parallel import make_mesh, replicate, shard_batch
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from .losses import ge2e_loss, init_ge2e_params
 from .model import SpeakerEncoder
@@ -41,6 +49,9 @@ class SpeakerEncoderTrainer:
             params, loss_params,
             self.optimizer.init({"model": params, "loss": loss_params}),
             jnp.zeros((), jnp.int32))
+        # shard over the largest device count that divides the speaker axis
+        self.mesh = make_mesh(math.gcd(self.N, len(jax.devices())))
+        self.state = jax.device_put(self.state, replicate(self.mesh))
         self.output_path = output_path
         self.verbose = verbose
 
@@ -68,7 +79,8 @@ class SpeakerEncoderTrainer:
         for _ in range(max_steps):
             mels = self.dataset.sample_batch(self.N, self.M, rng)
             t0 = time.time()
-            self.state, loss = self._step_fn(self.state, jnp.asarray(mels))
+            mels = shard_batch({"mels": np.asarray(mels)}, self.mesh)["mels"]
+            self.state, loss = self._step_fn(self.state, mels)
             step = int(self.state.step)
             last = {"loss": float(loss), "step_time": time.time() - t0}
             if self.verbose and step % print_step == 0:
