@@ -1,0 +1,43 @@
+"""Train and save the bench trained-latency checkpoint (see README.md
+here). Deterministic recipe: smoke config, synthetic 64-item corpus with
+trailing-silence clips and 3-14-word sentences, 8000 steps."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses, os
+import jax.numpy as jnp, numpy as np
+from your_voice_tts_tpu.config import load_config
+from your_voice_tts_tpu.train.trainer import Trainer
+from your_voice_tts_tpu.train.checkpoint import save_checkpoint
+from your_voice_tts_tpu.infer.synthesis import text_to_seq
+
+cfg = load_config("configs/smoke_synthetic.json")
+import os
+from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+corpus = ".bench_cache/corpus"
+if not os.path.exists(os.path.join(corpus, "metadata.csv")):
+    make_synthetic_corpus(corpus, n_items=64, sr=22050, max_words=15)
+ds = dataclasses.replace(cfg.data.datasets[0], path=corpus)
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, max_decoder_steps=256),
+    training=dataclasses.replace(cfg.training, epochs=2000),
+    data=dataclasses.replace(cfg.data, datasets=(ds,)))
+trainer = Trainer(cfg, output_path=None, verbose=False)
+trainer.fit(max_steps=8000)
+save_checkpoint("assets/bench_trained_smoke.npz",
+                params=trainer.state.params,
+                model_state=trainer.state.model_state, opt_state={},
+                step=int(trainer.state.step), epoch=0, r=cfg.model.r)
+variables = {"params": trainer.state.params, "state": trainer.state.model_state}
+for s in ["Hi there.", "The quick brown fox jumps over the lazy dog."]:
+    seq = text_to_seq(s, cfg)
+    out = trainer.model.inference(variables, jnp.asarray(seq, jnp.int32)[None],
+                                  jnp.asarray([len(seq)], jnp.int32))
+    sp = np.asarray(out["stop_probs"])[0]
+    print(s, "-> mel_len", int(np.asarray(out["mel_lengths"])[0]),
+          "cap", 512, "stop_max", round(float(sp.max()), 3), flush=True)
+print("SAVED assets/bench_trained_smoke.npz")

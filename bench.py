@@ -42,21 +42,25 @@ def trained_latency_extras(quick: bool) -> dict:
     from your_voice_tts_tpu.text import symbols
     from your_voice_tts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_cache")
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    ckpt = os.path.join(cache, "trained_smoke.npz")
-    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs", "smoke_synthetic.json"))
+    # preferred: the committed 8000-step checkpoint (stop tokens verified to
+    # fire — a 1500-step model never learns them, so the r1 bench measured a
+    # cap-bound decode and reported trained_stop_rate 0.0); fallback: train
+    # the same recipe into the local cache
+    ckpt = os.path.join(here, "assets", "bench_trained_smoke.npz")
+    if not os.path.exists(ckpt):
+        ckpt = os.path.join(cache, "trained_smoke.npz")
+    cfg = load_config(os.path.join(here, "configs", "smoke_synthetic.json"))
     # longer decode budget than the smoke default so stop tokens, not the
     # cap, terminate decoding; raise the smoke config's 2-epoch cap so
-    # fit(max_steps=1500) actually reaches 1500 steps (48 items / batch 8 =
-    # 6 steps/epoch -> the r1 bench silently trained 12 steps and reported
-    # trained_stop_rate 0.0)
+    # fit(max_steps=N) actually reaches N steps (48 items / batch 8 =
+    # 6 steps/epoch)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, max_decoder_steps=256),
-        training=dataclasses.replace(cfg.training, epochs=300))
+        training=dataclasses.replace(cfg.training, epochs=2000))
     model = setup_model(len(symbols), 0, cfg)
     variables = model.init(jax.random.PRNGKey(0))
 
@@ -65,15 +69,17 @@ def trained_latency_extras(quick: bool) -> dict:
 
         corpus = os.path.join(cache, "corpus")
         if not os.path.exists(os.path.join(corpus, "metadata.csv")):
-            make_synthetic_corpus(corpus, n_items=48, sr=cfg.audio.sample_rate)
+            # max_words=15: the latency test sentences run up to ~30 words,
+            # and the stopnet only generalizes to lengths it has seen
+            make_synthetic_corpus(corpus, n_items=64,
+                                  sr=cfg.audio.sample_rate, max_words=15)
         ds = dataclasses.replace(cfg.data.datasets[0], path=corpus)
         tcfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, datasets=(ds,)))
         trainer = Trainer(tcfg, output_path=None, verbose=False)
-        # always the full 1500-step recipe (round-1 convergence run: eval
-        # loss 0.33, alignment 0.97) — the checkpoint is cached, and a
-        # quick-mode 400-step model never learns to fire stop tokens
-        trainer.fit(max_steps=1500)
+        # 8000 steps: the synthetic-corpus stopnet crosses the 0.6 stop
+        # threshold around step 7500 (see assets/ provenance); cached after
+        trainer.fit(max_steps=8000)
         save_checkpoint(ckpt, params=trainer.state.params,
                         model_state=trainer.state.model_state, opt_state={},
                         step=int(trainer.state.step), epoch=0, r=tcfg.model.r)
@@ -110,7 +116,7 @@ def trained_latency_extras(quick: bool) -> dict:
     lat.sort()
     hop, sr = cfg.audio.resolved_hop_win()[0], cfg.audio.sample_rate
     audio_s = float(np.mean(produced)) * hop / sr
-    return {
+    extras = {
         "p50_trained_early_exit_ms": round(lat[len(lat) // 2] * 1000.0, 1),
         "p95_trained_early_exit_ms": round(lat[-1] * 1000.0, 1),
         "trained_mean_frames": round(float(np.mean(produced)), 1),
@@ -120,6 +126,170 @@ def trained_latency_extras(quick: bool) -> dict:
         # when this is close to 1
         "trained_stop_rate": round(stopped / max(len(produced), 1), 2),
     }
+
+    # the Pallas decode route (in-kernel early exit, ONE launch per
+    # utterance): texts bucket-padded to T=192 (covers the longest test
+    # sentence) so every call shares a compile, like a serving frontend would
+    if getattr(model, "pallas_decode_supported", lambda T: False)(192):
+        kernel_infer = jax.jit(
+            lambda v, t, l: model.inference(v, t, l, use_pallas=True))
+        lat_k = []
+        for rep in range(2):
+            for s in sentences:
+                seq = text_to_seq(s, cfg)
+                text = np.zeros((1, 192), np.int32)
+                text[0, : len(seq)] = seq
+                lens = jnp.asarray([len(seq)], jnp.int32)
+                t0 = time.time()
+                out = kernel_infer(variables, jnp.asarray(text), lens)
+                int(out["mel_lengths"][0])  # host sync
+                if rep > 0:
+                    lat_k.append(time.time() - t0)
+        lat_k.sort()
+        extras["p50_trained_kernel_ms"] = round(
+            lat_k[len(lat_k) // 2] * 1000.0, 1)
+        extras["p95_trained_kernel_ms"] = round(lat_k[-1] * 1000.0, 1)
+    return extras
+
+
+def capability_matrix_extras() -> dict:
+    """One number per remaining BASELINE.json config (the headline + trained
+    block already cover configs 1 and 3's metrics at serving time):
+    config 2 Tacotron2+MelGAN batched, config 3 teacher-forced training
+    throughput, config 4 WaveRNN batched folding, config 5 d-vector cloning
+    inference. Each is try/except'd by the caller — a failure never loses
+    the headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.config import AudioConfig, Config, ModelConfig, TrainingConfig
+    from your_voice_tts_tpu.models import setup_model
+    from your_voice_tts_tpu.models.losses import TacotronLoss
+    from your_voice_tts_tpu.text import symbols
+    from your_voice_tts_tpu.vocoder.models.melgan import MelganGenerator
+    from your_voice_tts_tpu.vocoder.models.wavernn import WaveRNN
+
+    rng = np.random.default_rng(0)
+    acfg = AudioConfig()
+    sr = acfg.sample_rate
+    out = {}
+
+    def timeit(fn, *args, n=3):
+        chk = fn(*args)   # compile
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            chk = fn(*args)
+            ts.append(time.time() - t0)
+        del chk
+        return float(np.median(ts))
+
+    # --- config 2: Tacotron2 + MelGAN, batched inference (batch=8) ----------
+    model = setup_model(len(symbols), 0, Config(audio=acfg, model=ModelConfig()))
+    variables = model.init(jax.random.PRNGKey(0))
+    gen = MelganGenerator()
+    gp = gen.init(jax.random.PRNGKey(1))
+    B, T_text, steps = 8, 64, 250
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T_text)), jnp.int32)
+    lens = jnp.full((B,), T_text, jnp.int32)
+
+    @jax.jit
+    def taco_melgan(variables, gp, text, lens):
+        o = model.inference(variables, text, lens, max_decoder_steps=steps)
+        wav = gen(gp, o["postnet_outputs"])
+        return jnp.abs(wav).sum()
+
+    dt = timeit(lambda *a: float(taco_melgan(*a)), variables, gp, text, lens)
+    audio_s = B * steps * model.r * acfg.hop_length / sr
+    out["taco2_melgan_batch8_rtf"] = round(audio_s / dt, 1)
+
+    # --- config 3: teacher-forced training step (mixed precision) -----------
+    from your_voice_tts_tpu.train.optim import build_optimizer
+
+    tcfg = Config(audio=acfg, model=ModelConfig(r=2),
+                  training=TrainingConfig(batch_size=32, mixed_precision=True))
+    tmodel = setup_model(len(symbols), 0, tcfg)
+    tvars = tmodel.init(jax.random.PRNGKey(0))
+    criterion = TacotronLoss()
+    optimizer = build_optimizer(tcfg.training)
+    opt_state = optimizer.init(tvars["params"])
+    Bt, Tt, Tm = 32, 128, 400
+    batch = {
+        "text": jnp.asarray(rng.integers(1, len(symbols), (Bt, Tt)), jnp.int32),
+        "text_lengths": jnp.full((Bt,), Tt, jnp.int32),
+        "mel": jnp.asarray(rng.standard_normal((Bt, Tm, 80)), jnp.float32),
+        "mel_lengths": jnp.full((Bt,), Tm, jnp.int32),
+        "stop_targets": jnp.zeros((Bt, Tm // 2), jnp.float32),
+    }
+
+    def loss_fn(params, state, batch, key):
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t)
+        o = tmodel.forward({"params": cast(params), "state": state},
+                           batch["text"], batch["text_lengths"],
+                           batch["mel"].astype(jnp.bfloat16), rng=key,
+                           train=True)
+        o = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, o)
+        total, _ = criterion(o, batch["mel"], batch["mel_lengths"],
+                             batch["stop_targets"], batch["text_lengths"],
+                             step=0, r=2)
+        return total
+
+    @jax.jit
+    def train_step(params, state, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, state, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    params, state = tvars["params"], tvars["state"]
+
+    def one_step(params, state, opt_state, batch):
+        p2, o2, loss = train_step(params, state, opt_state, batch,
+                                  jax.random.PRNGKey(0))
+        return float(loss)
+
+    dt = timeit(one_step, params, state, opt_state, batch)
+    out["train_step_ms_bf16"] = round(dt * 1000.0, 1)
+    out["train_mel_frames_per_s"] = round(Bt * Tm / dt, 0)
+
+    # --- config 4: WaveRNN batched folding (Pallas kernel) -------------------
+    wr = WaveRNN()   # full-size: rnn 512, 10 res blocks, 10-bit mu-law
+    wp = wr.init(jax.random.PRNGKey(0))
+    mel = jnp.asarray(rng.standard_normal((1400, 80)), jnp.float32)  # ~16 s
+
+    @jax.jit
+    def wr_gen_j(wp, mel, key):
+        wav = wr.generate(wp, mel, key, batched=True)
+        return jnp.abs(wav).sum()
+
+    def wr_gen():
+        return float(wr_gen_j(wp, mel, jax.random.PRNGKey(1)))
+
+    dt = timeit(wr_gen, n=2)
+    n_samples = (1400 - 2 * wr.pad) * acfg.hop_length
+    out["wavernn_fold_rtf"] = round(n_samples / sr / dt, 1)
+
+    # --- config 5: multi-speaker cloning (external d-vector) -----------------
+    msmodel = setup_model(len(symbols), 10, Config(audio=acfg, model=ModelConfig()),
+                          speaker_embedding_dim=256)
+    msvars = msmodel.init(jax.random.PRNGKey(0))
+    dvec = jnp.asarray(rng.standard_normal((1, 256)), jnp.float32)
+    text1 = jnp.asarray(rng.integers(1, len(symbols), (1, 64)), jnp.int32)
+    lens1 = jnp.full((1,), 64, jnp.int32)
+
+    @jax.jit
+    def clone(v, t, l, d):
+        o = msmodel.inference(v, t, l, speaker_embeddings=d,
+                              max_decoder_steps=steps)
+        return jnp.abs(o["postnet_outputs"]).sum()
+
+    dt = timeit(lambda *a: float(clone(*a)), msvars, text1, lens1, dvec)
+    out["cloning_p50_ms"] = round(dt * 1000.0, 1)
+    return out
 
 
 def verify_gates() -> dict:
@@ -413,6 +583,12 @@ def main() -> None:
             result["extra"].update(trained_latency_extras(quick))
         except Exception as e:  # never lose the headline number
             result["extra"]["trained_latency_error"] = f"{type(e).__name__}: {e}"
+    if not quick:
+        # one number per remaining BASELINE.json config (2/3/4/5)
+        try:
+            result["extra"].update(capability_matrix_extras())
+        except Exception as e:
+            result["extra"]["matrix_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

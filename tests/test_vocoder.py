@@ -261,10 +261,11 @@ def test_wavernn_mode_train_loss_decreases(corpus_items, mode):
         VCFG, model="wavernn",
         wavernn=dataclasses.replace(SMALL_WAVERNN, mode=mode, num_mixtures=4))
     trainer = WaveRNNTrainer(cfg, corpus_items, verbose=False)
-    # same-batch comparison (fit() reseeds its data rng each call)
-    losses = [trainer.fit(max_steps=1)["loss"] for _ in range(6)]
+    # same-batch comparison (fit() reseeds its data rng each call); average
+    # the tail — adam's first steps on an NLL head are not monotone
+    losses = [trainer.fit(max_steps=1)["loss"] for _ in range(10)]
     assert all(np.isfinite(l) for l in losses)
-    assert losses[-1] < losses[0]
+    assert np.mean(losses[-3:]) < losses[0]
 
 
 @pytest.mark.parametrize("mode", ["mol", "gauss"])

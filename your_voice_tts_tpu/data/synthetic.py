@@ -48,13 +48,18 @@ def _speech_wave(rng: np.random.Generator, sr: int, dur: float, f0: float) -> np
 
 
 def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
-                          n_speakers: int = 1, seed: int = 0) -> str:
-    """Create metadata.csv + wavs/ under `path`; returns `path`."""
+                          n_speakers: int = 1, seed: int = 0,
+                          min_words: int = 3, max_words: int = 9) -> str:
+    """Create metadata.csv + wavs/ under `path`; returns `path`.
+
+    min_words/max_words bound the sentence-length distribution — a model
+    meant to stop correctly on long test sentences must see comparably long
+    training clips (bench uses max_words=15)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(path, "wavs"), exist_ok=True)
     lines = []
     for i in range(n_items):
-        n_words = int(rng.integers(3, 9))
+        n_words = int(rng.integers(min_words, max_words))
         text = _sentence(rng, n_words)
         dur = 0.25 + 0.12 * n_words + float(rng.uniform(0, 0.1))
         speaker = i % n_speakers

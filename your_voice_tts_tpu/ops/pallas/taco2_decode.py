@@ -195,10 +195,10 @@ def supported_config(cfg) -> bool:
 
 
 def _band_matrices(wconv, wdense, T: int, dtype):
-    """Fold the location conv [K, 2, F] and location dense [F, A] into banded
-    matrices K_att, K_cum [T, T*A] with
+    """Fold the location conv [K, 2, F] and location dense [F, A] into one
+    banded matrix K_loc [2T, T*A] (K_att stacked on K_cum), where
     K_att[s, t*A + a] = (wconv[:, 0] @ wdense)[s - t + pad, a] (0 outside the
-    band), so that f_proj = att @ K_att + cum @ K_cum equals the scan path's
+    band), so that f_proj = [att ; cum] @ K_loc equals the scan path's
     conv1d(pad=SAME) -> dense location features. `wdense` must already be
     lane-padded to the kernel's A (multiple of 128)."""
     loc_K = wconv.shape[0]
@@ -291,7 +291,6 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     out_width = p_dec["projection"]["w"].shape[1]              # n_mels*r_init
     maskadd = jnp.where(mask, 0.0, -1e9).astype(F32)
 
-    const = lambda *shape: None  # noqa: E731  (readability only)
     w_specs = [pl.BlockSpec(w.shape, (lambda i, *_, n=w.ndim: (0,) * n),
                             memory_space=pltpu.VMEM) for w in weights]
     grid_spec = pltpu.PrefetchScalarGridSpec(
