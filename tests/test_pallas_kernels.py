@@ -395,3 +395,33 @@ def test_taco2_decode_kernel_early_exit(small_taco):
     assert np.all(np.asarray(st2)[5:] == 0)
     np.testing.assert_array_equal(np.asarray(len2) * 2,
                                   np.asarray(lengths) * 0 + 2)
+
+
+def test_taco2_decode_kernel_stream_matches_truncated_scan(small_taco):
+    """inference_truncated on the kernel: with dropout off and no stop token
+    fired, two chunked kernel decodes must match the scan's truncated path —
+    same frames and the same carried stream."""
+    model, variables = small_taco
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables)
+
+    r1 = model.decoder.inference_truncated(
+        params["decoder"], state["decoder"], enc_out, text_len, None, 10)
+    k1 = model.decoder.inference_truncated_pallas(
+        params["decoder"], enc_out, text_len, 10, interpret=True)
+    np.testing.assert_allclose(np.asarray(k1[0]), np.asarray(r1[0]), atol=5e-3)
+    # carried RNN state accumulates bf16 rounding faster than the outputs
+    for a, b in zip(jax.tree_util.tree_leaves(k1[4]),
+                    jax.tree_util.tree_leaves(r1[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
+
+    # chunk 2 seeded with each path's own stream — still matching
+    r2 = model.decoder.inference_truncated(
+        params["decoder"], state["decoder"], enc_out, text_len, None, 10,
+        stream=r1[4])
+    k2 = model.decoder.inference_truncated_pallas(
+        params["decoder"], enc_out, text_len, 10, stream=k1[4],
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(k2[0]), np.asarray(r2[0]), atol=3e-2)
+    # the stream actually mattered: chunk 2 differs from chunk 1
+    assert np.abs(np.asarray(k2[0]) - np.asarray(k1[0])).max() > 1e-4

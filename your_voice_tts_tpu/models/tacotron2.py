@@ -273,6 +273,38 @@ class Decoder:
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             steps_done * r
 
+    def inference_truncated_pallas(self, p: Params, inputs, input_lengths,
+                                   max_steps: int, r: int | None = None,
+                                   seed: int = 0, stream=None,
+                                   interpret: bool = False):
+        """inference_truncated() on the weights-in-VMEM Pallas kernel: RNN
+        hiddens + last frame stream across text chunks, attention resets per
+        chunk, and the kernel's early exit stops decoding once every sample
+        fires its stop token (the stream freezes there — see
+        tacotron2_decode_pallas)."""
+        from ..ops.pallas.taco2_decode import tacotron2_decode_pallas
+
+        r = r or self.r_init
+        B = inputs.shape[0]
+        mask = sequence_mask(input_lengths, inputs.shape[1])
+        processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
+        if stream is not None:
+            attn_hc, dec_hc, prev_frame = stream
+            stream = (tuple(attn_hc), tuple(dec_hc), prev_frame)
+        dec_out, aligns, stops, steps_done, stream_out = tacotron2_decode_pallas(
+            p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
+            max_steps=max_steps, norm=self.attention.norm,
+            thresh=self.cfg.stop_threshold,
+            prenet_dropout=(self.cfg.prenet_dropout
+                            and self.prenet.dropout_enabled),
+            seed=seed, interpret=interpret, stream=stream, return_stream=True)
+        dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
+            .reshape(B, max_steps * r, self.n_mels)
+        (h1, c1), (h2, c2), frame = stream_out
+        stream_out = ((h1, c1), (h2, c2), frame)
+        return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            steps_done * r, stream_out
+
     def init_inference_carry(self, B: int, inputs, rng, stream=None):
         """Fresh decode carry; if `stream` (attn_hc, dec_hc, prev_frame) from
         a previous text chunk is given, the RNN hiddens and last emitted
@@ -554,7 +586,8 @@ class Tacotron2:
                             speaker_ids=None, speaker_embeddings=None,
                             style_mel=None, max_decoder_steps: int | None = None,
                             r: int | None = None, stream_state=None,
-                            compute_dtype=None):
+                            compute_dtype=None, use_pallas: bool | None = None,
+                            pallas_seed: int = 0):
         """Streaming synthesis over text CHUNKS with state carried between
         calls (reference Tacotron2.inference_truncated; SURVEY.md:96):
         decoder RNN hiddens + last mel frame persist across calls, attention
@@ -563,7 +596,9 @@ class Tacotron2:
         the chunk length.
 
         Returns (outputs_dict, stream_state'); pass stream_state' to the next
-        call. stream_state=None starts a fresh utterance."""
+        call. stream_state=None starts a fresh utterance. use_pallas routes
+        onto the weights-in-VMEM decode kernel like inference() (None =
+        auto on TPU; the kernel freezes the stream at its early exit)."""
         r = r or self.r
         rng = self._default_inference_rng(rng)
         params, state = variables["params"], variables["state"]
@@ -575,10 +610,18 @@ class Tacotron2:
                                   x, text_lengths, None, train=False)
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
-        dec_out, aligns, stops, out_lengths, stream_out = \
-            self.decoder.inference_truncated(
-                params["decoder"], state["decoder"], enc_out, text_lengths,
-                rng, max_steps, r=r, stream=stream_state)
+        if use_pallas is None:
+            use_pallas = self.pallas_decode_supported(text.shape[1])
+        if use_pallas:
+            dec_out, aligns, stops, out_lengths, stream_out = \
+                self.decoder.inference_truncated_pallas(
+                    params["decoder"], enc_out, text_lengths, max_steps, r=r,
+                    seed=pallas_seed, stream=stream_state)
+        else:
+            dec_out, aligns, stops, out_lengths, stream_out = \
+                self.decoder.inference_truncated(
+                    params["decoder"], state["decoder"], enc_out, text_lengths,
+                    rng, max_steps, r=r, stream=stream_state)
         residual, _ = self.postnet(params["postnet"], state["postnet"],
                                    dec_out, None, train=False)
         return self._outputs_f32({

@@ -67,7 +67,9 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
             a_wx, a_wh, a_b, q_w, k_loc, v_w, v_b,
             d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
+            h1_0, c1_0, h2_0, c2_0, frame_0,
             out_ref, align_ref, stop_ref,
+            h1_out, c1_out, h2_out, c2_out, frame_out,
             h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref, att_ref, cum_ref,
             frame_ref, done_ref,
             *, chunk: int, n_mels: int, r: int, norm: str,
@@ -76,14 +78,18 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
     @pl.when(step0)
     def _():
-        h1_ref[...] = jnp.zeros_like(h1_ref)
-        c1_ref[...] = jnp.zeros_like(c1_ref)
-        h2_ref[...] = jnp.zeros_like(h2_ref)
-        c2_ref[...] = jnp.zeros_like(c2_ref)
+        # RNN hiddens + previous frame seed from the caller (zeros for a
+        # fresh decode; a previous chunk's stream for inference_truncated);
+        # attention state and context always start fresh, matching the
+        # reference's _init_states(keep_states=True)
+        h1_ref[...] = h1_0[...]
+        c1_ref[...] = c1_0[...]
+        h2_ref[...] = h2_0[...]
+        c2_ref[...] = c2_0[...]
+        frame_ref[...] = frame_0[...]
         ctx_ref[...] = jnp.zeros_like(ctx_ref)
         att_ref[...] = jnp.zeros_like(att_ref)
         cum_ref[...] = jnp.zeros_like(cum_ref)
-        frame_ref[...] = jnp.zeros_like(frame_ref)
         done_ref[...] = jnp.zeros_like(done_ref)
 
     seed = seed_ref[0]
@@ -176,6 +182,14 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
     @pl.when(jnp.logical_not(all_done))
     def _():
         lax.fori_loop(0, chunk, body, 0)
+        # final-state outputs (constant index map: last executed chunk wins;
+        # skipped post-done chunks leave them frozen) — the stream a
+        # truncated/streaming decode carries into its next text chunk
+        h1_out[...] = h1_ref[...]
+        c1_out[...] = c1_ref[...]
+        h2_out[...] = h2_ref[...]
+        c2_out[...] = c2_ref[...]
+        frame_out[...] = frame_ref[...]
 
 
 # the banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
@@ -222,7 +236,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             norm: str = "sigmoid", thresh: float = 0.6,
                             prenet_dropout: bool = True, seed: int = 0,
                             chunk: int = 50, interpret: bool = False,
-                            dtype=BF16):
+                            dtype=BF16, stream=None, return_stream=False):
     """Free-running Tacotron2 decode, whole loop in one kernel launch.
 
     p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
@@ -230,6 +244,16 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     mask [B, T] bool. Returns (dec_out [steps, B, n_mels*r_init], alignments
     [steps, B, T], stop_probs [steps, B], lengths [B] in r-groups) matching
     Decoder.inference_scan's stacked outputs (time-major).
+
+    stream: optional ((h1, c1), (h2, c2), prev_frame) from a previous text
+    chunk — RNN hiddens and the last emitted frame seed this decode while
+    attention state resets (reference inference_truncated keep_states
+    semantics). return_stream appends the final such tuple to the return
+    value. NOTE: after every sample has stopped, the kernel's early exit
+    freezes the stream at the all-done chunk boundary (the XLA scan keeps
+    evolving state on zeroed frames to max_steps — frozen-at-done is the
+    more meaningful stream, but the two paths only match bit-for-bit while
+    no stop token has fired).
     """
     B0, T, E = enc_out.shape
     # Mosaic rejects batch-1 (sub-sublane) operands; pad the batch to a
@@ -243,6 +267,17 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         enc_out = jnp.pad(enc_out, padb + ((0, 0), (0, 0)))
         processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
         mask = jnp.pad(mask, padb + ((0, 0),))
+    H1 = p_dec["attention_rnn"]["wh"].shape[0]
+    H2 = p_dec["decoder_rnn"]["wh"].shape[0]
+    if stream is None:
+        state0 = [jnp.zeros((B, H1), F32), jnp.zeros((B, H1), F32),
+                  jnp.zeros((B, H2), F32), jnp.zeros((B, H2), F32),
+                  jnp.zeros((B, n_mels), F32)]
+    else:
+        (h1s, c1s), (h2s, c2s), fr = stream
+        state0 = [jnp.pad(jnp.asarray(s, F32), ((0, B - B0), (0, 0)))
+                  if B != B0 else jnp.asarray(s, F32)
+                  for s in (h1s, c1s, h2s, c2s, fr)]
     n_steps = ((max_steps + chunk - 1) // chunk) * chunk
     n_chunks = n_steps // chunk
 
@@ -293,6 +328,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
 
     w_specs = [pl.BlockSpec(w.shape, (lambda i, *_, n=w.ndim: (0,) * n),
                             memory_space=pltpu.VMEM) for w in weights]
+    s_specs = [pl.BlockSpec(s.shape, (lambda i, *_: (0, 0)),
+                            memory_space=pltpu.VMEM) for s in state0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -303,7 +340,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, T), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + w_specs,
+        ] + w_specs + s_specs,
         out_specs=(
             pl.BlockSpec((chunk, B, out_width), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -311,7 +348,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, B, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        ) + tuple(pl.BlockSpec(s.shape, (lambda i, *_: (0, 0)),
+                               memory_space=pltpu.VMEM) for s in state0),
         scratch_shapes=[
             pltpu.VMEM((B, p_dec["attention_rnn"]["wh"].shape[0]), F32),  # h1
             pltpu.VMEM((B, p_dec["attention_rnn"]["wh"].shape[0]), F32),  # c1
@@ -327,18 +365,19 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     kernel = functools.partial(
         _kernel, chunk=chunk, n_mels=n_mels, r=r, norm=norm,
         thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype)
-    dec_out, aligns, stops = pl.pallas_call(
+    dec_out, aligns, stops, *stream_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, B, out_width), F32),
                    jax.ShapeDtypeStruct((n_steps, B, T), F32),
-                   jax.ShapeDtypeStruct((n_steps, B, 1), F32)),
+                   jax.ShapeDtypeStruct((n_steps, B, 1), F32))
+        + tuple(jax.ShapeDtypeStruct(s.shape, F32) for s in state0),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.asarray([seed], jnp.int32), enc_out.astype(dtype),
-      processed_inputs.astype(F32), maskadd, *weights)
+      processed_inputs.astype(F32), maskadd, *weights, *state0)
 
     dec_out = dec_out[:max_steps, :B0]
     aligns = aligns[:max_steps, :B0]
@@ -352,4 +391,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     done_at_start = jnp.concatenate(
         [jnp.zeros((1, B), bool), done_before[:-1]], axis=0)
     lengths = jnp.sum(1 - done_at_start.astype(jnp.int32), axis=0)
+    if return_stream:
+        h1f, c1f, h2f, c2f, frf = [s[:B0] for s in stream_out]
+        return dec_out, aligns, stops, lengths, ((h1f, c1f), (h2f, c2f), frf)
     return dec_out, aligns, stops, lengths
