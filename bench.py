@@ -340,9 +340,11 @@ def verify_gates() -> dict:
     S = jnp.abs(jax.vmap(lambda y: dsp.stft(y, L, n_fft, hop, w))(
         jnp.asarray(wav2)))[:, :T]
     use_pallas = jax.default_backend() == "tpu"
-    y = dsp.griffin_lim_batch(S, jax.random.PRNGKey(0), n_iters=30,
+    y = dsp.griffin_lim_batch(S, jax.random.PRNGKey(0),
+                              n_iters=acfg.griffin_lim_iters,
                               n_fft=n_fft, hop=hop, window=w,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas,
+                              momentum=acfg.griffin_lim_momentum)
     L2 = jnp.int32(y.shape[1])
     S2 = jnp.abs(jax.vmap(lambda v: dsp.stft(v, L2, n_fft, hop, w))(y))[:, :T]
     err = float(jnp.linalg.norm(S2 - S) / jnp.linalg.norm(S))
@@ -541,7 +543,8 @@ def main() -> None:
                 min_level_db=acfg.min_level_db, spec_gain=acfg.spec_gain,
                 max_norm=acfg.max_norm, symmetric=acfg.symmetric_norm,
                 clip=acfg.clip_norm, power=acfg.power,
-                gl_iters=acfg.griffin_lim_iters)
+                gl_iters=acfg.griffin_lim_iters,
+                gl_momentum=acfg.griffin_lim_momentum)
             return jnp.abs(wav).sum()
 
         text1, lens1 = text[:1], lens[:1]

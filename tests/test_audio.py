@@ -270,3 +270,32 @@ def cfg_like(audio_cfg):
     import types
 
     return types.SimpleNamespace(audio=audio_cfg)
+
+
+def test_fgla_momentum_beats_plain_reference_iters(ap):
+    """The config default (FGLA momentum 0.95, 30 iters) must reach at least
+    the spectral convergence of the reference's plain 60-iteration GL —
+    the evidence for shipping half the iterations as the default."""
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+
+    y = sine_sweep(dur=1.0)
+    n_fft, hop = ap.cfg.fft_size, ap.cfg.hop_length
+    w = jnp.asarray(hann_window(ap.cfg.win_length, n_fft), jnp.float32)
+    L = jnp.int32(len(y))
+    S = jnp.abs(dsp.stft(jnp.asarray(y), L, n_fft, hop, w))[:-4]
+
+    def sc(n_iters, momentum):
+        yr = dsp.griffin_lim(S, jax.random.PRNGKey(0), n_iters=n_iters,
+                             n_fft=n_fft, hop=hop, window=w,
+                             momentum=momentum)
+        L2 = jnp.int32(yr.shape[0])
+        S2 = jnp.abs(dsp.stft(yr, L2, n_fft, hop, w))[: S.shape[0]]
+        return float(jnp.linalg.norm(S2 - S) / jnp.linalg.norm(S))
+
+    fgla = sc(30, 0.95)
+    plain = sc(60, 0.0)
+    assert fgla <= plain * 1.05, (fgla, plain)

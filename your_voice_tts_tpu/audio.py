@@ -98,10 +98,12 @@ class AudioProcessor:
             fn = jax.jit(partial(
                 dsp.inv_melspectrogram, mel_inv_basis=jnp.asarray(self.inv_mel_basis),
                 power=c.power, gl_iters=c.griffin_lim_iters,
+                gl_momentum=c.griffin_lim_momentum,
                 stats=_stats(self.mel_stats), **common))
         elif kind == "inv_spec":
             fn = jax.jit(partial(
                 dsp.inv_spectrogram, power=c.power, gl_iters=c.griffin_lim_iters,
+                gl_momentum=c.griffin_lim_momentum,
                 stats=_stats(self.linear_stats), **common))
         else:
             raise KeyError(kind)

@@ -344,7 +344,8 @@ def _gl_project_frames(F: jnp.ndarray, window: jnp.ndarray, n_fft: int,
 
 
 def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
-                hop: int, window: jnp.ndarray, fast: bool = True) -> jnp.ndarray:
+                hop: int, window: jnp.ndarray, fast: bool = True,
+                momentum: float = 0.0) -> jnp.ndarray:
     """Phase recovery by iterative STFT projection, fully on-device.
 
     S_mag: time-major magnitudes [n_frames, n_freq]. The reference loops
@@ -352,6 +353,11 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
     iteration is one banded frame-domain projection (`_gl_project_frames`)
     inside a single `lax.fori_loop`; `fast=False` falls back to the literal
     istft/stft composition.
+
+    momentum > 0 enables accelerated Griffin-Lim (FGLA, Perraudin et al.
+    2013): the projection output is extrapolated against the previous one,
+    t_n = G_n + m (G_n - G_{n-1}), before re-imposing the magnitudes —
+    same per-iteration cost, roughly half the iterations for equal error.
     """
     n_frames = S_mag.shape[-2]
     out_len = hop * (n_frames - 1)
@@ -361,17 +367,22 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
 
     if fast:
         # real-arithmetic loop: phase carried as (cos, sin); DFTs as matmuls
-        def body(_, ang):
-            ar, ai = ang
+        m = jnp.float32(momentum)
+
+        def body(_, carry):
+            ar, ai, pr, pi = carry
             Gr, Gi = _gl_project_frames_matmul(S_mag * ar, S_mag * ai,
                                                window, n_fft, hop)
-            # unit phase as G/|G| — same as exp(i*angle(G)) without the
+            tr = Gr + m * (Gr - pr)
+            ti = Gi + m * (Gi - pi)
+            # unit phase as t/|t| — same as exp(i*angle(t)) without the
             # atan2/sin/cos transcendentals
-            mag = jnp.maximum(jnp.sqrt(Gr * Gr + Gi * Gi), 1e-16)
-            return Gr / mag, Gi / mag
+            mag = jnp.maximum(jnp.sqrt(tr * tr + ti * ti), 1e-16)
+            return tr / mag, ti / mag, Gr, Gi
 
-        ar, ai = lax.fori_loop(0, n_iters, body,
-                               (jnp.cos(phase), jnp.sin(phase)))
+        ar0, ai0 = jnp.cos(phase), jnp.sin(phase)
+        ar, ai, _, _ = lax.fori_loop(
+            0, n_iters, body, (ar0, ai0, S_mag * ar0, S_mag * ai0))
         angles = lax.complex(ar.astype(jnp.float32), ai.astype(jnp.float32))
         return istft(S_c * angles, n_fft, hop, window)
 
@@ -390,7 +401,8 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
 
 def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
                       n_fft: int, hop: int, window: jnp.ndarray,
-                      use_pallas: bool | None = None) -> jnp.ndarray:
+                      use_pallas: bool | None = None,
+                      momentum: float = 0.0) -> jnp.ndarray:
     """Batched Griffin-Lim: magnitudes [B, T, n_freq] -> waveforms [B, L].
 
     On TPU the iteration runs as the fused Pallas kernel
@@ -413,17 +425,22 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
 
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
             F = griffin_lim_pallas_full(S_mag, seed, n_iters=n_iters,
-                                        n_fft=n_fft, hop=hop, window=window)
+                                        n_fft=n_fft, hop=hop, window=window,
+                                        momentum=momentum)
             return jax.vmap(lambda Fb: istft(Fb, n_fft, hop, window))(F)
         from .pallas.griffin_lim import griffin_lim_pallas_batch
 
+        # the per-iteration fallback (T > 1024, outside the model's serving
+        # range) runs plain GL — its kernel emits the re-magnituded spectrum,
+        # so the FGLA extrapolation term is not recoverable there
         angles = griffin_lim_pallas_batch(S_mag, key, n_iters=n_iters,
                                           n_fft=n_fft, hop=hop, window=window)
         S_c = S_mag.astype(jnp.complex64) * angles
         return jax.vmap(lambda F: istft(F, n_fft, hop, window))(S_c)
     keys = jax.random.split(key, S_mag.shape[0])
     return jax.vmap(lambda s, k: griffin_lim(
-        s, k, n_iters=n_iters, n_fft=n_fft, hop=hop, window=window))(S_mag, keys)
+        s, k, n_iters=n_iters, n_fft=n_fft, hop=hop, window=window,
+        momentum=momentum))(S_mag, keys)
 
 
 def inv_melspectrogram_batch(mel_norm: jnp.ndarray, key: jax.Array, *,
@@ -433,13 +450,15 @@ def inv_melspectrogram_batch(mel_norm: jnp.ndarray, key: jax.Array, *,
                              spec_gain: float, max_norm: float, symmetric: bool,
                              clip: bool, power: float, gl_iters: int,
                              signal_norm: bool = True, stats=None,
-                             use_pallas: bool | None = None) -> jnp.ndarray:
+                             use_pallas: bool | None = None,
+                             gl_momentum: float = 0.0) -> jnp.ndarray:
     """Batched normalized mel [B, T, n_mels] -> waveforms [B, L]."""
     D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip,
                          signal_norm, stats)
     S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
     y = griffin_lim_batch(S ** power, key, n_iters=gl_iters, n_fft=n_fft,
-                          hop=hop, window=window, use_pallas=use_pallas)
+                          hop=hop, window=window, use_pallas=use_pallas,
+                          momentum=gl_momentum)
     return inv_preemphasis(y, preemph)
 
 
@@ -456,12 +475,13 @@ def inv_melspectrogram(mel_norm: jnp.ndarray, key: jax.Array, *,
                        min_level_db: float, spec_gain: float, max_norm: float,
                        symmetric: bool, clip: bool, power: float,
                        gl_iters: int, signal_norm: bool = True,
-                       stats=None) -> jnp.ndarray:
+                       stats=None, gl_momentum: float = 0.0) -> jnp.ndarray:
     """Normalized mel [T, n_mels] -> waveform (reference inv_melspectrogram)."""
     D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip,
                          signal_norm, stats)
     S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
-    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
+    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop,
+                    window=window, momentum=gl_momentum)
     return inv_preemphasis(y, preemph)
 
 
@@ -469,10 +489,12 @@ def inv_spectrogram(spec_norm: jnp.ndarray, key: jax.Array, *, window: jnp.ndarr
                     n_fft: int, hop: int, preemph: float, ref_level_db: float,
                     min_level_db: float, spec_gain: float, max_norm: float,
                     symmetric: bool, clip: bool, power: float, gl_iters: int,
-                    signal_norm: bool = True, stats=None) -> jnp.ndarray:
+                    signal_norm: bool = True, stats=None,
+                    gl_momentum: float = 0.0) -> jnp.ndarray:
     """Normalized linear spec [T, n_freq] -> waveform (reference inv_spectrogram)."""
     D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip,
                          signal_norm, stats)
     S = db_to_amp(D + ref_level_db, spec_gain)
-    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop, window=window)
+    y = griffin_lim(S ** power, key, n_iters=gl_iters, n_fft=n_fft, hop=hop,
+                    window=window, momentum=gl_momentum)
     return inv_preemphasis(y, preemph)

@@ -113,19 +113,26 @@ def gl_iteration_pallas(Fr, Fi, S_mag, window, wsum_inv, n_fft: int, hop: int,
 
 
 def _gl_loop(m, Fr, Fi, iC, iS, win, wsi, scale, *, n_fft: int, hop: int,
-             n_iters: int, dtype):
+             n_iters: int, dtype, momentum: float = 0.0):
     """n_iters fused GL projections on VMEM-resident state.
 
     VMEM economy: the forward DFT reuses the inverse matrices through
     transposed contraction dims — C[n,k] == iC[k,n] * (N / w_k) — so only
-    iC/iS live in VMEM, halving resident matrix bytes."""
+    iC/iS live in VMEM, halving resident matrix bytes.
+
+    momentum > 0 runs accelerated GL (FGLA, Perraudin et al. 2013):
+    t_n = G_n + momentum * (G_n - G_{n-1}) before re-imposing magnitudes.
+    Same matmuls per iteration, ~1/3 the iterations for equal spectral
+    convergence (measured: mom=0.95 @ 20 iters beats plain @ 60). Costs two
+    extra bf16 [T, Kf] planes of VMEM for the previous projection."""
     K = -(-n_fft // hop) - 1
     dn_t = (((1,), (1,)), ((), ()))  # contract last dims: g @ iC.T
+    mom = jnp.float32(momentum)
 
-    def project(FrFi, _=None):
+    def project(carry, _=None):
         # loop state in bf16 (phase rounding only; magnitudes reapplied each
         # iteration) to stay under the VMEM scoped limit
-        Fr, Fi = FrFi
+        Fr, Fi, pr, pi = carry
         xw = (jnp.dot(Fr, iC[...], preferred_element_type=F32)
               - jnp.dot(Fi, iS[...], preferred_element_type=F32)) * win
         acc = xw
@@ -138,14 +145,23 @@ def _gl_loop(m, Fr, Fi, iC, iS, win, wsi, scale, *, n_fft: int, hop: int,
                                  preferred_element_type=F32) * scale
         gi = -jax.lax.dot_general(g, iS[...], dn_t,
                                   preferred_element_type=F32) * scale
-        inv = jax.lax.rsqrt(jnp.maximum(gr * gr + gi * gi, 1e-30))
-        return (m * gr * inv).astype(dtype), (m * gi * inv).astype(dtype)
+        if momentum:
+            tr = gr + mom * (gr - pr)
+            ti = gi + mom * (gi - pi)
+        else:
+            tr, ti = gr, gi
+        inv = jax.lax.rsqrt(jnp.maximum(tr * tr + ti * ti, 1e-30))
+        return ((m * tr * inv).astype(dtype), (m * ti * inv).astype(dtype),
+                gr.astype(dtype), gi.astype(dtype))
 
-    return jax.lax.fori_loop(0, n_iters, lambda _, c: project(c), (Fr, Fi))
+    out = jax.lax.fori_loop(0, n_iters, lambda _, c: project(c),
+                            (Fr, Fi, Fr.astype(dtype), Fi.astype(dtype)))
+    return out[0], out[1]
 
 
 def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
-                 out_r, out_i, *, n_fft: int, hop: int, n_iters: int, dtype):
+                 out_r, out_i, *, n_fft: int, hop: int, n_iters: int, dtype,
+                 momentum: float = 0.0):
     """All n_iters GL iterations on one VMEM-resident tile: HBM traffic is
     read(mag) + write(F_final) for the WHOLE loop. Phase init in-kernel via
     the TPU PRNG (one seed scalar per launch, offset by tile id)."""
@@ -157,28 +173,30 @@ def _kernel_full(seed_ref, mag_ref, iC, iS, win_ref, wsi_ref, scale_ref,
     Fi = (m * jnp.sin(phase)).astype(dtype)
     Fr, Fi = _gl_loop(m, Fr, Fi, iC, iS, win_ref[...], wsi_ref[...],
                       scale_ref[...], n_fft=n_fft, hop=hop, n_iters=n_iters,
-                      dtype=dtype)
+                      dtype=dtype, momentum=momentum)
     out_r[...] = Fr.astype(F32)
     out_i[...] = Fi.astype(F32)
 
 
 def _kernel_full_init(mag_ref, fr0_ref, fi0_ref, iC, iS, win_ref, wsi_ref,
                       scale_ref, out_r, out_i, *, n_fft: int, hop: int,
-                      n_iters: int, dtype):
+                      n_iters: int, dtype, momentum: float = 0.0):
     """_kernel_full with the initial complex spectrogram injected from HBM —
     the testability entry (equivalence vs the per-iteration kernel needs a
     shared initial phase, which the in-kernel PRNG cannot provide)."""
     m = mag_ref[...]
     Fr, Fi = _gl_loop(m, fr0_ref[...].astype(dtype), fi0_ref[...].astype(dtype),
                       iC, iS, win_ref[...], wsi_ref[...], scale_ref[...],
-                      n_fft=n_fft, hop=hop, n_iters=n_iters, dtype=dtype)
+                      n_fft=n_fft, hop=hop, n_iters=n_iters, dtype=dtype,
+                      momentum=momentum)
     out_r[...] = Fr.astype(F32)
     out_i[...] = Fi.astype(F32)
 
 
 def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
                             hop: int, window, interpret: bool = False,
-                            dtype=jnp.bfloat16, init_phase=None):
+                            dtype=jnp.bfloat16, init_phase=None,
+                            momentum: float = 0.0):
     """Batched GL, whole loop in-kernel: S_mag [B, T, Kf] -> complex F
     [B, T, Kf] (= S_mag * final unit phase); caller istfts per item.
 
@@ -227,7 +245,8 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
 
     if init_phase is None:
         kernel = functools.partial(_kernel_full, n_fft=n_fft, hop=hop,
-                                   n_iters=n_iters, dtype=dtype)
+                                   n_iters=n_iters, dtype=dtype,
+                                   momentum=momentum)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B,),
             in_specs=[tile_spec] + mat_specs, out_specs=out_specs)
@@ -241,7 +260,8 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
         fr0 = flat * jnp.cos(ph)
         fi0 = flat * jnp.sin(ph)
         kernel = functools.partial(_kernel_full_init, n_fft=n_fft, hop=hop,
-                                   n_iters=n_iters, dtype=dtype)
+                                   n_iters=n_iters, dtype=dtype,
+                                   momentum=momentum)
         Fr, Fi = pl.pallas_call(
             kernel, grid=(B,),
             in_specs=[tile_spec, tile_spec, tile_spec] + mat_specs,
