@@ -425,3 +425,32 @@ def test_taco2_decode_kernel_stream_matches_truncated_scan(small_taco):
     np.testing.assert_allclose(np.asarray(k2[0]), np.asarray(r2[0]), atol=3e-2)
     # the stream actually mattered: chunk 2 differs from chunk 1
     assert np.abs(np.asarray(k2[0]) - np.asarray(k1[0])).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Tacotron(1) decode kernel (ops/pallas/taco1_decode.py)
+# ---------------------------------------------------------------------------
+
+
+def test_taco1_decode_kernel_matches_scan():
+    """The Tacotron(1) kernel (GRU cells + memory queue) must match the XLA
+    inference scan to bf16 rounding with dropout off."""
+    from your_voice_tts_tpu.models.tacotron import Tacotron
+
+    cfg = _small_taco_cfg(model="Tacotron", tacotron_width=32, memory_size=5)
+    model = Tacotron(TACO_CHARS, cfg, n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    text = jax.random.randint(jax.random.PRNGKey(1), (4, 12), 1, TACO_CHARS)
+    text_len = jnp.array([12, 10, 8, 7])
+    enc_out, _, _ = model._encode(params, state, text, None, False,
+                                  None, None, None)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         20, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))

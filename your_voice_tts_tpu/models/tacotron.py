@@ -238,6 +238,30 @@ class TacotronDecoder:
             jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             {"prenet": prenet_state}
 
+    def inference_pallas(self, p, inputs, input_lengths, max_steps,
+                         r: int | None = None, seed: int = 0,
+                         interpret: bool = False):
+        """inference() on the weights-in-VMEM Pallas kernel
+        (ops/pallas/taco1_decode.py) — same contract as the scan path; the
+        kernel's hash PRNG drives prenet dropout (seeded by `seed`)."""
+        from ..ops.pallas.taco1_decode import tacotron1_decode_pallas
+
+        r = r or self.r_init
+        B = inputs.shape[0]
+        mask = sequence_mask(input_lengths, inputs.shape[1])
+        processed = self.attention.preprocess_inputs(p["attention"], inputs)
+        out, aligns, stops, steps_done = tacotron1_decode_pallas(
+            p, inputs, processed, mask, n_mels=self.n_mels, r=r,
+            memory_size=self.memory_size, max_steps=max_steps,
+            norm=self.attention.norm, thresh=self.cfg.stop_threshold,
+            prenet_dropout=(self.cfg.prenet_dropout
+                            and self.prenet.dropout_enabled),
+            seed=seed, interpret=interpret)
+        out = jnp.swapaxes(out[..., : self.n_mels * r], 0, 1) \
+            .reshape(B, max_steps * r, self.n_mels)
+        return out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
+            steps_done * r
+
     def inference(self, p, state, inputs, input_lengths, rng, max_steps,
                   r: int | None = None):
         r = r or self.r_init
@@ -390,10 +414,20 @@ class Tacotron:
                       "decoder": dec_state, "post_cbhg": post_state},
         }
 
+    def pallas_decode_supported(self, T: int) -> bool:
+        """True when inference() would auto-route onto the weights-in-VMEM
+        Pallas kernel (TPU, default attention config, queue rolls by whole
+        steps, T within the banded-matrix budget)."""
+        from ..ops.pallas.taco1_decode import MAX_T_BANDED, taco1_supported
+        return (jax.default_backend() == "tpu"
+                and taco1_supported(self.cfg, self.decoder.memory_size, self.r)
+                and T <= MAX_T_BANDED)
+
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
                   max_decoder_steps: int | None = None, r: int | None = None,
-                  compute_dtype=None):
+                  compute_dtype=None, use_pallas: bool | None = None,
+                  pallas_seed: int = 0):
         r = r or self.r
         if rng is None and self.cfg.prenet_dropout:
             # prenet dropout stays ON at inference (reference quirk); with no
@@ -405,9 +439,16 @@ class Tacotron:
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
         enc_out, _, _ = self._encode(params, state, text, rng, False,
                                      speaker_ids, speaker_embeddings, style_mel)
-        dec_out, aligns, stops, out_lengths = self.decoder.inference(
-            params["decoder"], state["decoder"], enc_out, text_lengths, rng,
-            max_steps, r=r)
+        if use_pallas is None:
+            use_pallas = self.pallas_decode_supported(text.shape[1])
+        if use_pallas:
+            dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
+                params["decoder"], enc_out, text_lengths, max_steps, r=r,
+                seed=pallas_seed)
+        else:
+            dec_out, aligns, stops, out_lengths = self.decoder.inference(
+                params["decoder"], state["decoder"], enc_out, text_lengths, rng,
+                max_steps, r=r)
         post, _ = self.post_cbhg(params["post_cbhg"], state["post_cbhg"],
                                  dec_out, False)
         linear = self.last_linear(params["last_linear"], post)

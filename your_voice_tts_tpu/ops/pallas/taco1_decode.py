@@ -1,0 +1,278 @@
+"""Tacotron(1) autoregressive decode as a weights-in-VMEM Pallas TPU kernel.
+
+Same design as ops/pallas/taco2_decode.py (which see), specialized to the
+Tacotron(1) decoder (reference layers/tacotron.py Decoder; models/tacotron.py
+TacotronDecoder here): prenet over the MEMORY QUEUE (last memory_size frames),
+GRU attention cell, location-sensitive attention via the pre-folded banded
+K_loc matmul, project-to-decoder dense, two residual GRUs, r-frame mel
+projection + stopnet.
+
+- grid = (n_chunks,) sequential chunks; GRU hiddens / attention state /
+  context / memory queue persist in VMEM scratch.
+- the memory queue is a flat [B, memory_size * n_mels] rolling buffer:
+  each step drops the oldest r frames and appends the r just-emitted ones
+  (pure lane-dim concat, no scatter).
+- in-kernel early exit after every sample fires its stop token, like taco2.
+
+Covers the default attention configuration; models/tacotron.py falls back to
+the XLA scan otherwise (supported_config below).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .taco2_decode import MAX_T_BANDED, _band_matrices, supported_config  # noqa: F401
+from .wavernn_gen import _fmix32, _uniform
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+
+def _gru(x, h, wx, wh, bx, bh, dtype):
+    """Fused GRU cell, torch gate order (r, z, n) — nn/rnn.py parity."""
+    gx = jnp.dot(x.astype(dtype), wx[...], preferred_element_type=F32) + bx[...]
+    gh = jnp.dot(h.astype(dtype), wh[...], preferred_element_type=F32) + bh[...]
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
+    z = jax.nn.sigmoid(gx[..., H:2 * H] + gh[..., H:2 * H])
+    n = jnp.tanh(gx[..., 2 * H:] + r * gh[..., 2 * H:])
+    return (1.0 - z) * n + z * h
+
+
+def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
+            p1_w, p1_b, p2_w, p2_b,
+            a_wx, a_wh, a_bx, a_bh, q_w, k_loc, v_w, v_b,
+            pj_w, pj_b,
+            d1_wx, d1_wh, d1_bx, d1_bh, d2_wx, d2_wh, d2_bx, d2_bh,
+            pm_w, pm_b, stop_w, stop_b,
+            out_ref, align_ref, stop_ref,
+            ah_ref, h1_ref, h2_ref, ctx_ref, att_ref, cum_ref, queue_ref,
+            done_ref,
+            *, chunk: int, n_mels: int, r: int, norm: str, thresh: float,
+            prenet_dropout: bool, dtype):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ah_ref[...] = jnp.zeros_like(ah_ref)
+        h1_ref[...] = jnp.zeros_like(h1_ref)
+        h2_ref[...] = jnp.zeros_like(h2_ref)
+        ctx_ref[...] = jnp.zeros_like(ctx_ref)
+        att_ref[...] = jnp.zeros_like(att_ref)
+        cum_ref[...] = jnp.zeros_like(cum_ref)
+        queue_ref[...] = jnp.zeros_like(queue_ref)
+        done_ref[...] = jnp.zeros_like(done_ref)
+
+    seed = seed_ref[0]
+    chunk_base = pl.program_id(0) * np.int32(chunk)
+    B, T = att_ref.shape
+    all_done = jnp.sum(1.0 - done_ref[...]) == 0.0
+
+    @pl.when(all_done)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        align_ref[...] = jnp.zeros_like(align_ref)
+        stop_ref[...] = jnp.zeros_like(stop_ref)
+
+    def body(t, _):
+        key = _fmix32(seed + (chunk_base + t) * np.int32(-1640531527))
+        # --- prenet over the memory queue -----------------------------------
+        x = queue_ref[...]                             # [B, M*n_mels]
+        x = jax.nn.relu(jnp.dot(x.astype(dtype), p1_w[...],
+                                preferred_element_type=F32) + p1_b[...])
+        if prenet_dropout:
+            x = jnp.where(_uniform(x.shape, key, 21) < 0.5, 0.0, x * 2.0)
+        x = jax.nn.relu(jnp.dot(x.astype(dtype), p2_w[...],
+                                preferred_element_type=F32) + p2_b[...])
+        if prenet_dropout:
+            x = jnp.where(_uniform(x.shape, key, 22) < 0.5, 0.0, x * 2.0)
+
+        # --- attention GRU + location-sensitive attention -------------------
+        attn_in = jnp.concatenate([x, ctx_ref[...]], axis=-1)
+        ah = _gru(attn_in, ah_ref[...], a_wx, a_wh, a_bx, a_bh, dtype)
+        pq = jnp.dot(ah.astype(dtype), q_w[...], preferred_element_type=F32)
+        A = pq.shape[-1]
+        ac = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)
+        f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
+                         preferred_element_type=F32).reshape(B, T, A)
+        tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
+        e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
+        e = e + maskadd_ref[...]
+        if norm == "softmax":
+            align = jax.nn.softmax(e, axis=-1)
+        else:
+            s = jax.nn.sigmoid(e)
+            align = s / jnp.maximum(jnp.sum(s, axis=-1, keepdims=True), 1e-8)
+        ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)
+
+        # --- project + residual GRU stack + heads ---------------------------
+        xd = jnp.dot(jnp.concatenate([ah, ctx], axis=-1).astype(dtype),
+                     pj_w[...], preferred_element_type=F32) + pj_b[...]
+        h1 = _gru(xd, h1_ref[...], d1_wx, d1_wh, d1_bx, d1_bh, dtype)
+        xd = xd + h1
+        h2 = _gru(xd, h2_ref[...], d2_wx, d2_wh, d2_bx, d2_bh, dtype)
+        xd = xd + h2
+        output = jnp.dot(xd.astype(dtype), pm_w[...],
+                         preferred_element_type=F32) + pm_b[...]
+        stop_in = jnp.concatenate([xd, output], axis=-1)
+        stop_logit = jnp.dot(stop_in.astype(dtype), stop_w[...],
+                             preferred_element_type=F32) + stop_b[...]
+        stop_prob = jax.nn.sigmoid(stop_logit[:, 0])
+
+        # --- stop masking + memory-queue roll -------------------------------
+        active = 1.0 - done_ref[...][:, 0]
+        out_r = output[..., : n_mels * r] * active[:, None]
+        done = jnp.maximum(done_ref[...][:, 0],
+                           (stop_prob > thresh).astype(F32))
+        queue_ref[...] = jnp.concatenate(
+            [queue_ref[...][:, n_mels * r:], out_r], axis=-1)
+
+        ah_ref[...] = ah
+        h1_ref[...] = h1
+        h2_ref[...] = h2
+        ctx_ref[...] = ctx
+        att_ref[...] = align
+        cum_ref[...] = cum_ref[...] + align
+        done_ref[...] = done[:, None]
+        out_ref[t] = output * active[:, None]
+        align_ref[t] = align
+        stop_ref[t] = stop_prob[:, None]
+        return 0
+
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        lax.fori_loop(0, chunk, body, 0)
+
+
+def taco1_supported(cfg, memory_size: int, r: int) -> bool:
+    """Kernel coverage: default attention config AND the queue must be able
+    to roll by whole steps (r frames <= memory span)."""
+    M = memory_size if memory_size > 0 else r
+    return supported_config(cfg) and r <= M
+
+
+def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
+                            *, n_mels: int, r: int, memory_size: int,
+                            max_steps: int, norm: str = "sigmoid",
+                            thresh: float = 0.6, prenet_dropout: bool = True,
+                            seed: int = 0, chunk: int = 50,
+                            interpret: bool = False, dtype=BF16):
+    """Free-running Tacotron(1) decode, whole loop in one kernel launch.
+
+    Mirrors tacotron2_decode_pallas: returns (outputs [steps, B, n_mels *
+    r_init], alignments [steps, B, T], stop_probs [steps, B], lengths [B]
+    in r-groups) matching TacotronDecoder.inference's stacked outputs."""
+    B0, T, E = enc_out.shape
+    B = ((B0 + 7) // 8) * 8
+    if B != B0:
+        padb = ((0, B - B0),)
+        enc_out = jnp.pad(enc_out, padb + ((0, 0), (0, 0)))
+        processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
+        mask = jnp.pad(mask, padb + ((0, 0),))
+    n_steps = ((max_steps + chunk - 1) // chunk) * chunk
+    n_chunks = n_steps // chunk
+    M = memory_size if memory_size > 0 else r
+
+    if T > MAX_T_BANDED:
+        raise ValueError(
+            f"tacotron1_decode_pallas serves T <= {MAX_T_BANDED} "
+            f"(got {T}); use the XLA scan path for longer inputs")
+    q_w = p_dec["attention"]["query"]["w"]
+    v_w = p_dec["attention"]["v"]["w"][:, 0]
+    wdense = p_dec["attention"]["loc_dense"]["w"]
+    A0 = q_w.shape[1]
+    A = ((A0 + 127) // 128) * 128
+    if A != A0:
+        padA = ((0, 0), (0, A - A0))
+        q_w = jnp.pad(q_w, padA)
+        wdense = jnp.pad(wdense, padA)
+        v_w = jnp.pad(v_w, ((0, A - A0),))
+        processed_inputs = jnp.pad(processed_inputs,
+                                   ((0, 0), (0, 0), (0, A - A0)))
+    k_loc = _band_matrices(p_dec["attention"]["loc_conv"]["w"], wdense, T,
+                           dtype)
+
+    g1, g2 = p_dec["decoder_rnns"]
+    weights = [
+        p_dec["prenet"]["linears"][0]["w"], p_dec["prenet"]["linears"][0]["b"],
+        p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
+        p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
+        p_dec["attention_rnn"]["bx"], p_dec["attention_rnn"]["bh"],
+        q_w, k_loc, v_w, p_dec["attention"]["v"]["b"],
+        p_dec["project"]["w"], p_dec["project"]["b"],
+        g1["wx"], g1["wh"], g1["bx"], g1["bh"],
+        g2["wx"], g2["wh"], g2["bx"], g2["bh"],
+        p_dec["proj_mel"]["w"], p_dec["proj_mel"]["b"],
+        p_dec["stopnet"]["w"], p_dec["stopnet"]["b"],
+    ]
+    bias_ix = {1, 3, 6, 7, 10, 11, 13, 16, 17, 20, 21, 23, 25}
+    weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
+               for i, w in enumerate(weights)]
+
+    out_width = p_dec["proj_mel"]["w"].shape[1]               # n_mels*r_init
+    maskadd = jnp.where(mask, 0.0, -1e9).astype(F32)
+    w_dim = p_dec["attention_rnn"]["wh"].shape[0]
+
+    w_specs = [pl.BlockSpec(w.shape, (lambda i, *_, n=w.ndim: (0,) * n),
+                            memory_space=pltpu.VMEM) for w in weights]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((B, T, E), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(processed_inputs.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=(
+            pl.BlockSpec((chunk, B, out_width), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, T), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, w_dim), F32),                      # attn GRU h
+            pltpu.VMEM((B, w_dim), F32),                      # dec GRU 1 h
+            pltpu.VMEM((B, w_dim), F32),                      # dec GRU 2 h
+            pltpu.VMEM((B, E), F32),                          # context
+            pltpu.VMEM((B, T), F32),                          # att
+            pltpu.VMEM((B, T), F32),                          # cum
+            pltpu.VMEM((B, M * n_mels), F32),                 # memory queue
+            pltpu.VMEM((B, 1), F32),                          # done
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, chunk=chunk, n_mels=n_mels, r=r, norm=norm, thresh=thresh,
+        prenet_dropout=prenet_dropout, dtype=dtype)
+    out, aligns, stops = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_steps, B, out_width), F32),
+                   jax.ShapeDtypeStruct((n_steps, B, T), F32),
+                   jax.ShapeDtypeStruct((n_steps, B, 1), F32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray([seed], jnp.int32), enc_out.astype(dtype),
+      processed_inputs.astype(F32), maskadd, *weights)
+
+    out = out[:max_steps, :B0]
+    aligns = aligns[:max_steps, :B0]
+    stops = stops[:max_steps, :B0, 0]
+    fired = stops > thresh
+    done_before = jnp.cumsum(fired.astype(jnp.int32), axis=0) > 0
+    done_at_start = jnp.concatenate(
+        [jnp.zeros((1, B0), bool), done_before[:-1]], axis=0)
+    lengths = jnp.sum(1 - done_at_start.astype(jnp.int32), axis=0)
+    return out, aligns, stops, lengths
