@@ -404,14 +404,31 @@ def verify_gates() -> dict:
     var5 = model5.init(jax.random.PRNGKey(0))
     scan = np.asarray(model5.inference(var5, text, lens,
                                        use_pallas=False)["postnet_outputs"])
-    interp = (pltpu.force_tpu_interpret_mode()
-              if jax.default_backend() != "tpu" else contextlib.nullcontext())
-    with interp:
+    def interp():
+        return (pltpu.force_tpu_interpret_mode()
+                if jax.default_backend() != "tpu" else contextlib.nullcontext())
+
+    with interp():
         pal = np.asarray(model5.inference(var5, text, lens,
                                           use_pallas=True)["postnet_outputs"])
     rel5 = float(np.abs(scan - pal).max() / max(float(np.abs(scan).max()), 1e-3))
     gates["taco2_decode_kernel_rel_err"] = {"value": round(rel5, 4),
                                             "limit": 0.08, "ok": rel5 <= 0.08}
+
+    # -- gate 6: Tacotron(1) decode kernel vs XLA scan, on device -------------
+    mcfg6 = dataclasses.replace(mcfg5, model="Tacotron", tacotron_width=128,
+                                memory_size=5)
+    model6 = setup_model(len(symbols), 0, Config(audio=acfg, model=mcfg6))
+    var6 = model6.init(jax.random.PRNGKey(0))
+    scan6 = np.asarray(model6.inference(var6, text, lens,
+                                        use_pallas=False)["decoder_outputs"])
+    with interp():
+        pal6 = np.asarray(model6.inference(var6, text, lens,
+                                           use_pallas=True)["decoder_outputs"])
+    rel6 = float(np.abs(scan6 - pal6).max()
+                 / max(float(np.abs(scan6).max()), 1e-3))
+    gates["taco1_decode_kernel_rel_err"] = {"value": round(rel6, 4),
+                                            "limit": 0.08, "ok": rel6 <= 0.08}
 
     return gates
 
