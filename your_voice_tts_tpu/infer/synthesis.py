@@ -68,7 +68,7 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
     # VMEM), host-chunked otherwise — and the configured inference compute
     # dtype (bf16 = MXU-native serving precision)
     if getattr(model, "pallas_decode_supported",
-               lambda T: False)(text_arr.shape[1]):
+               lambda T, B=1: False)(text_arr.shape[1], text_arr.shape[0]):
         infer_fn = model.inference
     else:
         infer_fn = getattr(model, "inference_incremental", model.inference)

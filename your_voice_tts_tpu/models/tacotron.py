@@ -414,14 +414,16 @@ class Tacotron:
                       "decoder": dec_state, "post_cbhg": post_state},
         }
 
-    def pallas_decode_supported(self, T: int) -> bool:
+    PALLAS_MAX_BATCH = 128   # VMEM budget, as in Tacotron2
+
+    def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
         """True when inference() would auto-route onto the weights-in-VMEM
         Pallas kernel (TPU, default attention config, queue rolls by whole
-        steps, T within the banded-matrix budget)."""
+        steps, within the banded-matrix and VMEM budgets)."""
         from ..ops.pallas.taco1_decode import MAX_T_BANDED, taco1_supported
         return (jax.default_backend() == "tpu"
                 and taco1_supported(self.cfg, self.decoder.memory_size, self.r)
-                and T <= MAX_T_BANDED)
+                and T <= MAX_T_BANDED and B <= self.PALLAS_MAX_BATCH)
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
@@ -440,7 +442,8 @@ class Tacotron:
         enc_out, _, _ = self._encode(params, state, text, rng, False,
                                      speaker_ids, speaker_embeddings, style_mel)
         if use_pallas is None:
-            use_pallas = self.pallas_decode_supported(text.shape[1])
+            use_pallas = self.pallas_decode_supported(text.shape[1],
+                                                      text.shape[0])
         if use_pallas:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,

@@ -526,13 +526,19 @@ class Tacotron2:
     _cast_compute = staticmethod(cast_compute)
     _outputs_f32 = staticmethod(outputs_f32)
 
-    def pallas_decode_supported(self, T: int) -> bool:
+    # largest batch whose kernel working set (encoder memory + per-chunk
+    # output blocks + state scratch, on top of ~37MB of weights) fits VMEM;
+    # B=256 measured 134MB > the 128MB ceiling on v5e
+    PALLAS_MAX_BATCH = 128
+
+    def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
         """True when inference() would auto-route the decode loop onto the
-        weights-in-VMEM Pallas kernel for text length T (TPU backend, default
-        attention configuration, T within the banded-matrix budget)."""
+        weights-in-VMEM Pallas kernel for text length T and batch B (TPU
+        backend, default attention configuration, within the banded-matrix
+        and VMEM budgets)."""
         from ..ops.pallas.taco2_decode import MAX_T_BANDED, supported_config
         return (jax.default_backend() == "tpu" and supported_config(self.cfg)
-                and T <= MAX_T_BANDED)
+                and T <= MAX_T_BANDED and B <= self.PALLAS_MAX_BATCH)
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,
@@ -562,7 +568,8 @@ class Tacotron2:
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
         if use_pallas is None:
-            use_pallas = self.pallas_decode_supported(text.shape[1])
+            use_pallas = self.pallas_decode_supported(text.shape[1],
+                                                      text.shape[0])
         if use_pallas:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
@@ -611,7 +618,8 @@ class Tacotron2:
         enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
                                   style_mel=style_mel)
         if use_pallas is None:
-            use_pallas = self.pallas_decode_supported(text.shape[1])
+            use_pallas = self.pallas_decode_supported(text.shape[1],
+                                                      text.shape[0])
         if use_pallas:
             dec_out, aligns, stops, out_lengths, stream_out = \
                 self.decoder.inference_truncated_pallas(
