@@ -64,6 +64,12 @@ class VocoderTrainingConfig:
     feat_match_loss_weight: float = 2.5
     print_step: int = 25
     save_step: int = 10_000
+    # bf16 compute / f32 master weights. Safe default for WaveRNN (its NLL
+    # always evaluates in f32 — see models/wavernn.py loss); the GAN trainer
+    # honors it too but ships opt-in=False there is no separate flag — LSGAN
+    # + multi-res STFT losses stay f32 regardless, only the conv forwards
+    # drop to bf16.
+    mixed_precision: bool = True
 
 
 @dataclass(frozen=True)

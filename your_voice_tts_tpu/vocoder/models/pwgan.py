@@ -101,7 +101,7 @@ class ParallelWaveganGenerator:
         B, L, _ = c.shape
         if noise is None:
             key = key if key is not None else jax.random.PRNGKey(0)
-            noise = jax.random.normal(key, (B, L))
+            noise = jax.random.normal(key, (B, L), mel.dtype)
         x = self.conv_in(p["conv_in"], noise[..., None])
         skips = 0.0
         for block, bp in zip(self.blocks, p["blocks"]):

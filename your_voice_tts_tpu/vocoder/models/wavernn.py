@@ -204,18 +204,28 @@ class WaveRNN:
             return sample_from_discretized_mix_logistic(logits, key, greedy)
         return sample_from_gaussian(logits, key, greedy)
 
-    def loss(self, p: Params, mels, audio):
-        """Teacher-forced NLL by I/O mode. audio: [B, L] float in [-1,1]."""
+    def loss(self, p: Params, mels, audio, compute_dtype=None):
+        """Teacher-forced NLL by I/O mode. audio: [B, L] float in [-1,1].
+
+        compute_dtype=jnp.bfloat16 runs the forward in bf16 (mixed-precision
+        training: caller casts params/mels, this casts the input samples);
+        the NLL itself always evaluates in f32 — log-softmax over 2^bits
+        classes and the MoL/Gaussian likelihoods are too precision-sensitive
+        for bf16."""
         if self.mode == "mulaw":
             targets = encode_mulaw(audio, self.bits)
             x_in = label_to_float(
                 jnp.pad(targets[:, :-1], ((0, 0), (1, 0))), self.bits)
-            logits = self.forward(p, x_in, mels)
+            if compute_dtype is not None:
+                x_in = x_in.astype(compute_dtype)
+            logits = self.forward(p, x_in, mels).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             return -jnp.take_along_axis(logp, targets[..., None], axis=-1).mean()
         from .distribs import discretized_mix_logistic_loss, gaussian_loss
         x_in = jnp.pad(audio[:, :-1], ((0, 0), (1, 0)))
-        y_hat = self.forward(p, x_in, mels)
+        if compute_dtype is not None:
+            x_in = x_in.astype(compute_dtype)
+        y_hat = self.forward(p, x_in, mels).astype(jnp.float32)
         if self.mode == "mol":
             return discretized_mix_logistic_loss(y_hat, audio)
         return gaussian_loss(y_hat, audio)

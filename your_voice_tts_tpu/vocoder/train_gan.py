@@ -22,6 +22,13 @@ import optax
 
 from ..audio import AudioProcessor
 from ..parallel import make_mesh, replicate, shard_batch
+
+
+def _f32_tree(t):
+    """Cast every float leaf up to f32 (loss side of mixed precision)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, t)
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from .config import VocoderConfig
 from .dataset import GANDataset
@@ -119,14 +126,29 @@ class GANTrainer:
 
     # --- steps ---------------------------------------------------------------
 
+
     def _build_steps(self, use_disc: bool):
         cfg = self.cfg.training
+        mp = cfg.mixed_precision
+
+        def cast_down(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
 
         def g_loss_fn(g_params, d_params, mel, audio, key):
+            # mixed precision: conv forwards (generator + discriminator) in
+            # bf16 against f32 master weights; the LSGAN/multi-res-STFT/
+            # feature-matching losses always evaluate in f32 (waveforms and
+            # disc features are cast back up)
+            if mp:
+                g_params, d_params = cast_down(g_params), cast_down(d_params)
+                mel = mel.astype(jnp.bfloat16)
             if self._gen_needs_key:
                 fake = self.generator(g_params, mel, key=key)
             else:
                 fake = self.generator(g_params, mel)
+            fake = fake.astype(jnp.float32)
             loss = 0.0
             parts = {}
             if cfg.use_stft_loss:
@@ -134,8 +156,10 @@ class GANTrainer:
                 loss = loss + cfg.stft_loss_weight * sl
                 parts["stft_loss"] = sl
             if use_disc:
-                fake_out = self.discriminator(d_params, fake)
-                real_out = self.discriminator(d_params, audio)
+                d_in = fake.astype(jnp.bfloat16) if mp else fake
+                a_in = audio.astype(jnp.bfloat16) if mp else audio
+                fake_out = _f32_tree(self.discriminator(d_params, d_in))
+                real_out = _f32_tree(self.discriminator(d_params, a_in))
                 adv = gen_adv_loss([s for s, _ in fake_out])
                 loss = loss + adv
                 parts["gen_adv_loss"] = adv
@@ -158,13 +182,21 @@ class GANTrainer:
                                   step=state.step + 1), parts
 
         def d_loss_fn(d_params, g_params, mel, audio, key):
+            if mp:
+                g_params, d_params = cast_down(g_params), cast_down(d_params)
+                mel = mel.astype(jnp.bfloat16)
+                audio_in = audio.astype(jnp.bfloat16)
+            else:
+                audio_in = audio
             if self._gen_needs_key:
                 fake = self.generator(g_params, mel, key=key)
             else:
                 fake = self.generator(g_params, mel)
             fake = jax.lax.stop_gradient(fake)
-            fake_out = self.discriminator(d_params, fake)
-            real_out = self.discriminator(d_params, audio)
+            if mp:
+                fake = fake.astype(jnp.bfloat16)
+            fake_out = _f32_tree(self.discriminator(d_params, fake))
+            real_out = _f32_tree(self.discriminator(d_params, audio_in))
             loss = disc_adv_loss([s for s, _ in real_out], [s for s, _ in fake_out])
             return loss, {"disc_loss": loss}
 

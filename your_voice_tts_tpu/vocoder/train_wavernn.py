@@ -64,10 +64,20 @@ class WaveRNNTrainer:
         self._step_fn = self._build_step()
 
     def _build_step(self):
+        mp = self.cfg.training.mixed_precision
+
         def loss_fn(params, mel, audio):
             # NLL by I/O mode: mu-law cross-entropy, discretized MoL, or
-            # Gaussian (models/wavernn.py::WaveRNN.loss)
-            return self.model.loss(params, mel, audio)
+            # Gaussian (models/wavernn.py::WaveRNN.loss). mixed_precision:
+            # bf16 forward against f32 master weights, NLL always f32.
+            dtype = None
+            if mp:
+                dtype = jnp.bfloat16
+                params = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if a.dtype == jnp.float32 else a, params)
+                mel = mel.astype(dtype)
+            return self.model.loss(params, mel, audio, compute_dtype=dtype)
 
         @jax.jit
         def train_step(state: WaveRNNTrainState, mel, audio):
