@@ -29,6 +29,12 @@ Covers the DEFAULT attention configuration (location-sensitive, sigmoid or
 softmax norm, no forward-attention / transition agent / windowing,
 prenet_type="original"); models/tacotron2.py falls back to the XLA scan for
 anything else.
+
+Perf note (measured, v5e): the step costs ~112 us regardless of which op is
+ablated — the bound is the serial latency of the ~10-op dependency chain,
+not FLOPs, bandwidth, or loop overhead (full-unrolling the chunk loop
+measured SLOWER, 32.6 vs 30.7 ms/250 steps, at 50x the compile time).
+Don't retry unrolling; gains here need a shorter chain, not cheaper ops.
 """
 
 from __future__ import annotations
