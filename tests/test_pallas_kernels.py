@@ -349,12 +349,16 @@ def test_taco2_decode_kernel_chunk_invariance():
 
 
 def test_taco2_decode_supported_config_and_t_limit(small_taco):
-    """Routing contract: non-default attention configs fall back to the XLA
-    scan, and over-length inputs raise instead of silently mis-serving."""
+    """Routing contract: every attention_type="original" config is served
+    in-kernel (round-3: windowing/forward attention moved in-kernel); Graves
+    and non-original prenets fall back to the XLA scan, and over-length
+    inputs raise instead of silently mis-serving."""
     assert supported_config(_small_taco_cfg())
     assert supported_config(_small_taco_cfg(attention_norm="softmax"))
-    assert not supported_config(_small_taco_cfg(windowing=True))
-    assert not supported_config(_small_taco_cfg(use_forward_attn=True))
+    assert supported_config(_small_taco_cfg(windowing=True))
+    assert supported_config(_small_taco_cfg(use_forward_attn=True))
+    assert supported_config(_small_taco_cfg(use_forward_attn=True,
+                                            transition_agent=True))
     assert not supported_config(_small_taco_cfg(attention_type="graves"))
     assert not supported_config(_small_taco_cfg(prenet_type="bn"))
 
@@ -365,6 +369,56 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     with pytest.raises(ValueError, match="XLA scan"):
         model.decoder.inference_pallas(params["decoder"], big,
                                        text_len, 20, interpret=True)
+
+
+ATTN_VARIANTS = {
+    "windowing": dict(windowing=True),
+    "forward": dict(use_forward_attn=True),
+    "forward_ta": dict(use_forward_attn=True, transition_agent=True),
+    "forward_mask": dict(use_forward_attn=True, forward_attn_mask=True),
+    "window_forward": dict(windowing=True, use_forward_attn=True),
+    "softmax_window": dict(attention_norm="softmax", windowing=True),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(ATTN_VARIANTS))
+def test_taco2_decode_kernel_attention_variants(variant):
+    """Kernel-vs-scan equivalence for the round-3 in-kernel attention
+    variants (windowing, forward attention, transition agent, forward mask
+    — VERDICT r2 missing #5). The kernel runs in f32 here so the comparison
+    isolates the attention LOGIC: windowing/argmax are discontinuous, and
+    with random weights (flat, tie-prone alignments) bf16 rounding can
+    legitimately flip the window position and fork the trajectory — which
+    the production bf16 path tolerates, but an equivalence test must not."""
+    from your_voice_tts_tpu.models.common import sequence_mask
+
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(**ATTN_VARIANTS[variant]),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    pdec = params["decoder"]
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(pdec["attention"],
+                                                     enc_out)
+    attn = model.decoder.attention
+    out, aligns, stops, lengths = tacotron2_decode_pallas(
+        pdec, enc_out, pinp, mask, n_mels=TACO_N_MELS, r=2, max_steps=20,
+        norm=attn.norm, thresh=model.cfg.stop_threshold,
+        prenet_dropout=False, interpret=True, dtype=jnp.float32,
+        windowing=attn.windowing, win_back=attn.win_back,
+        win_front=attn.win_front, forward_attn=attn.forward_attn,
+        trans_agent=attn.trans_agent,
+        forward_attn_mask=attn.forward_attn_mask)
+    B = enc_out.shape[0]
+    out = jnp.swapaxes(out[..., : TACO_N_MELS * 2], 0, 1) \
+        .reshape(B, 20 * 2, TACO_N_MELS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(aligns, 0, 1)),
+                               np.asarray(ref[1]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(lengths * 2), np.asarray(ref[3]))
 
 
 def test_taco2_decode_kernel_early_exit(small_taco):

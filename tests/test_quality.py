@@ -1,0 +1,70 @@
+"""Objective quality metrics (utils/quality.py — VERDICT r2 missing #3)."""
+
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.config import AudioConfig
+from your_voice_tts_tpu.utils.quality import (
+    denormalize_mel, mel_cepstral_distortion, prf, speaker_similarity,
+    stop_token_scores)
+
+
+def test_denormalize_roundtrip():
+    """denormalize_mel inverts the dsp normalization exactly."""
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.ops.dsp import normalize_spec
+
+    cfg = AudioConfig()
+    rng = np.random.default_rng(0)
+    db = rng.uniform(cfg.min_level_db, 0.0, (40, 80)) + cfg.ref_level_db
+    norm = np.asarray(normalize_spec(
+        jnp.asarray(db - cfg.ref_level_db), cfg.min_level_db, cfg.max_norm,
+        cfg.symmetric_norm, cfg.clip_norm))
+    back = denormalize_mel(norm, cfg)
+    np.testing.assert_allclose(back, db, atol=1e-4)
+
+
+def test_mcd_identity_is_zero():
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((60, 80))
+    assert mel_cepstral_distortion(mel, mel) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mcd_increases_with_distortion():
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((60, 80))
+    small = mel_cepstral_distortion(mel + 0.01 * rng.standard_normal(mel.shape), mel)
+    big = mel_cepstral_distortion(mel + 0.3 * rng.standard_normal(mel.shape), mel)
+    assert 0 < small < big
+
+
+def test_mcd_dtw_absorbs_time_stretch():
+    """A time-stretched copy of the same content should score far better
+    under DTW than under naive frame pairing."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 80)).cumsum(axis=0) * 0.05
+    stretched = np.repeat(base, 2, axis=0)[:80]  # ~1.6x slower
+    dtw = mel_cepstral_distortion(stretched, base, use_dtw=True)
+    naive = mel_cepstral_distortion(stretched, base, use_dtw=False)
+    assert dtw < naive * 0.5
+
+
+def test_stop_scores():
+    probs = np.zeros(50)
+    probs[29] = 0.9
+    assert stop_token_scores(probs, 30)["tp"] == 1          # exact
+    assert stop_token_scores(probs, 32)["tp"] == 1          # within tol
+    assert stop_token_scores(probs, 40)["fp"] == 1          # early stop
+    assert stop_token_scores(probs, 20)["fn"] == 1          # late stop
+    assert stop_token_scores(np.zeros(50), 30)["fn"] == 1   # never fired
+    agg = prf([{"tp": 1, "fp": 0, "fn": 0}, {"tp": 1, "fp": 1, "fn": 0}])
+    assert agg["precision"] == pytest.approx(2 / 3, abs=1e-3)
+    assert agg["recall"] == 1.0
+
+
+def test_speaker_similarity():
+    a = np.asarray([1.0, 0.0, 0.0])
+    assert speaker_similarity(a, a) == pytest.approx(1.0)
+    assert speaker_similarity(a, [0.0, 1.0, 0.0]) == pytest.approx(0.0)
+    assert speaker_similarity(a, -a) == pytest.approx(-1.0)

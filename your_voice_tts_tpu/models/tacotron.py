@@ -97,12 +97,13 @@ class CBHG:
         return {"bank_bn": self.bank_bn.init_state(),
                 "proj_bns": [bn.init_state() for bn in self.proj_bns]}
 
-    def __call__(self, p: Params, state: Params, x, train: bool):
-        # conv bank: K parallel convs, concat channels
+    def __call__(self, p: Params, state: Params, x, train: bool, mask=None):
+        # conv bank: K parallel convs, concat channels. mask: optional [B, T]
+        # validity mask keeping pad frames out of the BN statistics
         bank_out = jnp.concatenate(
             [conv(cp, x) for conv, cp in zip(self.bank, p["bank"])], axis=-1)
         bank_out, bank_bn_state = self.bank_bn(p["bank_bn"], state["bank_bn"],
-                                               bank_out, train)
+                                               bank_out, train, mask=mask)
         bank_out = jax.nn.relu(bank_out)
         # max pool width 2, stride 1, same length
         pooled = lax.reduce_window(bank_out, -jnp.inf, lax.max,
@@ -111,7 +112,8 @@ class CBHG:
         proj_bn_states = []
         for i, (conv, bn) in enumerate(zip(self.projs, self.proj_bns)):
             h = conv(p["projs"][i], h)
-            h, ns = bn(p["proj_bns"][i], state["proj_bns"][i], h, train)
+            h, ns = bn(p["proj_bns"][i], state["proj_bns"][i], h, train,
+                       mask=mask)
             proj_bn_states.append(ns)
             if i + 1 < len(self.projs):
                 h = jax.nn.relu(h)
@@ -389,7 +391,7 @@ class Tacotron:
 
     def forward(self, variables, text, text_lengths, mels, rng=None,
                 train: bool = True, speaker_ids=None, speaker_embeddings=None,
-                r: int | None = None):
+                r: int | None = None, mel_lengths=None):
         r = r or self.r
         params, state = variables["params"], variables["state"]
         if rng is not None:
@@ -402,8 +404,12 @@ class Tacotron:
         dec_out, aligns, stops, dec_state = self.decoder.forward(
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
             k_dec, train, r=r)
+        # pad frames excluded from PostCBHG BN statistics when lengths given
+        mel_mask = (sequence_mask(mel_lengths, dec_out.shape[1])
+                    if mel_lengths is not None else None)
         post, post_state = self.post_cbhg(params["post_cbhg"],
-                                          state["post_cbhg"], dec_out, train)
+                                          state["post_cbhg"], dec_out, train,
+                                          mask=mel_mask)
         linear = self.last_linear(params["last_linear"], post)
         return {
             "decoder_outputs": dec_out,
@@ -414,16 +420,21 @@ class Tacotron:
                       "decoder": dec_state, "post_cbhg": post_state},
         }
 
-    PALLAS_MAX_BATCH = 128   # VMEM budget, as in Tacotron2
-
     def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
         """True when inference() would auto-route onto the weights-in-VMEM
         Pallas kernel (TPU, default attention config, queue rolls by whole
-        steps, within the banded-matrix and VMEM budgets)."""
+        steps, and the working set fits the DEVICE's VMEM per
+        ops/pallas/capacity.py)."""
+        from ..ops.pallas.capacity import taco1_kernel_fits
         from ..ops.pallas.taco1_decode import MAX_T_BANDED, taco1_supported
         return (jax.default_backend() == "tpu"
                 and taco1_supported(self.cfg, self.decoder.memory_size, self.r)
-                and T <= MAX_T_BANDED and B <= self.PALLAS_MAX_BATCH)
+                and T <= MAX_T_BANDED
+                and taco1_kernel_fits(
+                    self.cfg, T=T, B=B,
+                    E=self.encoder_cbhg.out_dim + self.spk_dim,
+                    r_init=self.r_init, memory_size=self.decoder.memory_size,
+                    n_mels=self.n_mels))
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,

@@ -246,6 +246,18 @@ class Decoder:
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
             steps_done * r
 
+    def _attn_kernel_flags(self) -> dict:
+        """Attention-variant flags forwarded to the Pallas decode kernel
+        (windowing / forward attention / transition agent — all implemented
+        in-kernel; Graves falls back to the scan via supported_config)."""
+        a = self.attention
+        return {
+            "windowing": a.windowing, "win_back": a.win_back,
+            "win_front": a.win_front, "forward_attn": a.forward_attn,
+            "trans_agent": a.trans_agent,
+            "forward_attn_mask": a.forward_attn_mask,
+        }
+
     def inference_pallas(self, p: Params, inputs, input_lengths, max_steps: int,
                          r: int | None = None, seed: int = 0,
                          interpret: bool = False):
@@ -267,7 +279,7 @@ class Decoder:
             thresh=self.cfg.stop_threshold,
             prenet_dropout=(self.cfg.prenet_dropout
                             and self.prenet.dropout_enabled),
-            seed=seed, interpret=interpret)
+            seed=seed, interpret=interpret, **self._attn_kernel_flags())
         dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
             .reshape(B, max_steps * r, self.n_mels)
         return dec_out, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
@@ -297,7 +309,8 @@ class Decoder:
             thresh=self.cfg.stop_threshold,
             prenet_dropout=(self.cfg.prenet_dropout
                             and self.prenet.dropout_enabled),
-            seed=seed, interpret=interpret, stream=stream, return_stream=True)
+            seed=seed, interpret=interpret, stream=stream, return_stream=True,
+            **self._attn_kernel_flags())
         dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
             .reshape(B, max_steps * r, self.n_mels)
         (h1, c1), (h2, c2), frame = stream_out
@@ -469,9 +482,12 @@ class Tacotron2:
         self.r = r
 
     def forward(self, variables, text, text_lengths, mels, rng=None, train: bool = True,
-                speaker_ids=None, speaker_embeddings=None, r: int | None = None):
+                speaker_ids=None, speaker_embeddings=None, r: int | None = None,
+                mel_lengths=None):
         """Teacher-forced pass. Returns dict with decoder/postnet outputs,
-        alignments, stop logits, and updated BN state."""
+        alignments, stop logits, and updated BN state. When `mel_lengths` is
+        given, the postnet's BatchNorm statistics exclude pad frames (the
+        reference lets BN see padding; losses are masked either way)."""
         r = r or self.r
         params, state = variables["params"], variables["state"]
         if rng is not None:
@@ -487,6 +503,8 @@ class Tacotron2:
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
             k_dec, train, r=r)
         mel_mask = None
+        if mel_lengths is not None:
+            mel_mask = sequence_mask(mel_lengths, dec_out.shape[1])
         residual, post_state = self.postnet(params["postnet"], state["postnet"],
                                             dec_out, k_post, train, mask=mel_mask)
         postnet_out = dec_out + residual
@@ -526,19 +544,20 @@ class Tacotron2:
     _cast_compute = staticmethod(cast_compute)
     _outputs_f32 = staticmethod(outputs_f32)
 
-    # largest batch whose kernel working set (encoder memory + per-chunk
-    # output blocks + state scratch, on top of ~37MB of weights) fits VMEM;
-    # B=256 measured 134MB > the 128MB ceiling on v5e
-    PALLAS_MAX_BATCH = 128
-
     def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
         """True when inference() would auto-route the decode loop onto the
         weights-in-VMEM Pallas kernel for text length T and batch B (TPU
-        backend, default attention configuration, within the banded-matrix
-        and VMEM budgets)."""
+        backend, original-attention configuration, and the full working set —
+        weights + banded location matrices + encoder blocks + chunk outputs —
+        fits the DEVICE's VMEM per ops/pallas/capacity.py; replaces the
+        round-2 v5e constants PALLAS_MAX_BATCH/MAX_T_BANDED)."""
+        from ..ops.pallas.capacity import taco2_kernel_fits
         from ..ops.pallas.taco2_decode import MAX_T_BANDED, supported_config
         return (jax.default_backend() == "tpu" and supported_config(self.cfg)
-                and T <= MAX_T_BANDED and B <= self.PALLAS_MAX_BATCH)
+                and T <= MAX_T_BANDED
+                and taco2_kernel_fits(self.cfg, T=T, B=B,
+                                      E=self.cfg.encoder_dim + self.spk_dim,
+                                      r_init=self.r_init, n_mels=self.n_mels))
 
     def inference(self, variables, text, text_lengths, rng=None,
                   speaker_ids=None, speaker_embeddings=None, style_mel=None,

@@ -416,11 +416,13 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
         # batched magnitudes go through the fused Pallas iteration kernel
         use_pallas = jax.default_backend() == "tpu" and B > 1
     if use_pallas:
-        if T <= 1024:
-            # whole GL loop in-kernel: per-tile VMEM residency fits (with the
-            # raised scoped-vmem budget; validated on v5e through 1024-frame
-            # tiles, reconstruction err/sig 0.175 — which covers the model's
-            # entire serving range: max_decoder_steps=500 x r=2 = 1000 frames)
+        from .pallas.capacity import gl_max_tile
+        if T <= gl_max_tile(n_fft):
+            # whole GL loop in-kernel: per-tile VMEM residency fits (budget
+            # derived from the device's VMEM in capacity.py; validated on
+            # v5e through 1024-frame tiles, reconstruction err/sig 0.175 —
+            # which covers the model's entire serving range:
+            # max_decoder_steps=500 x r=2 = 1000 frames)
             from .pallas.griffin_lim import griffin_lim_pallas_full
 
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)

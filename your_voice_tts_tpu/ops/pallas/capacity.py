@@ -1,0 +1,194 @@
+"""Device-derived VMEM capacity arithmetic for the Pallas kernel routers.
+
+Round-2 review: the kernel routing limits (PALLAS_MAX_BATCH=128,
+MAX_T_BANDED=256, Griffin-Lim vmem_limit_bytes) were v5e constants baked into
+the source — on any other TPU generation they silently mis-route or OOM.
+This module derives them from the actual device:
+
+- `vmem_bytes_per_core()` maps jax's device_kind to the per-core VMEM size
+  (v2/v3: 16 MiB; v4/v5/v6 families: 128 MiB), falling back to the v5e value
+  for unknown kinds.
+- `taco2_kernel_fits(...)` does the working-set accounting for the
+  weights-in-VMEM Tacotron2 decode kernel (ops/pallas/taco2_decode.py):
+  decoder weights + the banded location matrices (2*T^2*A bytes in bf16) +
+  per-batch encoder/processed/mask blocks + per-chunk output blocks + state
+  scratch, against the device budget. Calibrated against the v5e
+  measurements: (T=256, B=128, full model) fits; B=256 measured 134 MB and
+  does not.
+
+The kernels themselves still pass an explicit `vmem_limit_bytes` to Mosaic —
+derived from the same budget — so a mis-estimate fails loudly at compile
+time instead of mis-executing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+MIB = 1024 * 1024
+
+# per-core VMEM by device generation (public TPU system architecture docs;
+# the pallas guide's hardware model). Unknown/new kinds fall back to 128 MiB
+# (every generation since v4).
+_VMEM_BY_KIND = {
+    "TPU v2": 16 * MIB,
+    "TPU v3": 16 * MIB,
+    "TPU v4": 128 * MIB,
+    "TPU v4 lite": 128 * MIB,
+    "TPU v5": 128 * MIB,
+    "TPU v5 lite": 128 * MIB,
+    "TPU v5e": 128 * MIB,
+    "TPU v5p": 128 * MIB,
+    "TPU v6 lite": 128 * MIB,
+    "TPU v6e": 128 * MIB,
+    "TPU7x": 128 * MIB,
+}
+
+DEFAULT_VMEM = 128 * MIB
+
+
+@functools.lru_cache(maxsize=4)
+def vmem_bytes_per_core(device_kind: str | None = None) -> int:
+    """Per-core VMEM for `device_kind` (default: the first local device)."""
+    if device_kind is None:
+        try:
+            device_kind = jax.devices()[0].device_kind
+        except Exception:
+            return DEFAULT_VMEM
+    for kind, size in _VMEM_BY_KIND.items():
+        if device_kind.startswith(kind):
+            return size
+    return DEFAULT_VMEM
+
+
+# Mosaic cannot use every byte of VMEM (compiler-managed double buffering,
+# semaphores, alignment padding of non-128 lane dims). Keep the working set
+# under this fraction of the physical size. 0.83 reproduces the measured v5e
+# routing boundary: full-model T=256/B=128 fits in 128 MiB, B=256 does not.
+_USABLE_FRACTION = 0.83
+
+
+def kernel_vmem_limit(device_kind: str | None = None) -> int:
+    """`vmem_limit_bytes` to hand Mosaic: the usable share of physical VMEM."""
+    return int(vmem_bytes_per_core(device_kind) * _USABLE_FRACTION)
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
+                       n_mels: int, out_width: int, prenet_dim: int,
+                       chunk: int = 50) -> int:
+    """Working-set bytes of the Tacotron2 decode kernel for the given shapes.
+
+    Mirrors tacotron2_decode_pallas's buffer list: bf16 matmul operands,
+    f32 biases/scratch/outputs. T is the (unpadded) text length; A and B are
+    padded the way the launcher pads them (A to a lane multiple, B to a
+    sublane multiple).
+    """
+    A = _rup(A, 128)
+    B = _rup(B, 8)
+    Tl = _rup(T, 128)  # Mosaic pads buffers whose LANE dim is T to 128 lanes
+    bf2, f4 = 2, 4
+    w = 0
+    # prenet
+    w += (n_mels * prenet_dim + prenet_dim * prenet_dim) * bf2
+    # attention rnn (wx [prenet+E, 4H1], wh [H1, 4H1])
+    w += ((prenet_dim + E) * 4 * H1 + H1 * 4 * H1) * bf2
+    # attention projections: q [H1, A], banded K_loc [2T, T*A], v [A]
+    w += (H1 * A) * bf2 + (2 * T * T * A) * bf2 + A * f4
+    # decoder rnn (wx [H1+E, 4H2], wh [H2, 4H2])
+    w += ((H1 + E) * 4 * H2 + H2 * 4 * H2) * bf2
+    # projection [H2+E, out_width] + stopnet [H2+out_width, 1]
+    w += ((H2 + E) * out_width + (H2 + out_width)) * bf2
+    # forward-attention shift matrix [T, Tl] + transition agent (always passed)
+    w += T * Tl * bf2 + (E + H1) * bf2
+    # per-batch inputs: enc_out bf16, processed f32, maskadd f32 (lane = T)
+    inputs = B * T * E * bf2 + B * T * A * f4 + B * Tl * f4
+    # per-chunk output blocks (dec, align [lane=T], stop), double-buffered
+    outputs = 2 * chunk * B * (_rup(out_width, 128) + Tl + 128) * f4
+    # state scratch (h1,c1,h2,c2,ctx f32; att/cum/alpha lane-padded; frame,
+    # done, win) + in/out RNN-state blocks
+    scratch = B * (2 * H1 + 2 * H2 + E + 3 * Tl + _rup(n_mels, 128) + 256) * f4
+    states = 2 * B * (2 * H1 + 2 * H2 + _rup(n_mels, 128)) * f4
+    return w + inputs + outputs + scratch + states
+
+
+def taco2_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
+                      n_mels: int = 80, chunk: int = 50,
+                      device_kind: str | None = None) -> bool:
+    """True when the decode kernel's working set fits the device VMEM."""
+    need = taco2_decode_bytes(
+        T=T, B=B, E=E, A=cfg.attention_dim, H1=cfg.attention_rnn_dim,
+        H2=cfg.decoder_rnn_dim, n_mels=n_mels, out_width=n_mels * r_init,
+        prenet_dim=cfg.prenet_dim, chunk=chunk)
+    return need <= kernel_vmem_limit(device_kind)
+
+
+def gl_max_tile(n_fft: int, device_kind: str | None = None,
+                validated_cap: int = 1024) -> int:
+    """Largest frame-tile length the whole-loop Griffin-Lim kernel
+    (ops/pallas/griffin_lim.py griffin_lim_pallas_full) serves on this
+    device: ~8 VMEM-resident [T, K_freq] f32 buffers + 4 DFT matrices.
+    Capped at the hardware-validated 1024 (v5e, err/sig 0.175)."""
+    Kf = _rup(n_fft // 2 + 1, 128)
+    limit = kernel_vmem_limit(device_kind)
+    mats = 4 * Kf * _rup(n_fft, 128) * 4
+    per_frame = Kf * 4 * 8
+    t = max(0, (limit - mats) // per_frame)
+    return min(validated_cap, (t // 8) * 8)
+
+
+def taco1_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
+                      memory_size: int, n_mels: int = 80, chunk: int = 50,
+                      device_kind: str | None = None) -> bool:
+    """Working-set check for the Tacotron(1) decode kernel
+    (ops/pallas/taco1_decode.py): GRU stack of width `tacotron_width`//1,
+    banded location matrices, memory queue — same structure as taco2 but
+    much smaller weights."""
+    A = _rup(cfg.attention_dim, 128)
+    Bp = _rup(B, 8)
+    Tl = _rup(T, 128)
+    w = cfg.tacotron_width
+    M = memory_size if memory_size > 0 else r_init
+    bf2, f4 = 2, 4
+    wt = 0
+    # prenet (M*n_mels -> w//... actual dims approximated by width w)
+    wt += (M * n_mels * w + w * w) * bf2
+    # attention GRU + 2 decoder GRUs (3 gates each) + projections
+    wt += 3 * ((2 * w) * 3 * w + w * 3 * w) * bf2
+    wt += (w * A) * bf2 + (2 * T * T * A) * bf2
+    wt += ((w + E) * w + w * _rup(n_mels * r_init, 128)) * bf2
+    inputs = Bp * T * E * bf2 + Bp * T * A * f4 + Bp * Tl * f4
+    outputs = 2 * chunk * Bp * (_rup(n_mels * r_init, 128) + Tl + 128) * f4
+    scratch = Bp * (3 * w + E + 2 * Tl + _rup(M * n_mels, 128) + 128) * f4
+    return wt + inputs + outputs + scratch <= kernel_vmem_limit(device_kind)
+
+
+def taco2_max_T(cfg, *, B: int, E: int, r_init: int, n_mels: int = 80,
+                device_kind: str | None = None, hard_cap: int = 1024) -> int:
+    """Largest text length (multiple of 32) the kernel serves at batch B."""
+    best = 0
+    t = 32
+    while t <= hard_cap:
+        if taco2_kernel_fits(cfg, T=t, B=B, E=E, r_init=r_init,
+                             n_mels=n_mels, device_kind=device_kind):
+            best = t
+        t += 32
+    return best
+
+
+def taco2_max_batch(cfg, *, T: int, E: int, r_init: int, n_mels: int = 80,
+                    device_kind: str | None = None, hard_cap: int = 512) -> int:
+    """Largest batch (multiple of 8) the kernel serves at text length T."""
+    best = 0
+    b = 8
+    while b <= hard_cap:
+        if taco2_kernel_fits(cfg, T=T, B=b, E=E, r_init=r_init,
+                             n_mels=n_mels, device_kind=device_kind):
+            best = b
+        b += 8
+    return best

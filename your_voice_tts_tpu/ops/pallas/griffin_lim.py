@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .capacity import kernel_vmem_limit
+
 F32 = jnp.float32
 
 
@@ -240,8 +242,10 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
         # the default scoped-vmem budget is 16MB; v5e cores have headroom
         # beyond it. Working set scales with the tile length: ~17MB at
         # 500-frame tiles, ~35MB at 1024 (validated on hardware, err/sig
-        # 0.175 at T=1024) — both fit under the raised budget
-        vmem_limit_bytes=64 * 1024 * 1024)
+        # 0.175 at T=1024). 64MB covers every tile the router
+        # (capacity.gl_max_tile) admits; smaller-VMEM generations get the
+        # device-derived budget instead
+        vmem_limit_bytes=min(64 * 1024 * 1024, kernel_vmem_limit()))
 
     if init_phase is None:
         kernel = functools.partial(_kernel_full, n_fft=n_fft, hop=hop,

@@ -29,6 +29,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .capacity import kernel_vmem_limit
 from .taco2_decode import MAX_T_BANDED, _band_matrices, supported_config  # noqa: F401
 from .wavernn_gen import _fmix32, _uniform
 
@@ -152,9 +153,13 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
 def taco1_supported(cfg, memory_size: int, r: int) -> bool:
     """Kernel coverage: default attention config AND the queue must be able
-    to roll by whole steps (r frames <= memory span)."""
+    to roll by whole steps (r frames <= memory span). Unlike the Tacotron2
+    kernel, this one does NOT implement windowing / forward attention /
+    transition agent in-kernel — those fall back to the XLA scan."""
     M = memory_size if memory_size > 0 else r
-    return supported_config(cfg) and r <= M
+    return (supported_config(cfg) and r <= M
+            and not cfg.windowing and not cfg.use_forward_attn
+            and not cfg.transition_agent)
 
 
 def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
@@ -263,7 +268,7 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=kernel_vmem_limit()),
     )(jnp.asarray([seed], jnp.int32), enc_out.astype(dtype),
       processed_inputs.astype(F32), maskadd, *weights)
 

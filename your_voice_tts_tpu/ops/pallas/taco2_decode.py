@@ -48,6 +48,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .capacity import kernel_vmem_limit
 from .wavernn_gen import _fmix32, _uniform
 
 F32 = jnp.float32
@@ -73,13 +74,16 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
             a_wx, a_wh, a_b, q_w, k_loc, v_w, v_b,
             d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
+            shift_w, ta_w, ta_b,
             h1_0, c1_0, h2_0, c2_0, frame_0,
             out_ref, align_ref, stop_ref,
             h1_out, c1_out, h2_out, c2_out, frame_out,
             h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref, att_ref, cum_ref,
-            frame_ref, done_ref,
+            frame_ref, done_ref, alpha_ref, win_ref,
             *, chunk: int, n_mels: int, r: int, norm: str,
-            thresh: float, prenet_dropout: bool, dtype):
+            thresh: float, prenet_dropout: bool, dtype,
+            windowing: bool, win_back: int, win_front: int,
+            forward_attn: bool, trans_agent: bool, forward_attn_mask: bool):
     step0 = pl.program_id(0) == 0
 
     @pl.when(step0)
@@ -97,6 +101,12 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         att_ref[...] = jnp.zeros_like(att_ref)
         cum_ref[...] = jnp.zeros_like(cum_ref)
         done_ref[...] = jnp.zeros_like(done_ref)
+        # forward attention: alpha starts as the one-hot [1, 0, 0, ...]
+        # (attention.init_state); windowing: window center starts at 0.
+        # NOTE: tpu.iota only produces integers — build in i32, cast after
+        alpha_ref[...] = (lax.broadcasted_iota(
+            jnp.int32, alpha_ref.shape, 1) == 0).astype(F32)
+        win_ref[...] = jnp.zeros_like(win_ref)
 
     seed = seed_ref[0]
     chunk_base = pl.program_id(0) * np.int32(chunk)
@@ -145,11 +155,51 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
         e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
         e = e + maskadd_ref[...]                               # -1e9 at pads
+        t_lane = lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(F32)
+        if windowing:
+            # energies outside [win_idx - back, win_idx + front] are dropped
+            # (models/attention.py _apply_windowing; kernel = inference only)
+            lo = win_ref[...] - np.float32(win_back)           # [B, 1]
+            hi = win_ref[...] + np.float32(win_front)
+            inside = (t_lane >= lo) & (t_lane <= hi)
+            e = jnp.where(inside, e, -1e9)
         if norm == "softmax":
             align = jax.nn.softmax(e, axis=-1)
         else:  # sigmoid norm (reference default)
             s = jax.nn.sigmoid(e)
             align = s / jnp.maximum(jnp.sum(s, axis=-1, keepdims=True), 1e-8)
+        if forward_attn:
+            # alpha recursion (models/attention.py _forward_attention); the
+            # right-shift is an MXU matmul against the superdiagonal matrix
+            alpha_prev = alpha_ref[...]
+            alpha_shift = jnp.dot(alpha_prev.astype(dtype), shift_w[...],
+                                  preferred_element_type=F32)
+            if trans_agent:
+                ta_in = jnp.concatenate([ctx_ref[...], h1], axis=-1)
+                u = jax.nn.sigmoid(jnp.dot(ta_in.astype(dtype), ta_w[...],
+                                           preferred_element_type=F32)
+                                   + ta_b[...])                # [B, 1]
+            else:
+                u = 0.5
+            alpha = ((1.0 - u) * alpha_prev + u * alpha_shift + 1e-8) * align
+            if forward_attn_mask:
+                # zero alpha more than 1 step behind the (first) max
+                maxv = jnp.max(alpha, axis=-1, keepdims=True)
+                first_max = jnp.min(
+                    jnp.where(alpha >= maxv, t_lane, np.float32(T)),
+                    axis=-1, keepdims=True)
+                alpha = jnp.where(t_lane >= first_max - 1.0, alpha, 0.0)
+                alpha = alpha + 1e-8
+            alpha = jnp.where(maskadd_ref[...] >= -0.5, alpha, 0.0)
+            alpha = alpha / jnp.maximum(jnp.sum(alpha, axis=-1, keepdims=True),
+                                        1e-8)
+            align = alpha
+            alpha_ref[...] = alpha
+        if windowing:
+            maxa = jnp.max(align, axis=-1, keepdims=True)
+            win_ref[...] = jnp.min(
+                jnp.where(align >= maxa, t_lane, np.float32(T)),
+                axis=-1, keepdims=True)
         ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)  # [B, E]
 
         # --- decoder LSTM + projections --------------------------------------
@@ -199,17 +249,18 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
 
 # the banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
-# (T=256, A=128: 2x16 MB) — beyond this the kernel's VMEM budget is blown
-# and callers must fall back to the XLA scan
+# (T=256, A=128: 2x16 MB). This is the hard band-matrix cap; the actual
+# routing limit is derived per-device from the full working-set accounting
+# in ops/pallas/capacity.py (models/tacotron2.py pallas_decode_supported).
 MAX_T_BANDED = 256
 
 
 def supported_config(cfg) -> bool:
-    """The kernel covers the default attention configuration; callers fall
-    back to the XLA scan otherwise."""
+    """The kernel covers every `attention_type="original"` configuration —
+    location-sensitive energies with optional windowing, forward attention,
+    transition agent, and forward mask, sigmoid or softmax norm. Graves GMM
+    attention and non-original prenets fall back to the XLA scan."""
     return (cfg.attention_type == "original" and cfg.location_attn
-            and not cfg.windowing and not cfg.use_forward_attn
-            and not cfg.transition_agent
             and cfg.prenet_type == "original"
             and cfg.attention_norm in ("sigmoid", "softmax"))
 
@@ -242,7 +293,11 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             norm: str = "sigmoid", thresh: float = 0.6,
                             prenet_dropout: bool = True, seed: int = 0,
                             chunk: int = 50, interpret: bool = False,
-                            dtype=BF16, stream=None, return_stream=False):
+                            dtype=BF16, stream=None, return_stream=False,
+                            windowing: bool = False, win_back: int = 1,
+                            win_front: int = 3, forward_attn: bool = False,
+                            trans_agent: bool = False,
+                            forward_attn_mask: bool = False):
     """Free-running Tacotron2 decode, whole loop in one kernel launch.
 
     p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
@@ -311,6 +366,18 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         p_dec["attention"]["loc_conv"]["w"],                   # [K, 2, F]
         wdense, T, dtype)
 
+    # forward-attention right-shift as a superdiagonal matrix (alpha @ S
+    # shifts alpha one position toward larger t); transition-agent dense.
+    # Both are tiny and always passed — unused branches are compiled away.
+    shift_w = jnp.eye(T, k=1)
+    H1d = p_dec["attention_rnn"]["wh"].shape[0]
+    if trans_agent:
+        ta_w = p_dec["attention"]["ta"]["w"]                   # [E + Q, 1]
+        ta_b = p_dec["attention"]["ta"]["b"]
+    else:
+        ta_w = jnp.zeros((E + H1d, 1), F32)
+        ta_b = jnp.zeros((1,), F32)
+
     weights = [
         p_dec["prenet"]["linears"][0]["w"], p_dec["prenet"]["linears"][0]["b"],
         p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
@@ -322,10 +389,11 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         p_dec["decoder_rnn"]["b"],
         p_dec["projection"]["w"], p_dec["projection"]["b"],
         p_dec["stopnet"]["w"], p_dec["stopnet"]["b"],
+        shift_w, ta_w, ta_b,
     ]
     # biases and the attention v vector stay f32 (accumulator side); matmul
     # operands in bf16 (MXU-native) unless overridden
-    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17}
+    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17, 20}
     weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
                for i, w in enumerate(weights)]
 
@@ -366,11 +434,16 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             pltpu.VMEM((B, T), F32),                                      # cum
             pltpu.VMEM((B, n_mels), F32),                                 # frame
             pltpu.VMEM((B, 1), F32),                                      # done
+            pltpu.VMEM((B, T), F32),                                      # alpha
+            pltpu.VMEM((B, 1), F32),                                      # win
         ],
     )
     kernel = functools.partial(
         _kernel, chunk=chunk, n_mels=n_mels, r=r, norm=norm,
-        thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype)
+        thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype,
+        windowing=windowing, win_back=win_back, win_front=win_front,
+        forward_attn=forward_attn, trans_agent=trans_agent,
+        forward_attn_mask=forward_attn_mask)
     dec_out, aligns, stops, *stream_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -381,7 +454,9 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # derived from the device's actual VMEM (capacity.py); a routing
+            # mis-estimate then fails at compile time, never mis-executes
+            vmem_limit_bytes=kernel_vmem_limit()),
     )(jnp.asarray([seed], jnp.int32), enc_out.astype(dtype),
       processed_inputs.astype(F32), maskadd, *weights, *state0)
 
