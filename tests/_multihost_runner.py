@@ -1,0 +1,76 @@
+"""Subprocess body for tests/test_multihost.py — one JAX process of a
+2-process CPU-coordinated run through the REAL multi-host training path:
+
+corpus sharding by process (train/trainer.py), sync_batch_shapes'
+process_allgather of bucket shapes, shard_batch's
+make_array_from_process_local_data branch, the SPMD train step over the
+8-device global mesh, and rank-0-only checkpoint gating.
+
+Usage: python _multihost_runner.py <coord_port> <process_id> <corpus_dir>
+       <out_dir> <result_json>
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+
+def main() -> None:
+    port, pid, corpus, outdir, result_path = sys.argv[1:6]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=int(pid))
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == 8  # the global mesh spans both processes
+
+    import numpy as np
+
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.train.trainer import Trainer
+
+    cfg = load_config(os.path.join(repo, "configs", "smoke_synthetic.json"))
+    ds = dataclasses.replace(cfg.data.datasets[0], path=corpus)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, datasets=(ds,)),
+        training=dataclasses.replace(cfg.training, batch_size=4, epochs=1,
+                                     run_eval=False),
+        io=dataclasses.replace(cfg.io, save_step=2))
+
+    trainer = Trainer(cfg, output_path=outdir, verbose=False)
+    n_local = len(trainer.train_data)
+    metrics = trainer.fit(max_steps=2)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+
+    # SPMD invariant: with a replicated-parameter DP step over a global
+    # mesh, every process must observe the SAME loss
+    from jax.experimental import multihost_utils
+
+    losses = multihost_utils.process_allgather(
+        np.asarray([loss], np.float32))
+    assert np.allclose(losses, losses[0], atol=1e-5), losses
+
+    ckpts = sorted(f for f in os.listdir(outdir) if f.endswith(".npz")) \
+        if os.path.isdir(outdir) else []
+    with open(result_path, "w", encoding="utf-8") as f:
+        json.dump({"process": int(pid), "loss": loss,
+                   "n_local_items": n_local,
+                   "losses_allgathered": [float(x) for x in losses.ravel()],
+                   "checkpoints": ckpts}, f)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -122,7 +122,11 @@ class Trainer:
         )
 
         self.output_path = output_path
-        if output_path:
+        # multi-host: checkpoints and TB events are written by process 0
+        # only (the reference gates on rank==0); console logging stays
+        # per-process
+        self.is_rank0 = jax.process_index() == 0
+        if output_path and self.is_rank0:
             os.makedirs(output_path, exist_ok=True)
             self.tb = TensorboardLogger(output_path)
         else:
@@ -294,7 +298,7 @@ class Trainer:
                 self.tb.tb_eval_stats(global_step, eval_metrics)
                 if epoch >= cfg.training.test_delay_epochs:
                     self.test_run(global_step)
-                if self.output_path:
+                if self.output_path and self.is_rank0:
                     self.best_loss = save_best_model(
                         eval_metrics.get("loss", float("inf")), self.best_loss,
                         self.output_path, params=self.state.params,
@@ -371,6 +375,8 @@ class Trainer:
     # --- persistence -----------------------------------------------------
 
     def _save(self, step: int, epoch: int, r: int) -> None:
+        if not self.is_rank0:
+            return
         path = os.path.join(self.output_path, f"checkpoint_{step}.npz")
         save_checkpoint(path, params=self.state.params,
                         model_state=self.state.model_state,
