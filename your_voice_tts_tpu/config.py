@@ -162,7 +162,9 @@ class DataConfig:
     use_phonemes: bool = False
     phoneme_language: str = "en-us"
     phoneme_cache_path: str | None = None
-    cmudict_path: str | None = None  # offline dictionary G2P (no espeak)
+    # offline dictionary G2P (no espeak). None -> the bundled
+    # assets/cmudict_core.txt lexicon (text.bundled_cmudict_path)
+    cmudict_path: str | None = None
     enable_eos_bos_chars: bool = False
     text_cleaner: str = "english_cleaners"
     compute_input_seq_cache: bool = False

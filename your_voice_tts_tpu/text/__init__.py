@@ -193,12 +193,21 @@ class CMUDictBackend(G2PBackend):
     name = "cmudict"
 
     def __init__(self, cmudict_path: str):
-        from .cmudict import CMUDict, arpabet_to_ipa
+        from .cmudict import CMUDict, arpabet_to_ipa, derive
 
         self.dict = CMUDict(cmudict_path)
         self._to_ipa = arpabet_to_ipa
+        self._derive = derive
         self._fallback = RuleG2PBackend()
         self.oov_count = 0
+        self.word_count = 0
+        self.derived_count = 0
+
+    @property
+    def oov_rate(self) -> float:
+        """Fraction of words that fell through to the rule backend —
+        surfaced so training logs show how real the phoneme path is."""
+        return self.oov_count / max(self.word_count, 1)
 
     def phonemize(self, text: str) -> str:
         out: list[str] = []
@@ -208,25 +217,44 @@ class CMUDictBackend(G2PBackend):
             if tok.isspace() or tok in _PUNCT_KEEP:
                 out.append(tok)
                 continue
+            self.word_count += 1
             prons = self.dict.lookup(tok)
             if prons:
                 out.append(self._to_ipa(prons[0]))
+                continue
+            derived = self._derive(tok, self.dict.lookup)
+            if derived:
+                self.derived_count += 1
+                out.append(self._to_ipa(derived))
             else:
                 self.oov_count += 1
                 out.append(self._fallback.phonemize(tok))
         return "".join(out)
 
 
+def bundled_cmudict_path() -> str | None:
+    """The lexicon shipped under assets/ (cmudict_core.txt: ~640 head words
+    + morphological derivation ~doubles coverage) — the offline default so
+    `use_phonemes` never silently lands on the rule backend."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets",
+        "cmudict_core.txt")
+    return path if os.path.exists(path) else None
+
+
 def default_g2p_backend(language: str = "en-us",
                         cmudict_path: str | None = None) -> G2PBackend:
-    """espeak-ng when present (the reference's engine), else CMUDict when a
-    lexicon is provided, else the rule fallback — WITH a loud warning,
-    because a checkpoint trained on espeak phonemes gets a different symbol
-    stream from the fallback."""
+    """espeak-ng when present (the reference's engine), else CMUDict — the
+    configured lexicon or the bundled assets/cmudict_core.txt — else the
+    rule fallback WITH a loud warning, because a checkpoint trained on
+    espeak phonemes gets a different symbol stream from the fallback."""
     try:
         return EspeakBackend(language)
     except RuntimeError:
         pass
+    cmudict_path = cmudict_path or bundled_cmudict_path()
     if cmudict_path:
         try:
             return CMUDictBackend(cmudict_path)
@@ -246,4 +274,5 @@ __all__ = [
     "sequence_to_phoneme", "pad_with_eos_bos", "symbols", "phonemes",
     "pad", "eos", "bos", "G2PBackend", "EspeakBackend", "CacheBackend",
     "RuleG2PBackend", "CMUDictBackend", "default_g2p_backend",
+    "bundled_cmudict_path",
 ]

@@ -84,6 +84,112 @@ def _validate(pron: str) -> str | None:
     return pron
 
 
+# suffix-voicing classes (last phone of the base decides the suffix allomorph)
+_SIBILANT = {"S", "Z", "SH", "CH", "JH", "ZH"}
+_VOICELESS = {"P", "T", "K", "F", "TH"}
+
+
+def _last_phone(pron: str) -> str:
+    return pron.split(" ")[-1].rstrip("012")
+
+
+def _s_suffix(pron: str) -> str:
+    lp = _last_phone(pron)
+    if lp in _SIBILANT:
+        return pron + " IH0 Z"
+    if lp in _VOICELESS:
+        return pron + " S"
+    return pron + " Z"
+
+
+def _ed_suffix(pron: str) -> str:
+    lp = _last_phone(pron)
+    if lp in ("T", "D"):
+        return pron + " IH0 D"
+    if lp in _VOICELESS or lp in ("S", "SH", "CH"):
+        return pron + " T"
+    return pron + " D"
+
+
+def derive(word: str, lookup) -> str | None:
+    """Morphological derivation for out-of-lexicon inflections: plural /
+    possessive -s, past -ed, progressive -ing, adverbial -ly, comparative
+    -er / superlative -est, built from an in-lexicon base with the regular
+    English voicing rules. Roughly doubles the effective coverage of a
+    compact core lexicon. `lookup` maps WORD -> list[pron] | None."""
+    w = word.upper()
+
+    def base_pron(candidates):
+        for c in candidates:
+            if len(c) >= 2:
+                prons = lookup(c)
+                if prons:
+                    return prons[0]
+        return None
+
+    def undouble(stem: str) -> list[str]:
+        # stopp -> stop, runn -> run (the doubled-consonant spelling rule)
+        out = [stem, stem + "E"]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            out.append(stem[:-1])
+        return out
+
+    if w.endswith("'S"):
+        b = base_pron([w[:-2]])
+        if b:
+            return _s_suffix(b)
+    if w.endswith("IES"):
+        b = base_pron([w[:-3] + "Y"])
+        if b:
+            return _s_suffix(b)
+    if w.endswith("ES"):
+        b = base_pron([w[:-2]])
+        if b:
+            return _s_suffix(b)
+    if w.endswith("S") and not w.endswith("SS"):
+        b = base_pron([w[:-1]])
+        if b:
+            return _s_suffix(b)
+    if w.endswith("IED"):
+        b = base_pron([w[:-3] + "Y"])
+        if b:
+            return _ed_suffix(b)
+    if w.endswith("ED"):
+        b = base_pron(undouble(w[:-2]) + [w[:-1]])
+        if b:
+            return _ed_suffix(b)
+    if w.endswith("ING"):
+        b = base_pron(undouble(w[:-3]))
+        if b:
+            return b + " IH0 NG"
+    if w.endswith("ILY"):
+        # happily <- happy: -y (IY0) + -ily (AH0 L IY0)
+        b = base_pron([w[:-3] + "Y"])
+        if b and b.endswith(" IY0"):
+            return b[: -len(" IY0")] + " AH0 L IY0"
+    if w.endswith("LY"):
+        b = base_pron([w[:-2]])
+        if b:
+            return b + " L IY0"
+    if w.endswith("IEST"):
+        b = base_pron([w[:-4] + "Y"])
+        if b:
+            return b + " AH0 S T"
+    if w.endswith("EST"):
+        b = base_pron(undouble(w[:-3]) + [w[:-2]])
+        if b:
+            return b + " AH0 S T"
+    if w.endswith("IER"):
+        b = base_pron([w[:-3] + "Y"])
+        if b:
+            return b + " ER0"
+    if w.endswith("ER"):
+        b = base_pron(undouble(w[:-2]) + [w[:-1]])
+        if b:
+            return b + " ER0"
+    return None
+
+
 def arpabet_to_ipa(pron: str) -> str:
     """ARPAbet string ("HH AH0 L OW1") -> IPA, with stress digits rendered
     as IPA primary/secondary stress marks before the stressed vowel."""
