@@ -207,6 +207,160 @@ def trained_latency_extras(quick: bool) -> dict:
     return extras
 
 
+def _peak_bf16_tflops(device_kind: str) -> float:
+    """Peak dense bf16 TFLOP/s per chip by TPU generation (public specs);
+    used only for the MFU report."""
+    table = [("TPU v6", 918.0), ("TPU v5p", 459.0), ("TPU v5", 197.0),
+             ("TPU v4", 275.0), ("TPU v3", 123.0), ("TPU v2", 46.0)]
+    for prefix, peak in table:
+        if device_kind.startswith(prefix):
+            return peak
+    return 197.0
+
+
+def quality_extras(quick: bool = False) -> dict:
+    """Objective quality gates on the committed trained checkpoint
+    (VERDICT r2 missing #3): free-run synthesis of HELD-OUT synthetic
+    items (a corpus seed the checkpoint never saw) scored by DTW-aligned
+    mel-cepstral distortion against the ground-truth mel, plus stop-token
+    precision/recall/F1 against the true utterance lengths."""
+    import dataclasses
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.data.formatters import synthetic as synthetic_fmt
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+    from your_voice_tts_tpu.infer.synthesis import text_to_seq
+    from your_voice_tts_tpu.models import setup_model
+    from your_voice_tts_tpu.text import symbols
+    from your_voice_tts_tpu.train.checkpoint import load_checkpoint
+    from your_voice_tts_tpu.utils.quality import (
+        mel_cepstral_distortion, prf, stop_token_scores)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.path.join(here, "assets", "bench_trained_smoke.npz")
+    if not os.path.exists(ckpt):
+        return {"quality_error": "no trained checkpoint"}
+    cfg = load_config(os.path.join(here, "configs", "smoke_synthetic.json"))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, max_decoder_steps=256))
+    model = setup_model(len(symbols), 0, cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    params, state, _, meta = load_checkpoint(
+        ckpt, params=variables["params"], model_state=variables["state"],
+        opt_state=None)
+    variables = {"params": params, "state": state}
+    model.set_r(meta.get("r", cfg.model.r))
+    ap = AudioProcessor(cfg.audio)
+
+    # held-out items: same generator, a seed the checkpoint never trained on
+    n_items = 3 if quick else 6
+    with tempfile.TemporaryDirectory() as tmp:
+        make_synthetic_corpus(tmp, n_items=n_items, sr=cfg.audio.sample_rate,
+                              seed=20260817, max_words=10)
+        items = synthetic_fmt(tmp)
+        mcds, stop_counts = [], []
+        for text, wav_path, _spk in items:
+            wav = ap.load_wav(wav_path)
+            gt_mel = ap.melspectrogram(wav).T          # [T, n_mels] normalized
+            seq = text_to_seq(text, cfg)
+            out = model.inference(variables, jnp.asarray(seq, jnp.int32)[None],
+                                  jnp.asarray([len(seq)], jnp.int32))
+            n = int(out["mel_lengths"][0]) or out["postnet_outputs"].shape[1]
+            pred = np.asarray(out["postnet_outputs"][0, :n])
+            mcds.append(mel_cepstral_distortion(pred, gt_mel, cfg=cfg.audio))
+            # stop timing in r-group steps vs ground-truth length
+            stops = np.asarray(out["stop_probs"][0])
+            target_steps = -(-gt_mel.shape[0] // model.r)
+            stop_counts.append(stop_token_scores(
+                stops, target_steps, thresh=cfg.model.stop_threshold,
+                tol=max(3, target_steps // 8)))
+    scores = prf(stop_counts)
+    return {
+        "mcd_mean_db": round(float(np.mean(mcds)), 2),
+        "mcd_worst_db": round(float(np.max(mcds)), 2),
+        "stop_precision": scores["precision"],
+        "stop_recall": scores["recall"],
+        "stop_f1": scores["f1"],
+        "quality_n_items": n_items,
+    }
+
+
+def cloning_extras() -> dict:
+    """Cloning selectivity on the committed TRAINED multi-speaker checkpoint
+    (VERDICT r2 missing #4): synthesize one sentence per speaker, re-embed
+    the generated mel with the trained GE2E encoder, and report the mean
+    cos(target) - max cos(non-target) margin."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.infer.synthesis import text_to_seq
+    from your_voice_tts_tpu.models import setup_model
+    from your_voice_tts_tpu.speaker_encoder.model import SpeakerEncoder
+    from your_voice_tts_tpu.text import symbols
+    from your_voice_tts_tpu.train.checkpoint import load_checkpoint
+    from your_voice_tts_tpu.utils.speakers import load_speaker_mapping, parse_speakers
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.path.join(here, "assets", "bench_trained_multispeaker.npz")
+    enc_ckpt = os.path.join(here, "assets", "speaker_encoder_smoke.npz")
+    spk_json = os.path.join(here, "assets", "speakers_smoke.json")
+    if not all(os.path.exists(p) for p in (ckpt, enc_ckpt, spk_json)):
+        return {"cloning_error": "multispeaker assets missing"}
+    _, dvecs = parse_speakers(load_speaker_mapping(spk_json))
+    names = sorted(dvecs)
+    spk_dim = len(dvecs[names[0]])
+
+    enc = SpeakerEncoder(input_dim=20, proj_dim=spk_dim, lstm_dim=128,
+                         num_layers=2)
+    enc_params, _, _, _ = load_checkpoint(
+        enc_ckpt, params=enc.init(jax.random.PRNGKey(0)),
+        model_state=None, opt_state=None)
+
+    cfg = load_config(os.path.join(here, "configs", "smoke_synthetic.json"))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, max_decoder_steps=256),
+        speakers=dataclasses.replace(
+            cfg.speakers, use_speaker_embedding=True,
+            use_external_speaker_embedding_file=True,
+            speaker_embedding_dim=spk_dim))
+    model = setup_model(len(symbols), len(names), cfg, spk_dim)
+    variables = model.init(jax.random.PRNGKey(0))
+    params, state, _, meta = load_checkpoint(
+        ckpt, params=variables["params"], model_state=variables["state"],
+        opt_state=None)
+    variables = {"params": params, "state": state}
+    model.set_r(meta.get("r", cfg.model.r))
+
+    seq = text_to_seq("the quick brown fox jumps over a lazy dog.", cfg)
+    margins = []
+    for spk in names:
+        d = jnp.asarray(dvecs[spk])[None]
+        out = model.inference(variables, jnp.asarray(seq, jnp.int32)[None],
+                              jnp.asarray([len(seq)], jnp.int32),
+                              speaker_embeddings=d)
+        n = int(out["mel_lengths"][0]) or out["postnet_outputs"].shape[1]
+        mel = jnp.asarray(np.asarray(out["postnet_outputs"][0, :n]))
+        e = np.asarray(enc.compute_embedding(enc_params, mel, num_frames=40))
+        sims = {o: float(e @ np.asarray(dvecs[o])) for o in names}
+        margins.append(sims[spk] - max(v for o, v in sims.items() if o != spk))
+    return {
+        "cloning_mean_margin": round(float(np.mean(margins)), 3),
+        "cloning_selective_frac": round(
+            sum(m > 0 for m in margins) / len(margins), 2),
+    }
+
+
 def capability_matrix_extras() -> dict:
     """One number per remaining BASELINE.json config (the headline + trained
     block already cover configs 1 and 3's metrics at serving time):
@@ -310,6 +464,22 @@ def capability_matrix_extras() -> dict:
     dt = timeit(one_step, params, state, opt_state, batch)
     out["train_step_ms_bf16"] = round(dt * 1000.0, 1)
     out["train_mel_frames_per_s"] = round(Bt * Tm / dt, 0)
+
+    # MFU: XLA's own FLOP count for the whole compiled step (fwd+bwd+opt)
+    # against the chip's peak bf16 throughput (VERDICT r2 next #7)
+    try:
+        compiled = train_step.lower(params, state, opt_state, batch,
+                                    jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            kind = jax.devices()[0].device_kind
+            peak = _peak_bf16_tflops(kind) * 1e12
+            out["train_step_tflops"] = round(flops / 1e12, 3)
+            out["train_step_mfu"] = round(flops / dt / peak, 4)
+    except Exception as e:
+        out["mfu_error"] = f"{type(e).__name__}: {e}"
 
     # --- config 4: WaveRNN batched folding (Pallas kernel) -------------------
     wr = WaveRNN()   # full-size: rnn 512, 10 res blocks, 10-bit mu-law
@@ -671,6 +841,17 @@ def main() -> None:
             result["extra"].update(capability_matrix_extras())
         except Exception as e:
             result["extra"]["matrix_error"] = f"{type(e).__name__}: {e}"
+    # objective quality gates (MCD / stop F1 / cloning selectivity) on the
+    # committed trained checkpoints
+    try:
+        result["extra"].update(quality_extras(quick))
+    except Exception as e:
+        result["extra"]["quality_error"] = f"{type(e).__name__}: {e}"
+    if not quick:
+        try:
+            result["extra"].update(cloning_extras())
+        except Exception as e:
+            result["extra"]["cloning_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

@@ -508,3 +508,83 @@ def test_taco1_decode_kernel_matches_scan():
     np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
                                atol=2e-3)
     np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
+
+
+# ---------------------------------------------------------------------------
+# Statistical gates for the WaveRNN kernel's SAMPLED paths (VERDICT r2
+# weak #5: MoL/Gauss sampling was only smoke-gated for boundedness). At
+# fixed logits, N hash-PRNG draws must match the closed-form distribution
+# to a KS-style bound — the batch axis is the counter, so one call yields
+# N iid draws.
+# ---------------------------------------------------------------------------
+
+from your_voice_tts_tpu.ops.pallas.wavernn_gen import (  # noqa: E402
+    _sample_gauss, _sample_mol, _sample_mulaw)
+
+N_DRAWS = 16384
+KS_BOUND = 0.03  # alpha=0.01 critical is ~1.63/sqrt(N)=0.013; 2x headroom
+
+
+def _ks_distance(samples, cdf):
+    s = np.sort(np.asarray(samples))
+    emp = np.arange(1, len(s) + 1) / len(s)
+    return float(np.max(np.abs(emp - cdf(s))))
+
+
+def test_wavernn_mol_sampling_matches_mixture_cdf():
+    probs = np.asarray([0.2, 0.5, 0.3])
+    means = np.asarray([-0.5, 0.0, 0.4])
+    log_s = np.asarray([-3.0, -3.5, -2.5])  # scales small: mass inside [-1,1]
+    logits = np.concatenate([np.log(probs), means, log_s])
+    tiled = jnp.asarray(np.tile(logits, (N_DRAWS, 1)), jnp.float32)
+    x = np.asarray(_sample_mol(tiled, jnp.int32(12345), 3, greedy=False))
+
+    def cdf(v):
+        v = v[:, None]
+        return (probs * jax.nn.sigmoid(
+            (v - means) / np.exp(log_s))).sum(-1)
+
+    d = _ks_distance(x, lambda v: np.asarray(cdf(v)))
+    assert d < KS_BOUND, f"KS={d:.4f}"
+
+
+def test_wavernn_gauss_sampling_matches_normal_cdf():
+    from math import erf, sqrt
+
+    mu, log_s = 0.1, -2.0
+    logits = jnp.asarray(np.tile([mu, log_s], (N_DRAWS, 1)), jnp.float32)
+    x = np.asarray(_sample_gauss(logits, jnp.int32(777), greedy=False))
+    s = np.exp(log_s)
+    cdf = np.vectorize(lambda v: 0.5 * (1 + erf((v - mu) / (s * sqrt(2)))))
+    d = _ks_distance(x, cdf)
+    assert d < KS_BOUND, f"KS={d:.4f}"
+
+
+def test_wavernn_mulaw_sampling_matches_softmax():
+    K = 16  # small class count so every class gets solid mass at N draws
+    rng = np.random.default_rng(5)
+    logits_row = rng.standard_normal(K).astype(np.float32)
+    probs = np.exp(logits_row - logits_row.max())
+    probs /= probs.sum()
+    tiled = jnp.asarray(np.tile(logits_row, (N_DRAWS, 1)))
+    x = np.asarray(_sample_mulaw(tiled, jnp.int32(31337), bits=4,
+                                 greedy=False))
+    # invert the mu-law decode back to the class index
+    mu = float(2 ** 4 - 1)
+    f = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    cls = np.rint((f + 1.0) * mu / 2.0).astype(int)
+    freq = np.bincount(cls, minlength=K) / N_DRAWS
+    # per-class binomial 4-sigma bound
+    bound = 4.0 * np.sqrt(probs * (1 - probs) / N_DRAWS) + 1e-3
+    assert np.all(np.abs(freq - probs) < bound), (
+        np.abs(freq - probs) / bound)
+
+
+def test_wavernn_gauss_draws_decorrelated_across_keys():
+    """Different step keys must give (near-)independent draws — the hash
+    counter must not alias across (key, salt) pairs."""
+    logits = jnp.asarray(np.tile([0.0, -2.0], (N_DRAWS, 1)), jnp.float32)
+    a = np.asarray(_sample_gauss(logits, jnp.int32(1), greedy=False))
+    b = np.asarray(_sample_gauss(logits, jnp.int32(2), greedy=False))
+    r = np.corrcoef(a, b)[0, 1]
+    assert abs(r) < 0.03, r

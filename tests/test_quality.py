@@ -68,3 +68,16 @@ def test_speaker_similarity():
     assert speaker_similarity(a, a) == pytest.approx(1.0)
     assert speaker_similarity(a, [0.0, 1.0, 0.0]) == pytest.approx(0.0)
     assert speaker_similarity(a, -a) == pytest.approx(-1.0)
+
+
+@pytest.mark.slow
+def test_trained_checkpoint_quality_gates():
+    """The committed trained checkpoint must beat generous-but-real
+    thresholds on held-out items: MCD (DTW) and stop-token F1. Mirrors the
+    bench.py quality block (which the driver runs on TPU every round)."""
+    import bench
+
+    q = bench.quality_extras(quick=True)
+    assert "quality_error" not in q, q
+    assert q["mcd_mean_db"] < 25.0, q   # random-weight models score ~35+
+    assert q["stop_f1"] >= 0.5, q
