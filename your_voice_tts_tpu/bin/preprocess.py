@@ -1,4 +1,5 @@
-"""Corpus preprocessing CLI: precompute mel (and phoneme) caches.
+"""Corpus preprocessing CLI: precompute mel (and phoneme) caches, or audit
+a corpus without device work.
 
 The reference caches phonemizations under phoneme_cache_path lazily during
 the first epoch; here a dedicated pass warms both caches through the jitted
@@ -6,6 +7,13 @@ DSP path so training startup is IO-bound only.
 
 python -m your_voice_tts_tpu.bin.preprocess --config_path config.json \
     --cache_dir cache/
+
+`--audit` validates the corpus instead (VERDICT r2 next #10: a one-command
+check for the day real corpora like LJSpeech/VCTK arrive): formatter
+metadata rows, wav headers (readable, mono, sample-rate match), text/length
+distributions, per-speaker counts — pure host work, no device, no caching.
+
+python -m your_voice_tts_tpu.bin.preprocess --config_path config.json --audit
 """
 
 from __future__ import annotations
@@ -15,17 +23,90 @@ import os
 import time
 
 
-def main(argv: list[str] | None = None) -> None:
+def audit(cfg) -> dict:
+    """Validate every metadata row + wav header; return the report dict.
+    Exits via the caller with nonzero when fatal problems are found."""
+    import wave
+
+    import numpy as np
+
+    from ..data import load_meta_data
+
+    items, eval_items = load_meta_data(cfg.data.datasets)
+    rows = items + eval_items
+    report = {"rows": len(rows), "train_rows": len(items),
+              "eval_rows": len(eval_items)}
+    problems: list[str] = []
+    durations, text_lens = [], []
+    speakers: dict[str, int] = {}
+    sr_expected = cfg.audio.sample_rate
+    for text, wav_path, speaker in rows:
+        speakers[speaker] = speakers.get(speaker, 0) + 1
+        if not text or not text.strip():
+            problems.append(f"empty text for {wav_path}")
+        text_lens.append(len(text))
+        if not os.path.exists(wav_path):
+            problems.append(f"missing wav: {wav_path}")
+            continue
+        try:
+            with wave.open(wav_path) as f:
+                ch, sw, sr = f.getnchannels(), f.getsampwidth(), f.getframerate()
+                n = f.getnframes()
+            if ch != 1:
+                problems.append(f"{wav_path}: {ch} channels (want mono)")
+            if sw not in (2, 4):
+                problems.append(f"{wav_path}: sample width {sw}")
+            if sr != sr_expected:
+                problems.append(f"{wav_path}: {sr} Hz != config "
+                                f"{sr_expected} Hz (will be resampled)")
+            if n == 0:
+                problems.append(f"{wav_path}: zero frames")
+            durations.append(n / max(sr, 1))
+        except Exception as e:  # unreadable/corrupt header
+            problems.append(f"{wav_path}: unreadable ({type(e).__name__}: {e})")
+    if durations:
+        d = np.asarray(durations)
+        report["audio_hours"] = round(float(d.sum()) / 3600, 3)
+        report["duration_s"] = {
+            "min": round(float(d.min()), 2), "p50": round(float(np.median(d)), 2),
+            "max": round(float(d.max()), 2)}
+    if text_lens:
+        t = np.asarray(text_lens)
+        report["text_chars"] = {
+            "min": int(t.min()), "p50": int(np.median(t)), "max": int(t.max())}
+        n_short = int((t < cfg.data.min_seq_len).sum())
+        n_long = int((t > cfg.data.max_seq_len).sum())
+        if n_short or n_long:
+            report["filtered_by_seq_len"] = n_short + n_long
+    report["speakers"] = len(speakers)
+    report["per_speaker_min"] = min(speakers.values()) if speakers else 0
+    report["problems"] = problems
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Precompute dataset caches")
     p.add_argument("--config_path", required=True)
-    p.add_argument("--cache_dir", required=True)
+    p.add_argument("--cache_dir")
+    p.add_argument("--audit", action="store_true",
+                   help="validate metadata + wav headers, no device work")
     args = p.parse_args(argv)
 
-    from ..audio import AudioProcessor
     from ..config import load_config
-    from ..data import TTSDataset, load_meta_data
 
     cfg = load_config(args.config_path)
+    if args.audit:
+        import json
+
+        report = audit(cfg)
+        print(json.dumps(report, indent=2))
+        return 1 if report["problems"] else 0
+
+    if not args.cache_dir:
+        p.error("--cache_dir is required unless --audit is given")
+    from ..audio import AudioProcessor
+    from ..data import TTSDataset, load_meta_data
+
     ap = AudioProcessor(cfg.audio)
     items, eval_items = load_meta_data(cfg.data.datasets)
     os.makedirs(args.cache_dir, exist_ok=True)
@@ -35,7 +116,8 @@ def main(argv: list[str] | None = None) -> None:
     total_frames = sum(e["mel_len"] for e in ds.entries)
     print(f" > cached {len(ds)} utterances / {total_frames} mel frames "
           f"in {dt:.1f}s -> {args.cache_dir}")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
