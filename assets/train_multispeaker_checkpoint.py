@@ -104,7 +104,8 @@ def train_tts(corpus, dvecs, steps):
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, max_decoder_steps=256),
-        training=dataclasses.replace(cfg.training, epochs=100000),
+        training=dataclasses.replace(cfg.training, epochs=100000,
+                                     run_eval=False),
         data=dataclasses.replace(cfg.data, datasets=(ds,)),
         speakers=dataclasses.replace(
             cfg.speakers, use_speaker_embedding=True,

@@ -38,28 +38,38 @@ def test_two_process_distributed_training(tmp_path):
     # reconcile them or the global arrays cannot assemble
     make_synthetic_corpus(corpus, n_items=24, sr=8000, max_words=6)
 
-    port = _free_port()
-    procs, results = [], []
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    for pid in range(2):
-        res = str(tmp_path / f"result_{pid}.json")
-        results.append(res)
-        # PER-PROCESS output dirs: rank-0 gating means only process 0's may
-        # receive checkpoints — a shared dir could hide double-writes
-        outdir = str(tmp_path / f"out_p{pid}")
-        procs.append(subprocess.Popen(
-            [sys.executable, RUNNER, str(port), str(pid), corpus, outdir, res],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multi-host run timed out")
-        outs.append((p.returncode, out.decode(), err.decode()))
+
+    def launch(attempt: int):
+        port = _free_port()
+        procs, results = [], []
+        for pid in range(2):
+            res = str(tmp_path / f"result_a{attempt}_{pid}.json")
+            results.append(res)
+            # PER-PROCESS output dirs: rank-0 gating means only process 0's
+            # may receive checkpoints — a shared dir could hide double-writes
+            outdir = str(tmp_path / f"out_a{attempt}_p{pid}")
+            procs.append(subprocess.Popen(
+                [sys.executable, RUNNER, str(port), str(pid), corpus, outdir,
+                 res],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multi-host run timed out")
+            outs.append((p.returncode, out.decode(), err.decode()))
+        return outs, results
+
+    # one retry with a fresh port: the free-port probe releases the socket
+    # before jax.distributed rebinds it, so a parallel process can steal it
+    outs, results = launch(0)
+    if any(rc != 0 for rc, _, _ in outs):
+        outs, results = launch(1)
     for rc, out, err in outs:
         assert rc == 0, f"process failed:\n{out}\n{err[-3000:]}"
 

@@ -17,7 +17,7 @@ KEY = jax.random.PRNGKey(0)
 def small_wavernn():
     model = WaveRNN(n_mels=20, bits=8, rnn_dims=32, fc_dims=32, compute_dims=16,
                     res_out_dims=16, num_res_blocks=2, pad=2,
-                    upsample_factors=(4, 4, 4))
+                    upsample_factors=(4, 4, 2))  # 32x: interpret-mode cost
     return model, model.init(KEY)
 
 
@@ -25,7 +25,7 @@ def test_wavernn_pallas_matches_scan_greedy(small_wavernn):
     """Weights-resident kernel must reproduce the XLA scan exactly when
     sampling is removed (greedy argmax)."""
     model, p = small_wavernn
-    mel = jax.random.normal(jax.random.PRNGKey(1), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     cond = jnp.tile(cond, (2, 1, 1))
     aux = jnp.tile(aux, (2, 1, 1))
@@ -39,7 +39,7 @@ def test_wavernn_pallas_matches_scan_greedy(small_wavernn):
 def test_wavernn_pallas_sampling_stats(small_wavernn):
     """Sampled output must land in mu-law range with plausible variance."""
     model, p = small_wavernn
-    mel = jax.random.normal(jax.random.PRNGKey(1), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     with pltpu.force_tpu_interpret_mode():
         out = wavernn_generate_pallas(p, cond, aux, seed=7, bits=8, chunk=64)
@@ -49,11 +49,12 @@ def test_wavernn_pallas_sampling_stats(small_wavernn):
     assert a.std() > 0.01  # not collapsed
 
 
+@pytest.mark.slow  # ~12 s; the SAMPLED chunk-invariance test stays in-suite
 def test_wavernn_pallas_chunk_invariance(small_wavernn):
     """Chunking is an implementation detail: greedy output must not depend
     on the chunk size."""
     model, p = small_wavernn
-    mel = jax.random.normal(jax.random.PRNGKey(3), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(3), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     with pltpu.force_tpu_interpret_mode():
         o1 = wavernn_generate_pallas(p, cond, aux, seed=0, bits=8, chunk=64,
@@ -207,10 +208,10 @@ def test_wavernn_pallas_mode_matches_scan_greedy(mode, nmix):
     under greedy (argmax-mixture-mean / mean) decoding."""
     model = WaveRNN(n_mels=20, bits=8, rnn_dims=32, fc_dims=32, compute_dims=16,
                     res_out_dims=16, num_res_blocks=2, pad=2,
-                    upsample_factors=(4, 4, 4), mode=mode,
+                    upsample_factors=(4, 4, 2), mode=mode,
                     num_mixtures=max(nmix, 1))
     p = model.init(KEY)
-    mel = jax.random.normal(jax.random.PRNGKey(1), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     cond = jnp.tile(cond, (2, 1, 1))
     aux = jnp.tile(aux, (2, 1, 1))
@@ -227,9 +228,9 @@ def test_wavernn_pallas_mode_sampling_stats(mode):
     """Sampled MoL/Gaussian output must be bounded and non-degenerate."""
     model = WaveRNN(n_mels=20, bits=8, rnn_dims=32, fc_dims=32, compute_dims=16,
                     res_out_dims=16, num_res_blocks=2, pad=2,
-                    upsample_factors=(4, 4, 4), mode=mode, num_mixtures=4)
+                    upsample_factors=(4, 4, 2), mode=mode, num_mixtures=4)
     p = model.init(KEY)
-    mel = jax.random.normal(jax.random.PRNGKey(1), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     with pltpu.force_tpu_interpret_mode():
         out = wavernn_generate_pallas(p, cond, aux, seed=7, bits=8, chunk=64,
@@ -244,7 +245,7 @@ def test_wavernn_pallas_sampled_chunk_invariance(small_wavernn):
     """The hash PRNG is keyed on the GLOBAL sample index, so even SAMPLED
     output must be bit-identical across chunk sizes."""
     model, p = small_wavernn
-    mel = jax.random.normal(jax.random.PRNGKey(3), (12, 20))
+    mel = jax.random.normal(jax.random.PRNGKey(3), (10, 20))
     cond, aux = model.upsample(p["upsample"], mel[None])
     with pltpu.force_tpu_interpret_mode():
         o1 = wavernn_generate_pallas(p, cond, aux, seed=11, bits=8, chunk=64)

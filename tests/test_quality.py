@@ -81,3 +81,18 @@ def test_trained_checkpoint_quality_gates():
     assert "quality_error" not in q, q
     assert q["mcd_mean_db"] < 25.0, q   # random-weight models score ~35+
     assert q["stop_f1"] >= 0.5, q
+
+
+@pytest.mark.slow
+def test_trained_multispeaker_cloning_selective():
+    """The committed TRAINED multi-speaker checkpoint must be speaker-
+    selective: synthesize under each speaker's d-vector, re-embed the
+    generated mel with the trained GE2E encoder, and demand a positive
+    cos(target) - cos(non-target) margin for most speakers (measured at
+    train time: +0.76 mean, 4/4 selective)."""
+    import bench
+
+    c = bench.cloning_extras()
+    assert "cloning_error" not in c, c
+    assert c["cloning_mean_margin"] > 0.1, c
+    assert c["cloning_selective_frac"] >= 0.75, c

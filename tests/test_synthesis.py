@@ -155,6 +155,7 @@ def test_synthesizer_streaming_yields_chunks(cfg, model_and_vars, tmp_path):
         assert np.all(np.isfinite(c))
 
 
+@pytest.mark.slow  # ~21 s on the 1-core box; dryrun_multichip also covers it
 def test_synthesis_batch_mesh_matches_unsharded(cfg, ap):
     """Data-parallel serving over the 8-virtual-device mesh: batch sharded,
     params replicated, per-row results equal to the unsharded path (dropout

@@ -125,6 +125,7 @@ def test_factory_and_synthesis_linear_path(tmp_path):
     assert len(res["wav"]) > 0
 
 
+@pytest.mark.slow  # ~15 s; the Tacotron2 bf16 parity test stays in-suite
 def test_bf16_inference_matches_f32(model, variables):
     """Tacotron(1) under the bf16 serving path: f32 outputs, finite, within
     bf16 rounding of the f32 decode (shared gate with Tacotron2)."""

@@ -138,6 +138,7 @@ def test_trainer_test_run(smoke_cfg, tmp_path):
     trainer.test_run(global_step=1)  # must not raise
 
 
+@pytest.mark.slow  # ~13 s on the 1-core box; bench gates bf16 numerics on TPU
 def test_mixed_precision_training(smoke_cfg):
     """training.mixed_precision=True runs the forward in bf16 against f32
     master weights: loss finite, every stored param and BN running stat

@@ -260,7 +260,11 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 t0 = time.time()
                 self.state, metrics = train_step(self.state, batch, sub)
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # ONE host transfer for all metrics: per-metric float() costs
+                # a device round trip each (~0.2 s over a remote-TPU tunnel,
+                # measured 1.5 s/step -> 0.4 s/step on the smoke trainer)
+                metrics = {k: float(v) for k, v in
+                           jax.device_get(metrics).items()}
                 metrics["step_time"] = time.time() - t0
                 metrics["loader_time"] = loader_time
                 metrics["lr"] = float(self.lr_fn(global_step))
@@ -327,7 +331,8 @@ class Trainer:
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch = shard_batch(batch, self.mesh)
             parts, aligns = eval_step(self.state, batch)
-            all_metrics.append({k: float(v) for k, v in parts.items()})
+            all_metrics.append({k: float(v) for k, v in
+                                jax.device_get(parts).items()})
             align_scores.append(
                 alignment_diagonal_score(np.asarray(aligns)[:real_b]))
             weights.append(real_b)

@@ -232,7 +232,8 @@ class GANTrainer:
                 self.state, d_parts = self._d_step(self.state, mel_s, audio_s,
                                                    key)
                 parts = {**parts, **d_parts}
-            last = {k: float(v) for k, v in parts.items()}
+            # one host transfer for all metrics (see train/trainer.py note)
+            last = {k: float(v) for k, v in jax.device_get(parts).items()}
             last["step_time"] = time.time() - t0
             if self.verbose and (step + 1) % cfg.print_step == 0:
                 msg = " | ".join(f"{k}: {v:.4f}" for k, v in last.items())
