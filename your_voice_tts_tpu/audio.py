@@ -221,29 +221,60 @@ class AudioProcessor:
     # --- host-side signal utilities ---------------------------------------
 
     def load_wav(self, path: str, sr: int | None = None) -> np.ndarray:
-        """16/32-bit PCM or float WAV -> float32 [-1, 1], resampled to sample_rate."""
-        with wave.open(path, "rb") as f:
-            n_ch = f.getnchannels()
-            width = f.getsampwidth()
-            file_sr = f.getframerate()
-            raw = f.readframes(f.getnframes())
-        if width == 2:
-            x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
-        elif width == 4:
-            x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
-        else:
-            raise ValueError(f"unsupported WAV sample width: {width}")
-        if n_ch > 1:
-            x = x.reshape(-1, n_ch).mean(axis=1)
+        """WAV -> mono float32 [-1, 1], resampled to sample_rate.
+
+        Native C++ path (PCM 8/16/24/32 + IEEE float, threaded batch-capable,
+        scipy-parity polyphase resampler) with a pure-Python fallback
+        (PCM 16/32 via the stdlib `wave` module + scipy resample_poly).
+        """
+        from math import gcd
+
         target_sr = sr or self.sample_rate
-        if file_sr != target_sr:
-            from scipy.signal import resample_poly
-            from math import gcd
-            g = gcd(file_sr, target_sr)
-            x = resample_poly(x, target_sr // g, file_sr // g).astype(np.float32)
+        from . import native
+        if native.available():
+            x, file_sr = native.decode(path)
+            if file_sr != target_sr:
+                g = gcd(file_sr, target_sr)
+                x = native.resample_poly(x, target_sr // g, file_sr // g)
+        else:
+            with wave.open(path, "rb") as f:
+                n_ch = f.getnchannels()
+                width = f.getsampwidth()
+                file_sr = f.getframerate()
+                raw = f.readframes(f.getnframes())
+            if width == 2:
+                x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+            elif width == 4:
+                x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+            else:
+                raise ValueError(f"unsupported WAV sample width: {width}")
+            if n_ch > 1:
+                x = x.reshape(-1, n_ch).mean(axis=1)
+            if file_sr != target_sr:
+                from scipy.signal import resample_poly
+                g = gcd(file_sr, target_sr)
+                x = resample_poly(x, target_sr // g, file_sr // g).astype(np.float32)
         if self.cfg.do_sound_norm:
             x = self.sound_norm(x)
         return x.astype(np.float32)
+
+    def load_wav_batch(self, paths: list[str],
+                       sr: int | None = None) -> list[np.ndarray]:
+        """Decode many WAVs at once (native threaded path when available)."""
+        target_sr = sr or self.sample_rate
+        from . import native
+        if native.available():
+            waves, _ = native.decode_batch(paths, target_sr=target_sr)
+            out = []
+            for p, w in zip(paths, waves):
+                if w is None:  # fall back per-file for exotic failures
+                    out.append(self.load_wav(p, sr=target_sr))
+                elif self.cfg.do_sound_norm:
+                    out.append(self.sound_norm(w).astype(np.float32))
+                else:
+                    out.append(w)
+            return out
+        return [self.load_wav(p, sr=target_sr) for p in paths]
 
     def save_wav(self, wav: np.ndarray, path: str, sr: int | None = None) -> None:
         """Peak-normalized int16 WAV (reference: scipy.io.wavfile + 32767 scale)."""

@@ -30,7 +30,21 @@ def audit(cfg) -> dict:
 
     import numpy as np
 
+    from .. import native
     from ..data import load_meta_data
+
+    use_native = native.available()
+
+    def probe(path):
+        """-> (channels, bits, sample_rate, n_frames); native probe reads
+        24-bit/float/EXTENSIBLE headers the stdlib module cannot."""
+        if use_native:
+            info = native.wav_info(path)
+            return (info["channels"], info["bits"], info["sample_rate"],
+                    info["n_frames"])
+        with wave.open(path) as f:
+            return (f.getnchannels(), f.getsampwidth() * 8,
+                    f.getframerate(), f.getnframes())
 
     items, eval_items = load_meta_data(cfg.data.datasets)
     rows = items + eval_items
@@ -49,13 +63,11 @@ def audit(cfg) -> dict:
             problems.append(f"missing wav: {wav_path}")
             continue
         try:
-            with wave.open(wav_path) as f:
-                ch, sw, sr = f.getnchannels(), f.getsampwidth(), f.getframerate()
-                n = f.getnframes()
+            ch, bits, sr, n = probe(wav_path)
             if ch != 1:
                 problems.append(f"{wav_path}: {ch} channels (want mono)")
-            if sw not in (2, 4):
-                problems.append(f"{wav_path}: sample width {sw}")
+            if bits not in (8, 16, 24, 32, 64):
+                problems.append(f"{wav_path}: sample width {bits} bits")
             if sr != sr_expected:
                 problems.append(f"{wav_path}: {sr} Hz != config "
                                 f"{sr_expected} Hz (will be resampled)")
@@ -78,6 +90,7 @@ def audit(cfg) -> dict:
         n_long = int((t > cfg.data.max_seq_len).sum())
         if n_short or n_long:
             report["filtered_by_seq_len"] = n_short + n_long
+    report["loader"] = "native" if use_native else "python"
     report["speakers"] = len(speakers)
     report["per_speaker_min"] = min(speakers.values()) if speakers else 0
     report["problems"] = problems

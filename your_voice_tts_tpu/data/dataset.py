@@ -120,7 +120,6 @@ class TTSDataset:
         # batched extraction: one vmapped device call per length bucket
         # (per-item dispatch is latency-bound on remote accelerators)
         pending: list[int] = []
-        wavs: list[np.ndarray] = []
         for i, e in enumerate(self.entries):
             cpath = self._cache_path(e["wav"], "mel")
             lpath = self._cache_path(e["wav"], "lin")
@@ -132,11 +131,14 @@ class TTSDataset:
                 if self.need_linear:
                     e["linear"] = np.load(lpath)
                 continue
-            wav = self.ap.load_wav(e["wav"])
-            if self.cfg.audio.do_trim_silence:
-                wav = self.ap.trim_silence(wav)
             pending.append(i)
-            wavs.append(wav)
+        # one threaded native decode pass for everything uncached (the C++
+        # loader holds no GIL, so rows decode+resample in parallel on
+        # multi-core hosts; falls back to sequential Python decode)
+        wavs = self.ap.load_wav_batch(
+            [self.entries[i]["wav"] for i in pending])
+        if self.cfg.audio.do_trim_silence:
+            wavs = [self.ap.trim_silence(w) for w in wavs]
         if pending:
             mels = self.ap.melspectrogram_batch(wavs)
             linears = self.ap.spectrogram_batch(wavs) if self.need_linear \
