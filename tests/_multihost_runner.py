@@ -32,8 +32,11 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(repo, ".jax_cache"))
+    # generous timeout: on a loaded 1-core box the second interpreter can
+    # take minutes to reach initialize(); the default 300 s then flakes
     jax.distributed.initialize(f"localhost:{port}", num_processes=2,
-                               process_id=int(pid))
+                               process_id=int(pid),
+                               initialization_timeout=600)
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.local_devices()) == 4
     assert len(jax.devices()) == 8  # the global mesh spans both processes

@@ -65,11 +65,14 @@ def test_two_process_distributed_training(tmp_path):
             outs.append((p.returncode, out.decode(), err.decode()))
         return outs, results
 
-    # one retry with a fresh port: the free-port probe releases the socket
-    # before jax.distributed rebinds it, so a parallel process can steal it
+    # retries with fresh ports: the free-port probe releases the socket
+    # before jax.distributed rebinds it (a parallel process can steal it),
+    # and heavy external load can starve the coordination handshake
     outs, results = launch(0)
-    if any(rc != 0 for rc, _, _ in outs):
-        outs, results = launch(1)
+    for attempt in (1, 2):
+        if all(rc == 0 for rc, _, _ in outs):
+            break
+        outs, results = launch(attempt)
     for rc, out, err in outs:
         assert rc == 0, f"process failed:\n{out}\n{err[-3000:]}"
 
