@@ -481,6 +481,36 @@ def capability_matrix_extras() -> dict:
     except Exception as e:
         out["mfu_error"] = f"{type(e).__name__}: {e}"
 
+    # Throughput bucket: the step is recurrence-serialization-bound (200
+    # sequential scan steps re-stream the decoder weights each step, so
+    # arithmetic intensity ~= B FLOP per weight byte; the v5e roofline knee
+    # is ~240).  Measured scaling B=32/64/128/256 -> 198k/332k/464k/512k
+    # mel frames/s: B=128 is the knee of the curve and the recommended
+    # large-corpus bucket size; per-step latency at fixed B is already at
+    # the weight-streaming floor (decision on record in STATUS.md).
+    batch128 = {
+        "text": jnp.asarray(rng.integers(1, len(symbols), (128, Tt)), jnp.int32),
+        "text_lengths": jnp.full((128,), Tt, jnp.int32),
+        "mel": jnp.asarray(rng.standard_normal((128, Tm, 80)), jnp.float32),
+        "mel_lengths": jnp.full((128,), Tm, jnp.int32),
+        "stop_targets": jnp.zeros((128, Tm // 2), jnp.float32),
+    }
+    dt = timeit(one_step, params, state, opt_state, batch128)
+    out["train_step_ms_bf16_b128"] = round(dt * 1000.0, 1)
+    out["train_mel_frames_per_s_b128"] = round(128 * Tm / dt, 0)
+    try:
+        compiled = train_step.lower(params, state, opt_state, batch128,
+                                    jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["train_step_mfu_b128"] = round(
+                flops / dt / (_peak_bf16_tflops(
+                    jax.devices()[0].device_kind) * 1e12), 4)
+    except Exception:
+        pass
+
     # --- config 4: WaveRNN batched folding (Pallas kernel) -------------------
     wr = WaveRNN()   # full-size: rnn 512, 10 res blocks, 10-bit mu-law
     wp = wr.init(jax.random.PRNGKey(0))
