@@ -1,12 +1,29 @@
 """Train and save the bench trained-latency checkpoint (see README.md
-here). Deterministic recipe: smoke config, synthetic 64-item corpus with
-trailing-silence clips and 3-14-word sentences, 8000 steps."""
+here). Deterministic recipe: smoke config, synthetic corpus with
+trailing-silence clips and 3-14-word sentences.
+
+Defaults reproduce the committed asset: 256 items, 25000 steps (TPU-trained;
+--platform cpu reproduces it slower but bit-equivalently on the same jax
+version since the model/data pipeline is platform-deterministic to float
+tolerance).
+"""
+import argparse
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ap_cli = argparse.ArgumentParser()
+ap_cli.add_argument("--steps", type=int, default=25000)
+ap_cli.add_argument("--n_items", type=int, default=256)
+ap_cli.add_argument("--platform", default=None, help="cpu|tpu (default: auto)")
+ap_cli.add_argument("--out", default="assets/bench_trained_smoke.npz")
+ap_cli.add_argument("--corpus", default=".bench_cache/corpus")
+args = ap_cli.parse_args()
+
 import jax
-jax.config.update("jax_platforms", "cpu")
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
 import dataclasses, os
 import jax.numpy as jnp, numpy as np
 from your_voice_tts_tpu.config import load_config
@@ -17,18 +34,18 @@ from your_voice_tts_tpu.infer.synthesis import text_to_seq
 cfg = load_config("configs/smoke_synthetic.json")
 import os
 from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
-corpus = ".bench_cache/corpus"
+corpus = args.corpus
 if not os.path.exists(os.path.join(corpus, "metadata.csv")):
-    make_synthetic_corpus(corpus, n_items=64, sr=22050, max_words=15)
+    make_synthetic_corpus(corpus, n_items=args.n_items, sr=22050, max_words=15)
 ds = dataclasses.replace(cfg.data.datasets[0], path=corpus)
 cfg = dataclasses.replace(
     cfg,
     model=dataclasses.replace(cfg.model, max_decoder_steps=256),
-    training=dataclasses.replace(cfg.training, epochs=2000),
+    training=dataclasses.replace(cfg.training, epochs=100000),
     data=dataclasses.replace(cfg.data, datasets=(ds,)))
 trainer = Trainer(cfg, output_path=None, verbose=False)
-trainer.fit(max_steps=8000)
-save_checkpoint("assets/bench_trained_smoke.npz",
+trainer.fit(max_steps=args.steps)
+save_checkpoint(args.out,
                 params=trainer.state.params,
                 model_state=trainer.state.model_state, opt_state={},
                 step=int(trainer.state.step), epoch=0, r=cfg.model.r)
@@ -40,4 +57,4 @@ for s in ["Hi there.", "The quick brown fox jumps over the lazy dog."]:
     sp = np.asarray(out["stop_probs"])[0]
     print(s, "-> mel_len", int(np.asarray(out["mel_lengths"])[0]),
           "cap", 512, "stop_max", round(float(sp.max()), 3), flush=True)
-print("SAVED assets/bench_trained_smoke.npz")
+print(f"SAVED {args.out}")
