@@ -350,9 +350,9 @@ def test_taco2_decode_kernel_chunk_invariance():
 
 
 def test_taco2_decode_supported_config_and_t_limit(small_taco):
-    """Routing contract: every attention_type="original" config is served
-    in-kernel (round-3: windowing/forward attention moved in-kernel); Graves
-    and non-original prenets fall back to the XLA scan, and over-length
+    """Routing contract: the whole attention family is served in-kernel
+    (round-3: windowing/forward attention, then Graves GMM, moved in-kernel);
+    only non-original prenets fall back to the XLA scan, and over-length
     inputs raise instead of silently mis-serving."""
     assert supported_config(_small_taco_cfg())
     assert supported_config(_small_taco_cfg(attention_norm="softmax"))
@@ -360,7 +360,9 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     assert supported_config(_small_taco_cfg(use_forward_attn=True))
     assert supported_config(_small_taco_cfg(use_forward_attn=True,
                                             transition_agent=True))
-    assert not supported_config(_small_taco_cfg(attention_type="graves"))
+    assert supported_config(_small_taco_cfg(attention_type="graves"))
+    assert not supported_config(_small_taco_cfg(attention_type="graves",
+                                                prenet_type="bn"))
     assert not supported_config(_small_taco_cfg(prenet_type="bn"))
 
     model, variables = small_taco
@@ -420,6 +422,55 @@ def test_taco2_decode_kernel_attention_variants(variant):
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(aligns, 0, 1)),
                                np.asarray(ref[1]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(lengths * 2), np.asarray(ref[3]))
+
+
+def test_taco2_decode_kernel_graves_matches_scan():
+    """Kernel-vs-scan equivalence for Graves GMM attention (the last
+    attention config moved in-kernel): the per-component unrolled mixture
+    math with VMEM-carried means must reproduce the scan's GravesAttention
+    trajectory in f32, including monotonic mu advancement and masking."""
+    from your_voice_tts_tpu.models.common import sequence_mask
+
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(attention_type="graves"),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    pdec = params["decoder"]
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    out, aligns, stops, lengths = tacotron2_decode_pallas(
+        pdec, enc_out, None, mask, n_mels=TACO_N_MELS, r=2, max_steps=20,
+        thresh=model.cfg.stop_threshold, prenet_dropout=False,
+        interpret=True, dtype=jnp.float32,
+        graves=True, attn_K=model.decoder.attention.K)
+    B = enc_out.shape[0]
+    out = jnp.swapaxes(out[..., : TACO_N_MELS * 2], 0, 1) \
+        .reshape(B, 20 * 2, TACO_N_MELS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(aligns, 0, 1)),
+                               np.asarray(ref[1]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(lengths * 2), np.asarray(ref[3]))
+
+
+def test_taco2_decode_kernel_graves_routed(small_taco):
+    """inference_pallas routes a Graves model through _attn_kernel_flags
+    (graves=True, attn_K) end-to-end in interpret mode, bf16 default."""
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(attention_type="graves"),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables)
+    flags = model.decoder._attn_kernel_flags()
+    assert flags == {"graves": True, "attn_K": 4}
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         20, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
 
 
 def test_taco2_decode_kernel_early_exit(small_taco):

@@ -247,10 +247,12 @@ class Decoder:
             steps_done * r
 
     def _attn_kernel_flags(self) -> dict:
-        """Attention-variant flags forwarded to the Pallas decode kernel
-        (windowing / forward attention / transition agent — all implemented
-        in-kernel; Graves falls back to the scan via supported_config)."""
+        """Attention-variant flags forwarded to the Pallas decode kernel —
+        the whole family is in-kernel (windowing / forward attention /
+        transition agent for `original`; Graves GMM via its own branch)."""
         a = self.attention
+        if self.cfg.attention_type == "graves":
+            return {"graves": True, "attn_K": a.K}
         return {
             "windowing": a.windowing, "win_back": a.win_back,
             "win_front": a.win_front, "forward_attn": a.forward_attn,
@@ -275,7 +277,7 @@ class Decoder:
         processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
         dec_out, aligns, stops, steps_done = tacotron2_decode_pallas(
             p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
-            max_steps=max_steps, norm=self.attention.norm,
+            max_steps=max_steps, norm=getattr(self.attention, "norm", "sigmoid"),
             thresh=self.cfg.stop_threshold,
             prenet_dropout=(self.cfg.prenet_dropout
                             and self.prenet.dropout_enabled),
@@ -305,7 +307,7 @@ class Decoder:
             stream = (tuple(attn_hc), tuple(dec_hc), prev_frame)
         dec_out, aligns, stops, steps_done, stream_out = tacotron2_decode_pallas(
             p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
-            max_steps=max_steps, norm=self.attention.norm,
+            max_steps=max_steps, norm=getattr(self.attention, "norm", "sigmoid"),
             thresh=self.cfg.stop_threshold,
             prenet_dropout=(self.cfg.prenet_dropout
                             and self.prenet.dropout_enabled),
@@ -547,14 +549,16 @@ class Tacotron2:
     def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
         """True when inference() would auto-route the decode loop onto the
         weights-in-VMEM Pallas kernel for text length T and batch B (TPU
-        backend, original-attention configuration, and the full working set —
-        weights + banded location matrices + encoder blocks + chunk outputs —
-        fits the DEVICE's VMEM per ops/pallas/capacity.py; replaces the
-        round-2 v5e constants PALLAS_MAX_BATCH/MAX_T_BANDED)."""
+        backend, original-attention OR Graves configuration, and the full
+        working set — weights + banded location matrices (original only) +
+        encoder blocks + chunk outputs — fits the DEVICE's VMEM per
+        ops/pallas/capacity.py; replaces the round-2 v5e constants
+        PALLAS_MAX_BATCH/MAX_T_BANDED)."""
         from ..ops.pallas.capacity import taco2_kernel_fits
         from ..ops.pallas.taco2_decode import MAX_T_BANDED, supported_config
+        graves = self.cfg.attention_type == "graves"
         return (jax.default_backend() == "tpu" and supported_config(self.cfg)
-                and T <= MAX_T_BANDED
+                and (graves or T <= MAX_T_BANDED)
                 and taco2_kernel_fits(self.cfg, T=T, B=B,
                                       E=self.cfg.encoder_dim + self.spk_dim,
                                       r_init=self.r_init, n_mels=self.n_mels))

@@ -81,7 +81,7 @@ def _rup(x: int, m: int) -> int:
 
 def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
                        n_mels: int, out_width: int, prenet_dim: int,
-                       chunk: int = 50) -> int:
+                       chunk: int = 50, graves: bool = False) -> int:
     """Working-set bytes of the Tacotron2 decode kernel for the given shapes.
 
     Mirrors tacotron2_decode_pallas's buffer list: bf16 matmul operands,
@@ -98,8 +98,13 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
     w += (n_mels * prenet_dim + prenet_dim * prenet_dim) * bf2
     # attention rnn (wx [prenet+E, 4H1], wh [H1, 4H1])
     w += ((prenet_dim + E) * 4 * H1 + H1 * 4 * H1) * bf2
-    # attention projections: q [H1, A], banded K_loc [2T, T*A], v [A]
-    w += (H1 * A) * bf2 + (2 * T * T * A) * bf2 + A * f4
+    if graves:
+        # Graves GMM: l1 [H1, H1] + section-packed l2 [H1, 384]; no banded
+        # matrices, no key projection, tiny dummy pinp block
+        w += (H1 * H1 + H1 * 384) * bf2 + (128 + 384) * f4
+    else:
+        # attention projections: q [H1, A], banded K_loc [2T, T*A], v [A]
+        w += (H1 * A) * bf2 + (2 * T * T * A) * bf2 + A * f4
     # decoder rnn (wx [H1+E, 4H2], wh [H2, 4H2])
     w += ((H1 + E) * 4 * H2 + H2 * 4 * H2) * bf2
     # projection [H2+E, out_width] + stopnet [H2+out_width, 1]
@@ -107,12 +112,14 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
     # forward-attention shift matrix [T, Tl] + transition agent (always passed)
     w += T * Tl * bf2 + (E + H1) * bf2
     # per-batch inputs: enc_out bf16, processed f32, maskadd f32 (lane = T)
-    inputs = B * T * E * bf2 + B * T * A * f4 + B * Tl * f4
+    pinp = 0 if graves else B * T * A * f4
+    inputs = B * T * E * bf2 + pinp + B * Tl * f4
     # per-chunk output blocks (dec, align [lane=T], stop), double-buffered
     outputs = 2 * chunk * B * (_rup(out_width, 128) + Tl + 128) * f4
     # state scratch (h1,c1,h2,c2,ctx f32; att/cum/alpha lane-padded; frame,
-    # done, win) + in/out RNN-state blocks
-    scratch = B * (2 * H1 + 2 * H2 + E + 3 * Tl + _rup(n_mels, 128) + 256) * f4
+    # done, win, graves mu) + in/out RNN-state blocks
+    scratch = B * (2 * H1 + 2 * H2 + E + 3 * Tl + _rup(n_mels, 128)
+                   + 256 + 128) * f4
     states = 2 * B * (2 * H1 + 2 * H2 + _rup(n_mels, 128)) * f4
     return w + inputs + outputs + scratch + states
 
@@ -124,7 +131,8 @@ def taco2_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
     need = taco2_decode_bytes(
         T=T, B=B, E=E, A=cfg.attention_dim, H1=cfg.attention_rnn_dim,
         H2=cfg.decoder_rnn_dim, n_mels=n_mels, out_width=n_mels * r_init,
-        prenet_dim=cfg.prenet_dim, chunk=chunk)
+        prenet_dim=cfg.prenet_dim, chunk=chunk,
+        graves=(getattr(cfg, "attention_type", "original") == "graves"))
     return need <= kernel_vmem_limit(device_kind)
 
 

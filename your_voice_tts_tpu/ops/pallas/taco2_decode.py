@@ -25,10 +25,12 @@ utterance, exactly like ops/pallas/wavernn_gen.py:
   counter-based hash PRNG as the WaveRNN kernel — deterministic per
   (seed, step), chunk-invariant, and functional under interpret mode.
 
-Covers the DEFAULT attention configuration (location-sensitive, sigmoid or
-softmax norm, no forward-attention / transition agent / windowing,
-prenet_type="original"); models/tacotron2.py falls back to the XLA scan for
-anything else.
+Covers the FULL attention family: location-sensitive (sigmoid or softmax
+norm) with in-kernel windowing, forward attention, transition agent and
+forward mask, plus Graves GMM attention (mixture parameters from one
+section-packed matmul, per-component unrolled VPU math, means in VMEM
+scratch). Only non-original prenets fall back to the XLA scan
+(models/tacotron2.py supported_config).
 
 Perf note (measured, v5e): the step costs ~112 us regardless of which op is
 ablated — the bound is the serial latency of the ~10-op dependency chain,
@@ -74,16 +76,17 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
             a_wx, a_wh, a_b, q_w, k_loc, v_w, v_b,
             d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
-            shift_w, ta_w, ta_b,
+            shift_w, ta_w, ta_b, gl1_w, gl1_b, g3_w, g3_b,
             h1_0, c1_0, h2_0, c2_0, frame_0,
             out_ref, align_ref, stop_ref,
             h1_out, c1_out, h2_out, c2_out, frame_out,
             h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref, att_ref, cum_ref,
-            frame_ref, done_ref, alpha_ref, win_ref,
+            frame_ref, done_ref, alpha_ref, win_ref, mu_ref,
             *, chunk: int, n_mels: int, r: int, norm: str,
             thresh: float, prenet_dropout: bool, dtype,
             windowing: bool, win_back: int, win_front: int,
-            forward_attn: bool, trans_agent: bool, forward_attn_mask: bool):
+            forward_attn: bool, trans_agent: bool, forward_attn_mask: bool,
+            graves: bool, n_gmm: int):
     step0 = pl.program_id(0) == 0
 
     @pl.when(step0)
@@ -107,6 +110,8 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         alpha_ref[...] = (lax.broadcasted_iota(
             jnp.int32, alpha_ref.shape, 1) == 0).astype(F32)
         win_ref[...] = jnp.zeros_like(win_ref)
+        # Graves GMM means start at 0 (attention.init_state mu=zeros)
+        mu_ref[...] = jnp.zeros_like(mu_ref)
 
     seed = seed_ref[0]
     chunk_base = pl.program_id(0) * np.int32(chunk)
@@ -122,6 +127,42 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
         align_ref[...] = jnp.zeros_like(align_ref)
         stop_ref[...] = jnp.zeros_like(stop_ref)
+
+    def _post_attention(t, align, ctx, h1, c1):
+        """Decoder LSTM + projections + state writes — shared by the
+        location-sensitive and Graves attention branches."""
+        # --- decoder LSTM + projections --------------------------------------
+        dec_in = jnp.concatenate([h1, ctx], axis=-1)
+        h2, c2 = _lstm(dec_in, h2_ref[...], c2_ref[...], d_wx, d_wh, d_b,
+                       dtype)
+        proj_in = jnp.concatenate([h2, ctx], axis=-1)
+        dec_out = jnp.dot(proj_in.astype(dtype), proj_w[...],
+                          preferred_element_type=F32) + proj_b[...]
+        stop_in = jnp.concatenate([h2, dec_out], axis=-1)
+        stop_logit = jnp.dot(stop_in.astype(dtype), stop_w[...],
+                             preferred_element_type=F32) + stop_b[...]
+        stop_prob = jax.nn.sigmoid(stop_logit[:, 0])           # [B]
+
+        # --- stop masking (inference_scan semantics) --------------------------
+        active = 1.0 - done_ref[...][:, 0]                     # [B]
+        dec_out = dec_out * active[:, None]
+        done = jnp.maximum(done_ref[...][:, 0],
+                           (stop_prob > thresh).astype(F32))
+        new_frame = dec_out[:, n_mels * (r - 1): n_mels * r]
+
+        h1_ref[...] = h1
+        c1_ref[...] = c1
+        h2_ref[...] = h2
+        c2_ref[...] = c2
+        ctx_ref[...] = ctx
+        att_ref[...] = align
+        cum_ref[...] = cum_ref[...] + align
+        frame_ref[...] = new_frame
+        done_ref[...] = done[:, None]
+        out_ref[t] = dec_out
+        align_ref[t] = align
+        stop_ref[t] = stop_prob[:, None]
+        return 0
 
     def body(t, _):
         key = _fmix32(seed + (chunk_base + t) * np.int32(-1640531527))
@@ -141,6 +182,46 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         h1, c1 = _lstm(attn_in, h1_ref[...], c1_ref[...], a_wx, a_wh, a_b,
                        dtype)
 
+        t_lane = lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(F32)
+        if graves:
+            # --- Graves GMM attention (models/attention.py GravesAttention):
+            # gbk = l2(tanh(l1(h1))) -> (g, b, k) per mixture component;
+            # sig = softplus(b)+eps, mu += softplus(k), g = softmax(g)+eps;
+            # align = 1/sqrt(2pi) * sum_j g_j exp(-((mu_j - t)/sig_j)^2 / 2).
+            # The K components live in lane-padded [B, 128] sections of one
+            # [B, 384] matmul output; per-component scalars are extracted by
+            # masked lane reductions (static K, unrolled at trace time).
+            qg = jnp.tanh(jnp.dot(h1.astype(dtype), gl1_w[...],
+                                  preferred_element_type=F32) + gl1_b[...])
+            gbk = jnp.dot(qg.astype(dtype), g3_w[...],
+                          preferred_element_type=F32) + g3_b[...]  # [B, 384]
+            g_sec = gbk[:, 0:128]
+            b_sec = gbk[:, 128:256]
+            k_sec = gbk[:, 256:384]
+            lane = lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+            valid = lane < n_gmm
+            gm = jnp.max(jnp.where(valid, g_sec, -1e30), axis=-1,
+                         keepdims=True)
+            ge = jnp.where(valid, jnp.exp(g_sec - gm), 0.0)
+            gw = ge / jnp.sum(ge, axis=-1, keepdims=True) + 1e-5
+            sig = jax.nn.softplus(b_sec) + 1e-5
+            mu = mu_ref[...] + jax.nn.softplus(k_sec)
+            mu_ref[...] = mu
+            align = jnp.zeros((B, T), F32)
+            for j in range(n_gmm):
+                sel = (lane == j).astype(F32)
+                g_j = jnp.sum(gw * sel, axis=-1, keepdims=True)    # [B, 1]
+                s_j = jnp.sum(sig * sel, axis=-1, keepdims=True)
+                m_j = jnp.sum(mu * sel, axis=-1, keepdims=True)
+                z = (m_j - t_lane) / s_j
+                align = align + g_j * jnp.exp(-0.5 * z * z)
+            align = np.float32(0.3989422917366028) * align
+            align = jnp.where(maskadd_ref[...] >= -0.5, align, 0.0)
+            align = align / jnp.maximum(
+                jnp.sum(align, axis=-1, keepdims=True), 1e-8)
+            ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)
+            return _post_attention(t, align, ctx, h1, c1)
+
         # --- location-sensitive attention ------------------------------------
         # energies = v . tanh(Wq h1 + U [att; cum]_conv + Wk m); the conv +
         # location dense are pre-folded into one banded K_loc [2T, T*A], so
@@ -155,7 +236,6 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
         e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
         e = e + maskadd_ref[...]                               # -1e9 at pads
-        t_lane = lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(F32)
         if windowing:
             # energies outside [win_idx - back, win_idx + front] are dropped
             # (models/attention.py _apply_windowing; kernel = inference only)
@@ -201,39 +281,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
                 jnp.where(align >= maxa, t_lane, np.float32(T)),
                 axis=-1, keepdims=True)
         ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)  # [B, E]
-
-        # --- decoder LSTM + projections --------------------------------------
-        dec_in = jnp.concatenate([h1, ctx], axis=-1)
-        h2, c2 = _lstm(dec_in, h2_ref[...], c2_ref[...], d_wx, d_wh, d_b,
-                       dtype)
-        proj_in = jnp.concatenate([h2, ctx], axis=-1)
-        dec_out = jnp.dot(proj_in.astype(dtype), proj_w[...],
-                          preferred_element_type=F32) + proj_b[...]
-        stop_in = jnp.concatenate([h2, dec_out], axis=-1)
-        stop_logit = jnp.dot(stop_in.astype(dtype), stop_w[...],
-                             preferred_element_type=F32) + stop_b[...]
-        stop_prob = jax.nn.sigmoid(stop_logit[:, 0])           # [B]
-
-        # --- stop masking (inference_scan semantics) --------------------------
-        active = 1.0 - done_ref[...][:, 0]                     # [B]
-        dec_out = dec_out * active[:, None]
-        done = jnp.maximum(done_ref[...][:, 0],
-                           (stop_prob > thresh).astype(F32))
-        new_frame = dec_out[:, n_mels * (r - 1): n_mels * r]
-
-        h1_ref[...] = h1
-        c1_ref[...] = c1
-        h2_ref[...] = h2
-        c2_ref[...] = c2
-        ctx_ref[...] = ctx
-        att_ref[...] = align
-        cum_ref[...] = cum_ref[...] + align
-        frame_ref[...] = new_frame
-        done_ref[...] = done[:, None]
-        out_ref[t] = dec_out
-        align_ref[t] = align
-        stop_ref[t] = stop_prob[:, None]
-        return 0
+        return _post_attention(t, align, ctx, h1, c1)
 
     @pl.when(jnp.logical_not(all_done))
     def _():
@@ -256,12 +304,17 @@ MAX_T_BANDED = 256
 
 
 def supported_config(cfg) -> bool:
-    """The kernel covers every `attention_type="original"` configuration —
-    location-sensitive energies with optional windowing, forward attention,
-    transition agent, and forward mask, sigmoid or softmax norm. Graves GMM
-    attention and non-original prenets fall back to the XLA scan."""
+    """The kernel covers the full attention family: every
+    `attention_type="original"` configuration (location-sensitive energies
+    with optional windowing, forward attention, transition agent, forward
+    mask, sigmoid or softmax norm) AND Graves GMM attention (per-component
+    unrolled VPU math, means carried in VMEM scratch). Only non-original
+    prenets fall back to the XLA scan."""
+    if cfg.prenet_type != "original":
+        return False
+    if cfg.attention_type == "graves":
+        return True
     return (cfg.attention_type == "original" and cfg.location_attn
-            and cfg.prenet_type == "original"
             and cfg.attention_norm in ("sigmoid", "softmax"))
 
 
@@ -297,7 +350,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             windowing: bool = False, win_back: int = 1,
                             win_front: int = 3, forward_attn: bool = False,
                             trans_agent: bool = False,
-                            forward_attn_mask: bool = False):
+                            forward_attn_mask: bool = False,
+                            graves: bool = False, attn_K: int = 4):
     """Free-running Tacotron2 decode, whole loop in one kernel launch.
 
     p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
@@ -317,6 +371,10 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     no stop token has fired).
     """
     B0, T, E = enc_out.shape
+    if graves and processed_inputs is None:
+        # Graves attention has no precomputed key projection; the kernel's
+        # pinp_ref is never read in that branch — ship a minimal dummy block
+        processed_inputs = jnp.zeros((B0, 8, 128), F32)
     # Mosaic rejects batch-1 (sub-sublane) operands; pad the batch to a
     # multiple of 8 — MXU matmuls process >=8 sublane rows per pass anyway,
     # so the padding is free. Padded rows get mask=False everywhere: their
@@ -342,34 +400,61 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     n_steps = ((max_steps + chunk - 1) // chunk) * chunk
     n_chunks = n_steps // chunk
 
-    if T > MAX_T_BANDED:
+    if not graves and T > MAX_T_BANDED:
         raise ValueError(
             f"tacotron2_decode_pallas serves T <= {MAX_T_BANDED} "
             f"(got {T}); use the XLA scan path for longer inputs")
-    # Mosaic only supports the in-kernel [B, T*A] -> [B, T, A] shape cast
-    # when A is a full lane multiple; pad the attention dim to 128 with zero
-    # columns (q_w/loc_dense/pinp/v all padded -> the extra energies
-    # contribute tanh(0) * 0 = 0, exactly nothing)
-    q_w = p_dec["attention"]["query"]["w"]
-    v_w = p_dec["attention"]["v"]["w"][:, 0]
-    wdense = p_dec["attention"]["loc_dense"]["w"]              # [F, A]
-    A0 = q_w.shape[1]
-    A = ((A0 + 127) // 128) * 128
-    if A != A0:
-        padA = ((0, 0), (0, A - A0))
-        q_w = jnp.pad(q_w, padA)
-        wdense = jnp.pad(wdense, padA)
-        v_w = jnp.pad(v_w, ((0, A - A0),))
-        processed_inputs = jnp.pad(processed_inputs,
-                                   ((0, 0), (0, 0), (0, A - A0)))
-    k_loc = _band_matrices(
-        p_dec["attention"]["loc_conv"]["w"],                   # [K, 2, F]
-        wdense, T, dtype)
+    if graves:
+        # no banded location matrices and no key projection — the Graves
+        # branch only needs l1 [Q, Q] and the section-packed l2 [Q, 384]
+        # (g | b | k mixture parameters in lane-padded 128-column sections)
+        q_w = jnp.zeros((8, 128), F32)
+        v_w = jnp.zeros((128,), F32)
+        k_loc = jnp.zeros((8, 128), dtype)
+        w2 = p_dec["attention"]["l2"]["w"]                     # [Q, 3K]
+        b2 = p_dec["attention"]["l2"]["b"]
+        K = attn_K
+        Qd = w2.shape[0]
+        g3_w = jnp.zeros((Qd, 384), F32)
+        g3_b = jnp.zeros((384,), F32)
+        for sec in range(3):
+            g3_w = g3_w.at[:, 128 * sec: 128 * sec + K].set(
+                w2[:, K * sec: K * (sec + 1)])
+            g3_b = g3_b.at[128 * sec: 128 * sec + K].set(
+                b2[K * sec: K * (sec + 1)])
+        gl1_w = p_dec["attention"]["l1"]["w"]
+        gl1_b = p_dec["attention"]["l1"]["b"]
+    else:
+        # Mosaic only supports the in-kernel [B, T*A] -> [B, T, A] shape cast
+        # when A is a full lane multiple; pad the attention dim to 128 with
+        # zero columns (q_w/loc_dense/pinp/v all padded -> the extra energies
+        # contribute tanh(0) * 0 = 0, exactly nothing)
+        q_w = p_dec["attention"]["query"]["w"]
+        v_w = p_dec["attention"]["v"]["w"][:, 0]
+        wdense = p_dec["attention"]["loc_dense"]["w"]          # [F, A]
+        A0 = q_w.shape[1]
+        A = ((A0 + 127) // 128) * 128
+        if A != A0:
+            padA = ((0, 0), (0, A - A0))
+            q_w = jnp.pad(q_w, padA)
+            wdense = jnp.pad(wdense, padA)
+            v_w = jnp.pad(v_w, ((0, A - A0),))
+            processed_inputs = jnp.pad(processed_inputs,
+                                       ((0, 0), (0, 0), (0, A - A0)))
+        k_loc = _band_matrices(
+            p_dec["attention"]["loc_conv"]["w"],               # [K, 2, F]
+            wdense, T, dtype)
+        gl1_w = jnp.zeros((8, 128), F32)
+        gl1_b = jnp.zeros((128,), F32)
+        g3_w = jnp.zeros((8, 384), F32)
+        g3_b = jnp.zeros((384,), F32)
 
+    v_b = (jnp.zeros((1,), F32) if graves
+           else p_dec["attention"]["v"]["b"])
     # forward-attention right-shift as a superdiagonal matrix (alpha @ S
     # shifts alpha one position toward larger t); transition-agent dense.
     # Both are tiny and always passed — unused branches are compiled away.
-    shift_w = jnp.eye(T, k=1)
+    shift_w = jnp.eye(8, k=1) if graves else jnp.eye(T, k=1)
     H1d = p_dec["attention_rnn"]["wh"].shape[0]
     if trans_agent:
         ta_w = p_dec["attention"]["ta"]["w"]                   # [E + Q, 1]
@@ -384,16 +469,16 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
         p_dec["attention_rnn"]["b"],
         q_w, k_loc,
-        v_w, p_dec["attention"]["v"]["b"],
+        v_w, v_b,
         p_dec["decoder_rnn"]["wx"], p_dec["decoder_rnn"]["wh"],
         p_dec["decoder_rnn"]["b"],
         p_dec["projection"]["w"], p_dec["projection"]["b"],
         p_dec["stopnet"]["w"], p_dec["stopnet"]["b"],
-        shift_w, ta_w, ta_b,
+        shift_w, ta_w, ta_b, gl1_w, gl1_b, g3_w, g3_b,
     ]
     # biases and the attention v vector stay f32 (accumulator side); matmul
     # operands in bf16 (MXU-native) unless overridden
-    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17, 20}
+    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17, 20, 22, 24}
     weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
                for i, w in enumerate(weights)]
 
@@ -436,6 +521,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             pltpu.VMEM((B, 1), F32),                                      # done
             pltpu.VMEM((B, T), F32),                                      # alpha
             pltpu.VMEM((B, 1), F32),                                      # win
+            pltpu.VMEM((B, 128), F32),                                    # mu
         ],
     )
     kernel = functools.partial(
@@ -443,7 +529,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype,
         windowing=windowing, win_back=win_back, win_front=win_front,
         forward_attn=forward_attn, trans_agent=trans_agent,
-        forward_attn_mask=forward_attn_mask)
+        forward_attn_mask=forward_attn_mask, graves=graves, n_gmm=attn_K)
     dec_out, aligns, stops, *stream_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
