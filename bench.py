@@ -689,6 +689,22 @@ def verify_gates(quick: bool = False) -> dict:
     gates["taco1_decode_kernel_rel_err"] = {"value": round(rel6, 4),
                                             "limit": 0.08, "ok": rel6 <= 0.08}
 
+    # -- gate 7: Graves GMM attention in-kernel vs XLA scan, on device --------
+    # (round-3: last attention config moved in-kernel; per-component VPU
+    # mixture math + VMEM-carried means must track the scan within bf16)
+    mcfg7 = dataclasses.replace(mcfg5, attention_type="graves")
+    model7 = setup_model(len(symbols), 0, Config(audio=acfg, model=mcfg7))
+    var7 = model7.init(jax.random.PRNGKey(0))
+    scan7 = np.asarray(model7.inference(var7, text, lens,
+                                        use_pallas=False)["postnet_outputs"])
+    with interp():
+        pal7 = np.asarray(model7.inference(var7, text, lens,
+                                           use_pallas=True)["postnet_outputs"])
+    rel7 = float(np.abs(scan7 - pal7).max()
+                 / max(float(np.abs(scan7).max()), 1e-3))
+    gates["taco2_graves_kernel_rel_err"] = {"value": round(rel7, 4),
+                                            "limit": 0.08, "ok": rel7 <= 0.08}
+
     return gates
 
 
