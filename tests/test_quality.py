@@ -79,7 +79,9 @@ def test_trained_checkpoint_quality_gates():
 
     q = bench.quality_extras(quick=True)
     assert "quality_error" not in q, q
-    assert q["mcd_mean_db"] < 25.0, q   # random-weight models score ~35+
+    # the committed 25k-step checkpoint measures 7.6 dB; random-weight
+    # models score ~35+, the old 8k-step one 13.8 — 12 is a real bar
+    assert q["mcd_mean_db"] < 12.0, q
     assert q["stop_f1"] >= 0.5, q
 
 
