@@ -77,6 +77,18 @@ def test_taco1_fits_small_model_generous():
                                      memory_size=5, device_kind="TPU v3")
 
 
+def test_taco1_graves_not_claimed_by_kernel():
+    """supported_config admits Graves for the Tacotron2 kernel; the
+    Tacotron(1) kernel has no Graves branch and must refuse it."""
+    from your_voice_tts_tpu.ops.pallas.taco1_decode import taco1_supported
+
+    assert taco1_supported(ModelConfig(model="Tacotron", r=2),
+                           memory_size=5, r=2)
+    assert not taco1_supported(
+        ModelConfig(model="Tacotron", r=2, attention_type="graves"),
+        memory_size=5, r=2)
+
+
 def test_gl_max_tile():
     # v5e: the validated 1024-frame cap holds
     assert cap.gl_max_tile(1024, device_kind="TPU v5 lite") == 1024

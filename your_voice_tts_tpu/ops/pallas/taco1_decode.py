@@ -154,10 +154,13 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 def taco1_supported(cfg, memory_size: int, r: int) -> bool:
     """Kernel coverage: default attention config AND the queue must be able
     to roll by whole steps (r frames <= memory span). Unlike the Tacotron2
-    kernel, this one does NOT implement windowing / forward attention /
-    transition agent in-kernel — those fall back to the XLA scan."""
+    kernel, this one does NOT implement Graves GMM attention / windowing /
+    forward attention / transition agent in-kernel — those fall back to the
+    XLA scan (supported_config alone admits Graves for the Tacotron2
+    kernel, so the attention_type must be re-checked here)."""
     M = memory_size if memory_size > 0 else r
-    return (supported_config(cfg) and r <= M
+    return (supported_config(cfg) and cfg.attention_type == "original"
+            and r <= M
             and not cfg.windowing and not cfg.use_forward_attn
             and not cfg.transition_agent)
 
