@@ -705,6 +705,22 @@ def verify_gates(quick: bool = False) -> dict:
     gates["taco2_graves_kernel_rel_err"] = {"value": round(rel7, 4),
                                             "limit": 0.08, "ok": rel7 <= 0.08}
 
+    # -- gate 8: tiled location attention (T > MAX_T_BANDED) vs scan ----------
+    # (round-3: texts past the banded cap auto-route onto the constant-VMEM
+    # tile formulation — taco2_decode._tile_matrices — instead of the scan;
+    # T=300 pads to 384 internally, exercising 3 tiles + halo slabs + T-pad)
+    text8 = jnp.asarray(rng.integers(1, len(symbols), (2, 300)), jnp.int32)
+    lens8 = jnp.asarray([300, 220], jnp.int32)
+    scan8 = np.asarray(model5.inference(var5, text8, lens8,
+                                        use_pallas=False)["postnet_outputs"])
+    with interp():
+        pal8 = np.asarray(model5.inference(var5, text8, lens8,
+                                           use_pallas=True)["postnet_outputs"])
+    rel8 = float(np.abs(scan8 - pal8).max()
+                 / max(float(np.abs(scan8).max()), 1e-3))
+    gates["taco2_tiled_kernel_rel_err"] = {"value": round(rel8, 4),
+                                           "limit": 0.08, "ok": rel8 <= 0.08}
+
     return gates
 
 

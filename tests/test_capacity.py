@@ -77,6 +77,25 @@ def test_taco1_fits_small_model_generous():
                                      memory_size=5, device_kind="TPU v3")
 
 
+def test_taco2_route_tiled_lifts_t_cap():
+    """Past MAX_T_BANDED the router serves the tiled formulation instead of
+    falling back to the scan: long texts stay on the kernel fast path, with
+    VMEM constant in T (only per-batch buffers grow)."""
+    kind = "TPU v5 lite"
+    route = lambda T, B: cap.taco2_route(  # noqa: E731
+        FULL, T=T, B=B, E=512, r_init=2, n_mels=80, device_kind=kind)
+    assert route(192, 8) == "banded"
+    assert route(80, 128) == "banded"  # the round-2 headline bench shape
+    assert route(512, 8) == "tiled"
+    assert route(1024, 8) == "tiled"
+    assert route(512, 32) == "tiled"
+    # tiled still respects the device budget: enormous B*T buffers spill
+    assert route(1024, 512) is None
+    # v3's 16 MiB cannot hold the weights at all, in either formulation
+    assert cap.taco2_route(FULL, T=512, B=8, E=512, r_init=2,
+                           device_kind="TPU v3") is None
+
+
 def test_taco1_graves_not_claimed_by_kernel():
     """supported_config admits Graves for the Tacotron2 kernel; the
     Tacotron(1) kernel has no Graves branch and must refuse it."""

@@ -369,9 +369,70 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     params = variables["params"]
     enc_out, text_len = _enc_out(model, variables)
     big = jnp.tile(enc_out, (1, (MAX_T_BANDED // enc_out.shape[1]) + 1, 1))
-    with pytest.raises(ValueError, match="XLA scan"):
-        model.decoder.inference_pallas(params["decoder"], big,
-                                       text_len, 20, interpret=True)
+    from your_voice_tts_tpu.models.common import sequence_mask
+    mask = sequence_mask(text_len, big.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(
+        params["decoder"]["attention"], big)
+    # the BANDED formulation still refuses over-length inputs when forced...
+    with pytest.raises(ValueError, match="loc_tiled"):
+        tacotron2_decode_pallas(params["decoder"], big, pinp, mask,
+                                n_mels=TACO_N_MELS, r=2, max_steps=4,
+                                interpret=True, prenet_dropout=False,
+                                loc_tiled=False)
+    # ...but the auto-route serves them on the tiled formulation instead
+    out = tacotron2_decode_pallas(params["decoder"], big, pinp, mask,
+                                  n_mels=TACO_N_MELS, r=2, max_steps=4,
+                                  interpret=True, prenet_dropout=False)
+    assert out[1].shape == (4, big.shape[0], big.shape[1])
+
+
+def test_taco2_kernel_with_bf16_compute_dtype(small_taco):
+    """compute_dtype=bf16 + use_pallas=True used to crash: the kernel emits
+    f32 frames while the postnet params are cast to bf16, and lax.conv
+    refuses mixed dtypes. The model must cast the kernel output to the
+    compute dtype before the postnet (bench serving config: bf16 + kernel)."""
+    model, variables = small_taco
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 1, TACO_CHARS)
+    tl = jnp.array([12, 9])
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        b16 = model.inference(variables, text, tl, use_pallas=True,
+                              compute_dtype=jnp.bfloat16)
+        f32 = model.inference(variables, text, tl, use_pallas=True)
+    assert b16["postnet_outputs"].dtype == jnp.float32  # outputs_f32 boundary
+    rel = float(np.abs(np.asarray(b16["postnet_outputs"])
+                       - np.asarray(f32["postnet_outputs"])).max()
+                / max(float(np.abs(np.asarray(f32["postnet_outputs"])).max()),
+                      1e-3))
+    assert rel < 0.1
+
+
+def test_taco2_decode_kernel_tiled_matches_scan(small_taco):
+    """The constant-VMEM tiled location-attention formulation (serves
+    T > MAX_T_BANDED) must match the XLA scan like the banded one — here
+    forced at a 2-tile shape (T=140 pads to 256 internally, alignments
+    sliced back) so the halo slabs, the shared tile matrix, and the
+    T-padding all get exercised."""
+    model, variables = small_taco
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables, B=3, T_text=140)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    from your_voice_tts_tpu.models.common import sequence_mask
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(
+        params["decoder"]["attention"], enc_out)
+    ker = tacotron2_decode_pallas(params["decoder"], enc_out, pinp, mask,
+                                  n_mels=TACO_N_MELS, r=2, max_steps=20,
+                                  interpret=True, prenet_dropout=False,
+                                  loc_tiled=True)
+    B = enc_out.shape[0]
+    frames = np.swapaxes(np.asarray(ker[0][..., :TACO_N_MELS * 2]), 0, 1) \
+        .reshape(B, 40, TACO_N_MELS)
+    np.testing.assert_allclose(frames, np.asarray(ref[0]), atol=5e-3)
+    np.testing.assert_allclose(np.swapaxes(np.asarray(ker[1]), 0, 1),
+                               np.asarray(ref[1]), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3] * 2), np.asarray(ref[3]))
 
 
 ATTN_VARIANTS = {

@@ -459,6 +459,10 @@ class Tacotron:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
                 seed=pallas_seed)
+            if compute_dtype is not None:
+                # the kernel emits f32 frames; the PostCBHG params were cast
+                # to the compute dtype — match them (scan path parity)
+                dec_out = dec_out.astype(compute_dtype)
         else:
             dec_out, aligns, stops, out_lengths = self.decoder.inference(
                 params["decoder"], state["decoder"], enc_out, text_lengths, rng,

@@ -550,15 +550,13 @@ class Tacotron2:
         """True when inference() would auto-route the decode loop onto the
         weights-in-VMEM Pallas kernel for text length T and batch B (TPU
         backend, original-attention OR Graves configuration, and the full
-        working set — weights + banded location matrices (original only) +
-        encoder blocks + chunk outputs — fits the DEVICE's VMEM per
-        ops/pallas/capacity.py; replaces the round-2 v5e constants
-        PALLAS_MAX_BATCH/MAX_T_BANDED)."""
+        working set fits the DEVICE's VMEM per ops/pallas/capacity.py).
+        There is no hard T cap: texts past MAX_T_BANDED serve on the
+        constant-VMEM tiled location-attention formulation
+        (taco2_decode._tile_matrices)."""
         from ..ops.pallas.capacity import taco2_kernel_fits
-        from ..ops.pallas.taco2_decode import MAX_T_BANDED, supported_config
-        graves = self.cfg.attention_type == "graves"
+        from ..ops.pallas.taco2_decode import supported_config
         return (jax.default_backend() == "tpu" and supported_config(self.cfg)
-                and (graves or T <= MAX_T_BANDED)
                 and taco2_kernel_fits(self.cfg, T=T, B=B,
                                       E=self.cfg.encoder_dim + self.spk_dim,
                                       r_init=self.r_init, n_mels=self.n_mels))
@@ -597,6 +595,10 @@ class Tacotron2:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
                 seed=pallas_seed)
+            if compute_dtype is not None:
+                # the kernel emits f32 frames; the postnet params were cast
+                # to the compute dtype — match them (scan path parity)
+                dec_out = dec_out.astype(compute_dtype)
         else:
             dec_out, aligns, stops, out_lengths = self.decoder.inference(
                 params["decoder"], state["decoder"], enc_out, text_lengths, rng,
@@ -648,6 +650,9 @@ class Tacotron2:
                 self.decoder.inference_truncated_pallas(
                     params["decoder"], enc_out, text_lengths, max_steps, r=r,
                     seed=pallas_seed, stream=stream_state)
+            if compute_dtype is not None:
+                # kernel emits f32 frames; postnet params are compute-dtype
+                dec_out = dec_out.astype(compute_dtype)
         else:
             dec_out, aligns, stops, out_lengths, stream_out = \
                 self.decoder.inference_truncated(

@@ -48,6 +48,12 @@ _VMEM_BY_KIND = {
 
 DEFAULT_VMEM = 128 * MIB
 
+# Largest T the taco2/taco1 decode kernels serve with the dense BANDED
+# location matrices (2*T^2*A bytes bf16 — 32 MB at T=256/A=128). Past this
+# the taco2 wrapper auto-routes onto the tiled formulation (constant VMEM in
+# T); taco1 falls back to the XLA scan.
+MAX_T_BANDED = 256
+
 
 @functools.lru_cache(maxsize=4)
 def vmem_bytes_per_core(device_kind: str | None = None) -> int:
@@ -81,7 +87,8 @@ def _rup(x: int, m: int) -> int:
 
 def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
                        n_mels: int, out_width: int, prenet_dim: int,
-                       chunk: int = 50, graves: bool = False) -> int:
+                       chunk: int = 50, graves: bool = False,
+                       loc_tiled: bool = False) -> int:
     """Working-set bytes of the Tacotron2 decode kernel for the given shapes.
 
     Mirrors tacotron2_decode_pallas's buffer list: bf16 matmul operands,
@@ -102,6 +109,10 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
         # Graves GMM: l1 [H1, H1] + section-packed l2 [H1, 384]; no banded
         # matrices, no key projection, tiny dummy pinp block
         w += (H1 * H1 + H1 * 384) * bf2 + (128 + 384) * f4
+    elif loc_tiled:
+        # attention projections: q [H1, A], the shift-invariant tile matrix
+        # [2*384, 128*A] (constant in T — taco2_decode._tile_matrices), v [A]
+        w += (H1 * A) * bf2 + (2 * 384 * 128 * A) * bf2 + A * f4
     else:
         # attention projections: q [H1, A], banded K_loc [2T, T*A], v [A]
         w += (H1 * A) * bf2 + (2 * T * T * A) * bf2 + A * f4
@@ -118,22 +129,40 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
     outputs = 2 * chunk * B * (_rup(out_width, 128) + Tl + 128) * f4
     # state scratch (h1,c1,h2,c2,ctx f32; att/cum/alpha lane-padded; frame,
     # done, win, graves mu) + in/out RNN-state blocks
-    scratch = B * (2 * H1 + 2 * H2 + E + 3 * Tl + _rup(n_mels, 128)
+    halo = 2 * 256 if loc_tiled else 0  # att+cum each gain 2*128 halo lanes
+    scratch = B * (2 * H1 + 2 * H2 + E + 3 * Tl + halo + _rup(n_mels, 128)
                    + 256 + 128) * f4
     states = 2 * B * (2 * H1 + 2 * H2 + _rup(n_mels, 128)) * f4
     return w + inputs + outputs + scratch + states
 
 
+def taco2_route(cfg, *, T: int, B: int, E: int, r_init: int,
+                n_mels: int = 80, chunk: int = 50,
+                device_kind: str | None = None) -> str | None:
+    """Which decode-kernel formulation serves (T, B) on this device:
+    'banded' (single band-matrix MXU pass, T <= MAX_T_BANDED), 'tiled'
+    (constant-VMEM shift-invariant tile matrix, any T), or None (XLA scan).
+    Mirrors tacotron2_decode_pallas's auto-route exactly: banded up to
+    MAX_T_BANDED, tiled beyond."""
+    graves = getattr(cfg, "attention_type", "original") == "graves"
+    loc_tiled = (not graves) and T > MAX_T_BANDED
+    need = taco2_decode_bytes(
+        T=T if not loc_tiled else _rup(T, 128), B=B, E=E,
+        A=cfg.attention_dim, H1=cfg.attention_rnn_dim,
+        H2=cfg.decoder_rnn_dim, n_mels=n_mels, out_width=n_mels * r_init,
+        prenet_dim=cfg.prenet_dim, chunk=chunk, graves=graves,
+        loc_tiled=loc_tiled)
+    if need > kernel_vmem_limit(device_kind):
+        return None
+    return "tiled" if loc_tiled else "banded"
+
+
 def taco2_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
                       n_mels: int = 80, chunk: int = 50,
                       device_kind: str | None = None) -> bool:
-    """True when the decode kernel's working set fits the device VMEM."""
-    need = taco2_decode_bytes(
-        T=T, B=B, E=E, A=cfg.attention_dim, H1=cfg.attention_rnn_dim,
-        H2=cfg.decoder_rnn_dim, n_mels=n_mels, out_width=n_mels * r_init,
-        prenet_dim=cfg.prenet_dim, chunk=chunk,
-        graves=(getattr(cfg, "attention_type", "original") == "graves"))
-    return need <= kernel_vmem_limit(device_kind)
+    """True when the decode kernel (either formulation) serves (T, B)."""
+    return taco2_route(cfg, T=T, B=B, E=E, r_init=r_init, n_mels=n_mels,
+                       chunk=chunk, device_kind=device_kind) is not None
 
 
 def gl_max_tile(n_fft: int, device_kind: str | None = None,

@@ -19,8 +19,12 @@ utterance, exactly like ops/pallas/wavernn_gen.py:
   K_loc [2T, T*A] (built once at trace time), so the in-kernel step is a
   single MXU matmul `[att ; cum] @ K_loc -> [B, T*A] -> [B, T, A]`.
   (A shifted-slice formulation of the same contraction crashes the Mosaic
-  compiler; the band matrix costs O(T^2 A) VMEM, so the kernel serves
-  T <= MAX_T_BANDED and models fall back to the XLA scan beyond it.)
+  compiler; the band matrix costs O(T^2 A) VMEM, capping that formulation
+  at MAX_T_BANDED.) Texts beyond the cap auto-route onto the TILED
+  formulation (_tile_matrices): the band is shift-invariant, so one
+  [2*384, 128*A] matrix — constant VMEM in T — serves every 128-wide
+  output tile against a halo-padded input slab, and energies accumulate
+  tile by tile without ever materializing [B, T, A].
 - prenet dropout (always-on, the reference quirk) draws from the same
   counter-based hash PRNG as the WaveRNN kernel — deterministic per
   (seed, step), chunk-invariant, and functional under interpret mode.
@@ -50,7 +54,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .capacity import kernel_vmem_limit
+from .capacity import MAX_T_BANDED, kernel_vmem_limit  # noqa: F401 (re-export)
 from .wavernn_gen import _fmix32, _uniform
 
 F32 = jnp.float32
@@ -86,8 +90,11 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             thresh: float, prenet_dropout: bool, dtype,
             windowing: bool, win_back: int, win_front: int,
             forward_attn: bool, trans_agent: bool, forward_attn_mask: bool,
-            graves: bool, n_gmm: int):
+            graves: bool, n_gmm: int, loc_tiled: bool):
     step0 = pl.program_id(0) == 0
+    # tiled location attention stores alignments at offset LOC_HALO inside
+    # halo-padded [B, T + 2*LOC_HALO] att/cum scratch (see _tile_matrices)
+    OFF = LOC_HALO if loc_tiled else 0
 
     @pl.when(step0)
     def _():
@@ -115,7 +122,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
     seed = seed_ref[0]
     chunk_base = pl.program_id(0) * np.int32(chunk)
-    B, T = att_ref.shape
+    B, T = maskadd_ref.shape
     # early exit: once every sample has fired its stop token, later chunks
     # skip the decode entirely and just zero their output blocks (outputs are
     # uninitialized VMEM otherwise) — latency tracks the LONGEST utterance in
@@ -155,8 +162,8 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         h2_ref[...] = h2
         c2_ref[...] = c2
         ctx_ref[...] = ctx
-        att_ref[...] = align
-        cum_ref[...] = cum_ref[...] + align
+        att_ref[:, OFF:OFF + T] = align
+        cum_ref[:, OFF:OFF + T] = cum_ref[:, OFF:OFF + T] + align
         frame_ref[...] = new_frame
         done_ref[...] = done[:, None]
         out_ref[t] = dec_out
@@ -224,17 +231,38 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
         # --- location-sensitive attention ------------------------------------
         # energies = v . tanh(Wq h1 + U [att; cum]_conv + Wk m); the conv +
-        # location dense are pre-folded into one banded K_loc [2T, T*A], so
-        # the location features are a single MXU matmul on [att ; cum]
+        # location dense are pre-folded into one banded K_loc [2T, T*A] (a
+        # single MXU matmul on [att ; cum]) or, past MAX_T_BANDED, into the
+        # shift-invariant tile matrix (_tile_matrices) applied per 128-wide
+        # output tile — constant VMEM in T
         pq = jnp.dot(h1.astype(dtype), q_w[...],
                      preferred_element_type=F32)               # [B, A]
         A = pq.shape[-1]
-        ac = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)  # [B, 2T]
-        f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
-                         preferred_element_type=F32)           # [B, T*A]
-        f_proj = f_proj.reshape(B, T, A)
-        tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
-        e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
+        if loc_tiled:
+            e_parts = []
+            for i in range(T // LOC_TILE):
+                a_slab = att_ref[:, i * LOC_TILE: i * LOC_TILE + LOC_TILE
+                                 + 2 * LOC_HALO]
+                c_slab = cum_ref[:, i * LOC_TILE: i * LOC_TILE + LOC_TILE
+                                 + 2 * LOC_HALO]
+                ac = jnp.concatenate([a_slab, c_slab], axis=-1)  # [B, 768]
+                f_t = jnp.dot(ac.astype(dtype), k_loc[...],
+                              preferred_element_type=F32)      # [B, 128*A]
+                f_t = f_t.reshape(B, LOC_TILE, A)
+                th = jnp.tanh(pq[:, None, :] + f_t
+                              + pinp_ref[:, i * LOC_TILE:(i + 1) * LOC_TILE, :])
+                e_parts.append(jnp.sum(th * v_w[...][None, None, :], axis=-1))
+            e = (jnp.concatenate(e_parts, axis=-1) if len(e_parts) > 1
+                 else e_parts[0]) + v_b[...]
+        else:
+            ac = jnp.concatenate([att_ref[...], cum_ref[...]],
+                                 axis=-1)                      # [B, 2T]
+            f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
+                             preferred_element_type=F32)       # [B, T*A]
+            f_proj = f_proj.reshape(B, T, A)
+            tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
+            e = (jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1)
+                 + v_b[...])
         e = e + maskadd_ref[...]                               # -1e9 at pads
         if windowing:
             # energies outside [win_idx - back, win_idx + front] are dropped
@@ -296,11 +324,12 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         frame_out[...] = frame_ref[...]
 
 
-# the banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
-# (T=256, A=128: 2x16 MB). This is the hard band-matrix cap; the actual
-# routing limit is derived per-device from the full working-set accounting
-# in ops/pallas/capacity.py (models/tacotron2.py pallas_decode_supported).
-MAX_T_BANDED = 256
+# The banded location matrices cost 2 * T^2 * A bytes of VMEM in bf16
+# (T=256, A=128: 2x16 MB); MAX_T_BANDED (ops/pallas/capacity.py) caps that
+# formulation. Beyond it the wrapper auto-routes onto the TILED formulation
+# below — constant VMEM in T — so long texts stay on the kernel fast path.
+LOC_TILE = 128   # output positions served per tile matmul (one lane block)
+LOC_HALO = 128   # input halo per side; covers conv pad (K-1)/2 up to 128
 
 
 def supported_config(cfg) -> bool:
@@ -341,6 +370,37 @@ def _band_matrices(wconv, wdense, T: int, dtype):
                             k_cum.reshape(T, -1)], axis=0).astype(dtype)
 
 
+def _tile_matrices(wconv, wdense, dtype):
+    """Shift-invariant tile fold of the location conv + dense. The conv band
+    only ever reaches (K-1)/2 <= LOC_HALO positions past an output tile, so
+    ONE [2*(LOC_TILE + 2*LOC_HALO), LOC_TILE*A] matrix serves EVERY 128-wide
+    output tile [i*128, (i+1)*128) against the 384-lane input slab
+    [i*128 - 128, i*128 + 256) of the halo-padded att/cum scratch (the
+    alignment vector lives at offset LOC_HALO in a [B, T + 2*LOC_HALO]
+    buffer, so every slab slice is 128-lane aligned and in bounds). VMEM
+    cost is constant in T — this is what lifts the decode kernel past
+    MAX_T_BANDED — at the price of T/128 smaller matmuls per step instead
+    of one."""
+    loc_K = wconv.shape[0]
+    pad = (loc_K - 1) // 2
+    if pad > LOC_HALO:
+        raise ValueError(f"location kernel pad {pad} exceeds halo {LOC_HALO}")
+    S = LOC_TILE + 2 * LOC_HALO
+    u = jnp.einsum("kcf,fa->cka", wconv, wdense)               # [2, K, A]
+    # slab position s holds absolute input index i*128 - LOC_HALO + s for
+    # tile i; output position tt is absolute t = i*128 + tt, so the conv tap
+    # is k = input - (t - pad) = s - tt - LOC_HALO + pad for every tile alike
+    s_ix = jnp.arange(S)[:, None]
+    t_ix = jnp.arange(LOC_TILE)[None, :]
+    k = s_ix - t_ix - LOC_HALO + pad                           # [S, LOC_TILE]
+    valid = (k >= 0) & (k < loc_K)
+    kc = jnp.clip(k, 0, loc_K - 1)
+    k_att = jnp.where(valid[:, :, None], u[0][kc], 0.0)        # [S, 128, A]
+    k_cum = jnp.where(valid[:, :, None], u[1][kc], 0.0)
+    return jnp.concatenate([k_att.reshape(S, -1),
+                            k_cum.reshape(S, -1)], axis=0).astype(dtype)
+
+
 def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             *, n_mels: int, r: int, max_steps: int,
                             norm: str = "sigmoid", thresh: float = 0.6,
@@ -351,7 +411,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             win_front: int = 3, forward_attn: bool = False,
                             trans_agent: bool = False,
                             forward_attn_mask: bool = False,
-                            graves: bool = False, attn_K: int = 4):
+                            graves: bool = False, attn_K: int = 4,
+                            loc_tiled: bool | None = None):
     """Free-running Tacotron2 decode, whole loop in one kernel launch.
 
     p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
@@ -369,6 +430,11 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     evolving state on zeroed frames to max_steps — frozen-at-done is the
     more meaningful stream, but the two paths only match bit-for-bit while
     no stop token has fired).
+
+    loc_tiled: None auto-selects the location-attention formulation — the
+    single banded matmul for T <= MAX_T_BANDED, the constant-VMEM tiled
+    formulation (_tile_matrices) beyond it; True/False force it. Tiled pads
+    T up to a 128 multiple internally (alignments are sliced back).
     """
     B0, T, E = enc_out.shape
     if graves and processed_inputs is None:
@@ -386,6 +452,20 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         enc_out = jnp.pad(enc_out, padb + ((0, 0), (0, 0)))
         processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
         mask = jnp.pad(mask, padb + ((0, 0),))
+    if loc_tiled is None:
+        loc_tiled = (not graves) and T > MAX_T_BANDED
+    loc_tiled = bool(loc_tiled) and not graves
+    T0 = T
+    if loc_tiled:
+        # tile formulation operates on whole 128-lane output tiles; padded
+        # positions get mask=False -> -1e9 energies -> exact-0 alignments
+        Tp = ((T + LOC_TILE - 1) // LOC_TILE) * LOC_TILE
+        if Tp != T:
+            enc_out = jnp.pad(enc_out, ((0, 0), (0, Tp - T), (0, 0)))
+            processed_inputs = jnp.pad(processed_inputs,
+                                       ((0, 0), (0, Tp - T), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, Tp - T)))
+            T = Tp
     H1 = p_dec["attention_rnn"]["wh"].shape[0]
     H2 = p_dec["decoder_rnn"]["wh"].shape[0]
     if stream is None:
@@ -400,10 +480,11 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     n_steps = ((max_steps + chunk - 1) // chunk) * chunk
     n_chunks = n_steps // chunk
 
-    if not graves and T > MAX_T_BANDED:
+    if not graves and not loc_tiled and T > MAX_T_BANDED:
         raise ValueError(
-            f"tacotron2_decode_pallas serves T <= {MAX_T_BANDED} "
-            f"(got {T}); use the XLA scan path for longer inputs")
+            f"banded location attention serves T <= {MAX_T_BANDED} "
+            f"(got {T}); use loc_tiled=True (the auto-route default) or "
+            f"the XLA scan path for longer inputs")
     if graves:
         # no banded location matrices and no key projection — the Graves
         # branch only needs l1 [Q, Q] and the section-packed l2 [Q, 384]
@@ -441,9 +522,11 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             v_w = jnp.pad(v_w, ((0, A - A0),))
             processed_inputs = jnp.pad(processed_inputs,
                                        ((0, 0), (0, 0), (0, A - A0)))
-        k_loc = _band_matrices(
-            p_dec["attention"]["loc_conv"]["w"],               # [K, 2, F]
-            wdense, T, dtype)
+        k_loc = (_tile_matrices(p_dec["attention"]["loc_conv"]["w"],
+                                wdense, dtype) if loc_tiled
+                 else _band_matrices(
+                     p_dec["attention"]["loc_conv"]["w"],      # [K, 2, F]
+                     wdense, T, dtype))
         gl1_w = jnp.zeros((8, 128), F32)
         gl1_b = jnp.zeros((128,), F32)
         g3_w = jnp.zeros((8, 384), F32)
@@ -515,8 +598,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             pltpu.VMEM((B, p_dec["decoder_rnn"]["wh"].shape[0]), F32),    # h2
             pltpu.VMEM((B, p_dec["decoder_rnn"]["wh"].shape[0]), F32),    # c2
             pltpu.VMEM((B, E), F32),                                      # ctx
-            pltpu.VMEM((B, T), F32),                                      # att
-            pltpu.VMEM((B, T), F32),                                      # cum
+            pltpu.VMEM((B, T + 2 * LOC_HALO if loc_tiled else T), F32),   # att
+            pltpu.VMEM((B, T + 2 * LOC_HALO if loc_tiled else T), F32),   # cum
             pltpu.VMEM((B, n_mels), F32),                                 # frame
             pltpu.VMEM((B, 1), F32),                                      # done
             pltpu.VMEM((B, T), F32),                                      # alpha
@@ -529,7 +612,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         thresh=thresh, prenet_dropout=prenet_dropout, dtype=dtype,
         windowing=windowing, win_back=win_back, win_front=win_front,
         forward_attn=forward_attn, trans_agent=trans_agent,
-        forward_attn_mask=forward_attn_mask, graves=graves, n_gmm=attn_K)
+        forward_attn_mask=forward_attn_mask, graves=graves, n_gmm=attn_K,
+        loc_tiled=loc_tiled)
     dec_out, aligns, stops, *stream_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -547,7 +631,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
       processed_inputs.astype(F32), maskadd, *weights, *state0)
 
     dec_out = dec_out[:max_steps, :B0]
-    aligns = aligns[:max_steps, :B0]
+    aligns = aligns[:max_steps, :B0, :T0]
     stops = stops[:max_steps, :B0, 0]
     B = B0
     # lengths in r-groups, inference_scan semantics: a step counts while the
