@@ -721,6 +721,18 @@ def verify_gates(quick: bool = False) -> dict:
     gates["taco2_tiled_kernel_rel_err"] = {"value": round(rel8, 4),
                                            "limit": 0.08, "ok": rel8 <= 0.08}
 
+    # -- gate 9: Tacotron(1) tiled location attention vs scan -----------------
+    # (taco1 port of the tile formulation: its T cap lifts like taco2's)
+    scan9 = np.asarray(model6.inference(var6, text8, lens8,
+                                        use_pallas=False)["decoder_outputs"])
+    with interp():
+        pal9 = np.asarray(model6.inference(var6, text8, lens8,
+                                           use_pallas=True)["decoder_outputs"])
+    rel9 = float(np.abs(scan9 - pal9).max()
+                 / max(float(np.abs(scan9).max()), 1e-3))
+    gates["taco1_tiled_kernel_rel_err"] = {"value": round(rel9, 4),
+                                           "limit": 0.08, "ok": rel9 <= 0.08}
+
     return gates
 
 

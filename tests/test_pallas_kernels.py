@@ -623,6 +623,51 @@ def test_taco1_decode_kernel_matches_scan():
     np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
 
 
+def test_taco1_decode_kernel_tiled_matches_scan():
+    """The tiled location formulation ported to the Tacotron(1) kernel
+    (lifts its T <= MAX_T_BANDED cap like taco2's) must match the XLA scan
+    at a 2-tile shape: T=140 pads to 256 internally, exercising the halo
+    slabs, the shared tile matrix, and the alignment slice-back."""
+    from your_voice_tts_tpu.models.common import sequence_mask
+    from your_voice_tts_tpu.models.tacotron import Tacotron
+    from your_voice_tts_tpu.ops.pallas.taco1_decode import (
+        tacotron1_decode_pallas)
+
+    cfg = _small_taco_cfg(model="Tacotron", tacotron_width=32, memory_size=5)
+    model = Tacotron(TACO_CHARS, cfg, n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    text = jax.random.randint(jax.random.PRNGKey(1), (3, 140), 1, TACO_CHARS)
+    text_len = jnp.array([140, 90, 40])
+    enc_out, _, _ = model._encode(params, state, text, None, False,
+                                  None, None, None)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 20)
+    mask = sequence_mask(text_len, enc_out.shape[1])
+    pinp = model.decoder.attention.preprocess_inputs(
+        params["decoder"]["attention"], enc_out)
+    ker = tacotron1_decode_pallas(
+        params["decoder"], enc_out, pinp, mask, n_mels=TACO_N_MELS, r=2,
+        memory_size=5, max_steps=20, prenet_dropout=False, interpret=True,
+        loc_tiled=True)
+    B = enc_out.shape[0]
+    frames = np.swapaxes(np.asarray(ker[0][..., :TACO_N_MELS * 2]), 0, 1) \
+        .reshape(B, 40, TACO_N_MELS)
+    np.testing.assert_allclose(frames, np.asarray(ref[0]), atol=5e-3)
+    np.testing.assert_allclose(np.swapaxes(np.asarray(ker[1]), 0, 1),
+                               np.asarray(ref[1]), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3] * 2), np.asarray(ref[3]))
+    # forced-banded still refuses over-length inputs (auto-route covers them)
+    big = jnp.tile(enc_out, (1, 2, 1))
+    big_pinp = jnp.tile(pinp, (1, 2, 1))
+    big_mask = sequence_mask(text_len, big.shape[1])
+    with pytest.raises(ValueError, match="loc_tiled"):
+        tacotron1_decode_pallas(
+            params["decoder"], big, big_pinp, big_mask, n_mels=TACO_N_MELS,
+            r=2, memory_size=5, max_steps=4, prenet_dropout=False,
+            interpret=True, loc_tiled=False)
+
+
 # ---------------------------------------------------------------------------
 # Statistical gates for the WaveRNN kernel's SAMPLED paths (VERDICT r2
 # weak #5: MoL/Gauss sampling was only smoke-gated for boundedness). At

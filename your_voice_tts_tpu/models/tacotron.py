@@ -424,12 +424,12 @@ class Tacotron:
         """True when inference() would auto-route onto the weights-in-VMEM
         Pallas kernel (TPU, default attention config, queue rolls by whole
         steps, and the working set fits the DEVICE's VMEM per
-        ops/pallas/capacity.py)."""
+        ops/pallas/capacity.py). There is no hard T cap: texts past
+        MAX_T_BANDED serve on the constant-VMEM tiled formulation."""
         from ..ops.pallas.capacity import taco1_kernel_fits
-        from ..ops.pallas.taco1_decode import MAX_T_BANDED, taco1_supported
+        from ..ops.pallas.taco1_decode import taco1_supported
         return (jax.default_backend() == "tpu"
                 and taco1_supported(self.cfg, self.decoder.memory_size, self.r)
-                and T <= MAX_T_BANDED
                 and taco1_kernel_fits(
                     self.cfg, T=T, B=B,
                     E=self.encoder_cbhg.out_dim + self.spk_dim,

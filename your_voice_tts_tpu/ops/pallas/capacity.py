@@ -184,10 +184,14 @@ def taco1_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
                       device_kind: str | None = None) -> bool:
     """Working-set check for the Tacotron(1) decode kernel
     (ops/pallas/taco1_decode.py): GRU stack of width `tacotron_width`//1,
-    banded location matrices, memory queue — same structure as taco2 but
-    much smaller weights."""
+    banded (T <= MAX_T_BANDED) or tiled (beyond; constant-VMEM) location
+    matrices, memory queue — same structure as taco2 but much smaller
+    weights. Mirrors tacotron1_decode_pallas's auto-route."""
     A = _rup(cfg.attention_dim, 128)
     Bp = _rup(B, 8)
+    loc_tiled = T > MAX_T_BANDED
+    if loc_tiled:
+        T = _rup(T, 128)   # wrapper pads T to whole 128-lane output tiles
     Tl = _rup(T, 128)
     w = cfg.tacotron_width
     M = memory_size if memory_size > 0 else r_init
@@ -197,11 +201,15 @@ def taco1_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
     wt += (M * n_mels * w + w * w) * bf2
     # attention GRU + 2 decoder GRUs (3 gates each) + projections
     wt += 3 * ((2 * w) * 3 * w + w * 3 * w) * bf2
-    wt += (w * A) * bf2 + (2 * T * T * A) * bf2
+    # location matrices: banded [2T, T*A] vs shared tile [2*384, 128*A]
+    wt += (w * A) * bf2
+    wt += (2 * 384 * 128 * A if loc_tiled else 2 * T * T * A) * bf2
     wt += ((w + E) * w + w * _rup(n_mels * r_init, 128)) * bf2
     inputs = Bp * T * E * bf2 + Bp * T * A * f4 + Bp * Tl * f4
     outputs = 2 * chunk * Bp * (_rup(n_mels * r_init, 128) + Tl + 128) * f4
-    scratch = Bp * (3 * w + E + 2 * Tl + _rup(M * n_mels, 128) + 128) * f4
+    halo = 2 * 256 if loc_tiled else 0  # att+cum each gain 2*128 halo lanes
+    scratch = Bp * (3 * w + E + 2 * Tl + halo + _rup(M * n_mels, 128)
+                    + 128) * f4
     return wt + inputs + outputs + scratch <= kernel_vmem_limit(device_kind)
 
 

@@ -13,6 +13,9 @@ projection + stopnet.
   each step drops the oldest r frames and appends the r just-emitted ones
   (pure lane-dim concat, no scatter).
 - in-kernel early exit after every sample fires its stop token, like taco2.
+- texts past MAX_T_BANDED auto-route onto taco2's shift-invariant TILED
+  location formulation (taco2_decode._tile_matrices): constant VMEM in T,
+  alignments carried at offset LOC_HALO in halo-padded att/cum scratch.
 
 Covers the default attention configuration; models/tacotron.py falls back to
 the XLA scan otherwise (supported_config below).
@@ -30,7 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .capacity import kernel_vmem_limit
-from .taco2_decode import MAX_T_BANDED, _band_matrices, supported_config  # noqa: F401
+from .taco2_decode import (  # noqa: F401
+    LOC_HALO, LOC_TILE, MAX_T_BANDED, _band_matrices, _tile_matrices,
+    supported_config)
 from .wavernn_gen import _fmix32, _uniform
 
 F32 = jnp.float32
@@ -58,7 +63,11 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             ah_ref, h1_ref, h2_ref, ctx_ref, att_ref, cum_ref, queue_ref,
             done_ref,
             *, chunk: int, n_mels: int, r: int, norm: str, thresh: float,
-            prenet_dropout: bool, dtype):
+            prenet_dropout: bool, dtype, loc_tiled: bool):
+    # tiled location attention stores alignments at offset LOC_HALO inside
+    # halo-padded [B, T + 2*LOC_HALO] att/cum scratch (taco2_decode)
+    OFF = LOC_HALO if loc_tiled else 0
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         ah_ref[...] = jnp.zeros_like(ah_ref)
@@ -72,7 +81,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
     seed = seed_ref[0]
     chunk_base = pl.program_id(0) * np.int32(chunk)
-    B, T = att_ref.shape
+    B, T = maskadd_ref.shape
     all_done = jnp.sum(1.0 - done_ref[...]) == 0.0
 
     @pl.when(all_done)
@@ -99,11 +108,30 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         ah = _gru(attn_in, ah_ref[...], a_wx, a_wh, a_bx, a_bh, dtype)
         pq = jnp.dot(ah.astype(dtype), q_w[...], preferred_element_type=F32)
         A = pq.shape[-1]
-        ac = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)
-        f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
-                         preferred_element_type=F32).reshape(B, T, A)
-        tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
-        e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
+        if loc_tiled:
+            # constant-VMEM tile formulation (taco2_decode._tile_matrices):
+            # one shared [2*384, 128*A] matrix against halo-padded slabs
+            e_parts = []
+            for i in range(T // LOC_TILE):
+                a_slab = att_ref[:, i * LOC_TILE: i * LOC_TILE + LOC_TILE
+                                 + 2 * LOC_HALO]
+                c_slab = cum_ref[:, i * LOC_TILE: i * LOC_TILE + LOC_TILE
+                                 + 2 * LOC_HALO]
+                ac = jnp.concatenate([a_slab, c_slab], axis=-1)  # [B, 768]
+                f_t = jnp.dot(ac.astype(dtype), k_loc[...],
+                              preferred_element_type=F32)       # [B, 128*A]
+                f_t = f_t.reshape(B, LOC_TILE, A)
+                th = jnp.tanh(pq[:, None, :] + f_t
+                              + pinp_ref[:, i * LOC_TILE:(i + 1) * LOC_TILE, :])
+                e_parts.append(jnp.sum(th * v_w[...][None, None, :], axis=-1))
+            e = (jnp.concatenate(e_parts, axis=-1) if len(e_parts) > 1
+                 else e_parts[0]) + v_b[...]
+        else:
+            ac = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)
+            f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
+                             preferred_element_type=F32).reshape(B, T, A)
+            tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
+            e = jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1) + v_b[...]
         e = e + maskadd_ref[...]
         if norm == "softmax":
             align = jax.nn.softmax(e, axis=-1)
@@ -138,8 +166,8 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         h1_ref[...] = h1
         h2_ref[...] = h2
         ctx_ref[...] = ctx
-        att_ref[...] = align
-        cum_ref[...] = cum_ref[...] + align
+        att_ref[:, OFF:OFF + T] = align
+        cum_ref[:, OFF:OFF + T] = cum_ref[:, OFF:OFF + T] + align
         done_ref[...] = done[:, None]
         out_ref[t] = output * active[:, None]
         align_ref[t] = align
@@ -170,12 +198,19 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             max_steps: int, norm: str = "sigmoid",
                             thresh: float = 0.6, prenet_dropout: bool = True,
                             seed: int = 0, chunk: int = 50,
-                            interpret: bool = False, dtype=BF16):
+                            interpret: bool = False, dtype=BF16,
+                            loc_tiled: bool | None = None):
     """Free-running Tacotron(1) decode, whole loop in one kernel launch.
 
     Mirrors tacotron2_decode_pallas: returns (outputs [steps, B, n_mels *
     r_init], alignments [steps, B, T], stop_probs [steps, B], lengths [B]
-    in r-groups) matching TacotronDecoder.inference's stacked outputs."""
+    in r-groups) matching TacotronDecoder.inference's stacked outputs.
+
+    loc_tiled: None auto-selects the location-attention formulation — the
+    single banded matmul for T <= MAX_T_BANDED, the constant-VMEM tiled
+    formulation (taco2_decode._tile_matrices) beyond it; True/False force
+    it. Tiled pads T up to a 128 multiple internally (alignments sliced
+    back)."""
     B0, T, E = enc_out.shape
     B = ((B0 + 7) // 8) * 8
     if B != B0:
@@ -183,14 +218,29 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         enc_out = jnp.pad(enc_out, padb + ((0, 0), (0, 0)))
         processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
         mask = jnp.pad(mask, padb + ((0, 0),))
+    if loc_tiled is None:
+        loc_tiled = T > MAX_T_BANDED
+    loc_tiled = bool(loc_tiled)
+    T0 = T
+    if loc_tiled:
+        # tile formulation operates on whole 128-lane output tiles; padded
+        # positions get mask=False -> -1e9 energies -> exact-0 alignments
+        Tp = ((T + LOC_TILE - 1) // LOC_TILE) * LOC_TILE
+        if Tp != T:
+            enc_out = jnp.pad(enc_out, ((0, 0), (0, Tp - T), (0, 0)))
+            processed_inputs = jnp.pad(processed_inputs,
+                                       ((0, 0), (0, Tp - T), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, Tp - T)))
+            T = Tp
     n_steps = ((max_steps + chunk - 1) // chunk) * chunk
     n_chunks = n_steps // chunk
     M = memory_size if memory_size > 0 else r
 
-    if T > MAX_T_BANDED:
+    if not loc_tiled and T > MAX_T_BANDED:
         raise ValueError(
-            f"tacotron1_decode_pallas serves T <= {MAX_T_BANDED} "
-            f"(got {T}); use the XLA scan path for longer inputs")
+            f"banded location attention serves T <= {MAX_T_BANDED} "
+            f"(got {T}); use loc_tiled=True (the auto-route default) or "
+            f"the XLA scan path for longer inputs")
     q_w = p_dec["attention"]["query"]["w"]
     v_w = p_dec["attention"]["v"]["w"][:, 0]
     wdense = p_dec["attention"]["loc_dense"]["w"]
@@ -203,8 +253,10 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         v_w = jnp.pad(v_w, ((0, A - A0),))
         processed_inputs = jnp.pad(processed_inputs,
                                    ((0, 0), (0, 0), (0, A - A0)))
-    k_loc = _band_matrices(p_dec["attention"]["loc_conv"]["w"], wdense, T,
-                           dtype)
+    k_loc = (_tile_matrices(p_dec["attention"]["loc_conv"]["w"], wdense,
+                            dtype) if loc_tiled
+             else _band_matrices(p_dec["attention"]["loc_conv"]["w"], wdense,
+                                 T, dtype))
 
     g1, g2 = p_dec["decoder_rnns"]
     weights = [
@@ -253,15 +305,15 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             pltpu.VMEM((B, w_dim), F32),                      # dec GRU 1 h
             pltpu.VMEM((B, w_dim), F32),                      # dec GRU 2 h
             pltpu.VMEM((B, E), F32),                          # context
-            pltpu.VMEM((B, T), F32),                          # att
-            pltpu.VMEM((B, T), F32),                          # cum
+            pltpu.VMEM((B, T + 2 * LOC_HALO if loc_tiled else T), F32),  # att
+            pltpu.VMEM((B, T + 2 * LOC_HALO if loc_tiled else T), F32),  # cum
             pltpu.VMEM((B, M * n_mels), F32),                 # memory queue
             pltpu.VMEM((B, 1), F32),                          # done
         ],
     )
     kernel = functools.partial(
         _kernel, chunk=chunk, n_mels=n_mels, r=r, norm=norm, thresh=thresh,
-        prenet_dropout=prenet_dropout, dtype=dtype)
+        prenet_dropout=prenet_dropout, dtype=dtype, loc_tiled=loc_tiled)
     out, aligns, stops = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -276,7 +328,7 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
       processed_inputs.astype(F32), maskadd, *weights)
 
     out = out[:max_steps, :B0]
-    aligns = aligns[:max_steps, :B0]
+    aligns = aligns[:max_steps, :B0, :T0]
     stops = stops[:max_steps, :B0, 0]
     fired = stops > thresh
     done_before = jnp.cumsum(fired.astype(jnp.int32), axis=0) > 0
