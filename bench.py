@@ -771,10 +771,12 @@ def main() -> None:
 
     backend = jax.default_backend()
     quick = args.quick
-    # B=128 is the measured throughput knee on v5e: 2388x RT at B=32 ->
-    # 3968x at B=128 -> 4163x at B=256 (decode wall time is scan-latency
-    # bound and nearly batch-independent up to ~128)
-    B = args.batch or (4 if quick else 128)
+    # B=384 is the measured v5e throughput knee for the serving default
+    # (round-3 sweep, f32 scan route past the kernel's B<=128 VMEM cap):
+    # B=128 kernel 5986x -> B=256 scan 6262x -> B=384 scan 6998x -> B=512
+    # scan 7021x RT; bf16 at B=384 measured NO gain (6932x) — at this batch
+    # the decode is scan-step-latency bound, not weight-streaming bound.
+    B = args.batch or (4 if quick else 384)
     max_steps = args.steps or (20 if quick else 250)
     r = 2
 

@@ -118,8 +118,8 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
         w += (H1 * A) * bf2 + (2 * T * T * A) * bf2 + A * f4
     # decoder rnn (wx [H1+E, 4H2], wh [H2, 4H2])
     w += ((H1 + E) * 4 * H2 + H2 * 4 * H2) * bf2
-    # projection [H2+E, out_width] + stopnet [H2+out_width, 1]
-    w += ((H2 + E) * out_width + (H2 + out_width)) * bf2
+    # projection [H2+E, out_width] + projection-folded stopnet [H2+E, 1]
+    w += ((H2 + E) * out_width + (H2 + E)) * bf2
     # forward-attention shift matrix [T, Tl] + transition agent (always passed)
     w += T * Tl * bf2 + (E + H1) * bf2
     # per-batch inputs: enc_out bf16, processed f32, maskadd f32 (lane = T)
