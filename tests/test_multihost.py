@@ -33,10 +33,14 @@ def test_two_process_distributed_training(tmp_path):
     from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
 
     corpus = str(tmp_path / "corpus")
-    # varied utterance lengths so the two processes' round-robin corpus
-    # shards produce DIFFERENT local bucket shapes — sync_batch_shapes must
-    # reconcile them or the global arrays cannot assemble
-    make_synthetic_corpus(corpus, n_items=24, sr=8000, max_words=6)
+    # alternating short/long items: round-robin sharding gives process 0
+    # ALL long and process 1 ALL short utterances, so the two processes'
+    # local bucket shapes DIFFER every step — sync_batch_shapes must
+    # reconcile them or the global arrays cannot assemble. Within a process
+    # every batch has the one same shape: both train steps share a single
+    # trace+compile (two contending tracing processes on one core made
+    # per-bucket retraces the dominant cost of this test, 97 -> ~60 s)
+    make_synthetic_corpus(corpus, n_items=24, sr=8000, words_cycle=(3, 8))
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

@@ -396,9 +396,13 @@ def test_taco2_kernel_with_bf16_compute_dtype(small_taco):
     tl = jnp.array([12, 9])
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
+        # 8 steps: the dtype crash this guards fires on step 1 (kernel
+        # frames -> postnet); interpret-mode steps are the whole test cost
         b16 = model.inference(variables, text, tl, use_pallas=True,
-                              compute_dtype=jnp.bfloat16)
-        f32 = model.inference(variables, text, tl, use_pallas=True)
+                              compute_dtype=jnp.bfloat16,
+                              max_decoder_steps=8)
+        f32 = model.inference(variables, text, tl, use_pallas=True,
+                              max_decoder_steps=8)
     assert b16["postnet_outputs"].dtype == jnp.float32  # outputs_f32 boundary
     rel = float(np.abs(np.asarray(b16["postnet_outputs"])
                        - np.asarray(f32["postnet_outputs"])).max()

@@ -49,19 +49,37 @@ def _speech_wave(rng: np.random.Generator, sr: int, dur: float, f0: float) -> np
 
 def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
                           n_speakers: int = 1, seed: int = 0,
-                          min_words: int = 3, max_words: int = 9) -> str:
+                          min_words: int = 3, max_words: int = 9,
+                          words_cycle: tuple | None = None) -> str:
     """Create metadata.csv + wavs/ under `path`; returns `path`.
 
     min_words/max_words bound the sentence-length distribution — a model
     meant to stop correctly on long test sentences must see comparably long
-    training clips (bench uses max_words=15)."""
+    training clips (bench uses max_words=15).
+
+    words_cycle: when given (e.g. ``(3, 8)``), item i gets exactly
+    ``words_cycle[i % len]`` words with ONE fixed sentence text and a fixed
+    duration per group — so a round-robin corpus shard is single-bucket
+    (every batch the same static shape, no per-step retrace) while
+    different shards still carry DIFFERENT shapes. Made for the multi-host
+    test, where two tracing+compiling processes contend for one core and
+    every extra bucket costs a full retrace in both."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(path, "wavs"), exist_ok=True)
     lines = []
+    fixed_texts: dict = {}
     for i in range(n_items):
-        n_words = int(rng.integers(min_words, max_words))
-        text = _sentence(rng, n_words)
-        dur = 0.25 + 0.12 * n_words + float(rng.uniform(0, 0.1))
+        if words_cycle is not None:
+            n_words = int(words_cycle[i % len(words_cycle)])
+            if n_words not in fixed_texts:
+                fixed_texts[n_words] = _sentence(
+                    np.random.default_rng(seed + n_words), n_words)
+            text = fixed_texts[n_words]
+            dur = 0.25 + 0.12 * n_words
+        else:
+            n_words = int(rng.integers(min_words, max_words))
+            text = _sentence(rng, n_words)
+            dur = 0.25 + 0.12 * n_words + float(rng.uniform(0, 0.1))
         speaker = i % n_speakers
         f0 = 110.0 * (1.3 ** speaker)
         wav = _speech_wave(rng, sr, dur, f0)
