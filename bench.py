@@ -746,6 +746,10 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-trained", action="store_true",
                    help="skip the trained-checkpoint latency block")
+    p.add_argument("--split", action="store_true",
+                   help="also time decode-only and GL-only at the headline "
+                        "batch (attributes the batch wall to its two "
+                        "components; costs two extra compiles)")
     args = p.parse_args()
 
     _setup_compile_cache()
@@ -850,6 +854,43 @@ def main() -> None:
     rtf = audio_seconds / dt
     mel_frames_per_sec = B * n_frames / dt
 
+    split_extras = {}
+    if args.split:
+        # attribute the batch wall: decode-only (text -> postnet mel) vs
+        # GL-only (mel -> wav) on the SAME shapes as the headline
+        @jax.jit
+        def decode_only(variables, text, lens):
+            out = model.inference(variables, text, lens, rng=None)
+            mel = out["postnet_outputs"]
+            return jnp.abs(mel).sum()
+
+        @jax.jit
+        def gl_only(mel, key):
+            wav = dsp.inv_melspectrogram_batch(
+                mel, key, mel_inv_basis=inv_basis, window=window,
+                n_fft=acfg.fft_size, hop=acfg.hop_length,
+                preemph=acfg.preemphasis, ref_level_db=acfg.ref_level_db,
+                min_level_db=acfg.min_level_db, spec_gain=acfg.spec_gain,
+                max_norm=acfg.max_norm, symmetric=acfg.symmetric_norm,
+                clip=acfg.clip_norm, power=acfg.power,
+                gl_iters=acfg.griffin_lim_iters,
+                gl_momentum=acfg.griffin_lim_momentum)
+            return jnp.abs(wav).sum()
+
+        mel_fixed = jax.block_until_ready(
+            model.inference(variables, text, lens, rng=None)
+            ["postnet_outputs"])
+        for name, fn, fargs in (
+                ("decode_only", decode_only, (variables, text, lens)),
+                ("gl_only", gl_only, (mel_fixed, jax.random.PRNGKey(0)))):
+            float(fn(*fargs))  # compile
+            tt = []
+            for i in range(args.iters):
+                t0 = time.time()
+                float(fn(*fargs))
+                tt.append(time.time() - t0)
+            split_extras[f"{name}_wall_s"] = round(min(tt), 4)
+
     # p50 single-utterance latency (BASELINE.json metric), batch=1.
     # The headline number uses the serving default (auto-routes onto the
     # weights-in-VMEM Pallas decode kernel on TPU; bench --verify gate 5);
@@ -904,6 +945,7 @@ def main() -> None:
                 n_frames * acfg.hop_length / acfg.sample_rate / (p50_ms / 1000), 1),
             "dispatch_roundtrip_ms": round(dispatch_roundtrip_ms(), 1),
             "quick": quick,
+            **split_extras,
         },
     }
     if not args.no_trained:
