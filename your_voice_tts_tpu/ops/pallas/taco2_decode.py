@@ -61,15 +61,21 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 
 
-def _lstm(x, h, c, wx, wh, b, dtype):
+def _lstm(xs, h, c, wxs, wh, b, dtype):
     """Fused LSTM cell, torch gate order (i, f, g, o) — nn/rnn.py parity.
-    Two matmuls on purpose: row-stacking into one [x|h] @ W pass was
-    measured SLOWER (min 29.6 vs 26.8 ms / 500-step batch-1 decode, v5e) —
-    the in-kernel concatenate is a VMEM copy on the serial chain that costs
-    more than the saved matmul+add at these tiny shapes."""
-    gates = (jnp.dot(x.astype(dtype), wx[...], preferred_element_type=F32)
-             + jnp.dot(h.astype(dtype), wh[...], preferred_element_type=F32)
+    xs/wxs are matching tuples: the caller's input CONCAT is replaced by
+    row-split weight matmuls summed into the gates. Separate matmuls on
+    purpose: row-stacking into one [x|h] @ W pass was measured SLOWER
+    (min 29.6 vs 26.8 ms / 500-step batch-1 decode, v5e) — an in-kernel
+    concatenate is a VMEM copy on the serial chain that costs more than a
+    saved matmul+add at these tiny shapes; the same holds for the
+    [prenet|ctx] and [h|ctx] inputs, whose weights are split at trace time
+    (free) instead."""
+    gates = (jnp.dot(h.astype(dtype), wh[...], preferred_element_type=F32)
              + b[...])
+    for x, wx in zip(xs, wxs):
+        gates = gates + jnp.dot(x.astype(dtype), wx[...],
+                                preferred_element_type=F32)
     H = h.shape[-1]
     i = jax.nn.sigmoid(gates[..., :H])
     f = jax.nn.sigmoid(gates[..., H:2 * H])
@@ -82,9 +88,10 @@ def _lstm(x, h, c, wx, wh, b, dtype):
 
 def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
-            a_wx, a_wh, a_b, q_w, k_loc, v_w, v_b,
-            d_wx, d_wh, d_b, proj_w, proj_b, stop_w, stop_b,
-            shift_w, ta_w, ta_b, gl1_w, gl1_b, g3_w, g3_b,
+            a_wx_x, a_wx_c, a_wh, a_b, q_w, k_loc, v_w, v_b,
+            d_wx_h, d_wx_c, d_wh, d_b,
+            proj_w_h, proj_w_c, proj_b, stop_w_h, stop_w_c, stop_b,
+            shift_w, ta_w_c, ta_w_h, ta_b, gl1_w, gl1_b, g3_w, g3_b,
             h1_0, c1_0, h2_0, c2_0, frame_0,
             out_ref, align_ref, stop_ref,
             h1_out, c1_out, h2_out, c2_out, frame_out,
@@ -143,17 +150,22 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         """Decoder LSTM + projections + state writes — shared by the
         location-sensitive and Graves attention branches."""
         # --- decoder LSTM + projections --------------------------------------
-        dec_in = jnp.concatenate([h1, ctx], axis=-1)
-        h2, c2 = _lstm(dec_in, h2_ref[...], c2_ref[...], d_wx, d_wh, d_b,
-                       dtype)
-        proj_in = jnp.concatenate([h2, ctx], axis=-1)
-        dec_out = jnp.dot(proj_in.astype(dtype), proj_w[...],
-                          preferred_element_type=F32) + proj_b[...]
+        # all [a|b] input concats are gone: weights are row-split at trace
+        # time and each part matmuls separately (concat = VMEM copy on the
+        # serial chain; see _lstm docstring)
+        h2, c2 = _lstm((h1, ctx), h2_ref[...], c2_ref[...],
+                       (d_wx_h, d_wx_c), d_wh, d_b, dtype)
+        dec_out = (jnp.dot(h2.astype(dtype), proj_w_h[...],
+                           preferred_element_type=F32)
+                   + jnp.dot(ctx.astype(dtype), proj_w_c[...],
+                             preferred_element_type=F32) + proj_b[...])
         # stopnet folded through the projection at trace time (wrapper):
-        # stop([h2, dec_out]) becomes one matmul on proj_in, off the
+        # stop([h2, dec_out]) becomes matmuls on (h2, ctx), off the
         # dec_out-dependent tail of the serial chain
-        stop_logit = jnp.dot(proj_in.astype(dtype), stop_w[...],
-                             preferred_element_type=F32) + stop_b[...]
+        stop_logit = (jnp.dot(h2.astype(dtype), stop_w_h[...],
+                              preferred_element_type=F32)
+                      + jnp.dot(ctx.astype(dtype), stop_w_c[...],
+                                preferred_element_type=F32) + stop_b[...])
         stop_prob = jax.nn.sigmoid(stop_logit[:, 0])           # [B]
 
         # --- stop masking (inference_scan semantics) --------------------------
@@ -191,9 +203,8 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             x = jnp.where(_uniform(x.shape, key, 12) < 0.5, 0.0, x * 2.0)
 
         # --- attention LSTM --------------------------------------------------
-        attn_in = jnp.concatenate([x, ctx_ref[...]], axis=-1)
-        h1, c1 = _lstm(attn_in, h1_ref[...], c1_ref[...], a_wx, a_wh, a_b,
-                       dtype)
+        h1, c1 = _lstm((x, ctx_ref[...]), h1_ref[...], c1_ref[...],
+                       (a_wx_x, a_wx_c), a_wh, a_b, dtype)
 
         t_lane = lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(F32)
         if graves:
@@ -289,10 +300,12 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             alpha_shift = jnp.dot(alpha_prev.astype(dtype), shift_w[...],
                                   preferred_element_type=F32)
             if trans_agent:
-                ta_in = jnp.concatenate([ctx_ref[...], h1], axis=-1)
-                u = jax.nn.sigmoid(jnp.dot(ta_in.astype(dtype), ta_w[...],
-                                           preferred_element_type=F32)
-                                   + ta_b[...])                # [B, 1]
+                u = jax.nn.sigmoid(
+                    jnp.dot(ctx_ref[...].astype(dtype), ta_w_c[...],
+                            preferred_element_type=F32)
+                    + jnp.dot(h1.astype(dtype), ta_w_h[...],
+                              preferred_element_type=F32)
+                    + ta_b[...])                               # [B, 1]
             else:
                 u = 0.5
             alpha = ((1.0 - u) * alpha_prev + u * alpha_shift + 1e-8) * align
@@ -565,22 +578,29 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     stop_w_eff = stop_w_eff.at[:H2d].add(sw[:H2d, :])
     stop_b_eff = p_dec["stopnet"]["b"] + jnp.matmul(
         p_dec["projection"]["b"], so)
+    # row-split every [a|b]-input weight at trace time (free): the kernel
+    # then matmuls the parts separately instead of concatenating inputs on
+    # the serial chain (see _lstm docstring)
+    P = p_dec["prenet"]["linears"][1]["w"].shape[1]            # prenet out
+    a_wx = p_dec["attention_rnn"]["wx"]                        # [P+E, 4H1]
+    d_wx = p_dec["decoder_rnn"]["wx"]                          # [H1+E, 4H2]
+    proj_full = p_dec["projection"]["w"]                       # [H2+E, OW]
     weights = [
         p_dec["prenet"]["linears"][0]["w"], p_dec["prenet"]["linears"][0]["b"],
         p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
-        p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
+        a_wx[:P], a_wx[P:], p_dec["attention_rnn"]["wh"],
         p_dec["attention_rnn"]["b"],
         q_w, k_loc,
         v_w, v_b,
-        p_dec["decoder_rnn"]["wx"], p_dec["decoder_rnn"]["wh"],
+        d_wx[:H1], d_wx[H1:], p_dec["decoder_rnn"]["wh"],
         p_dec["decoder_rnn"]["b"],
-        p_dec["projection"]["w"], p_dec["projection"]["b"],
-        stop_w_eff, stop_b_eff,
-        shift_w, ta_w, ta_b, gl1_w, gl1_b, g3_w, g3_b,
+        proj_full[:H2d], proj_full[H2d:], p_dec["projection"]["b"],
+        stop_w_eff[:H2d], stop_w_eff[H2d:], stop_b_eff,
+        shift_w, ta_w[:E], ta_w[E:], ta_b, gl1_w, gl1_b, g3_w, g3_b,
     ]
     # biases and the attention v vector stay f32 (accumulator side); matmul
     # operands in bf16 (MXU-native) unless overridden
-    bias_ix = {1, 3, 6, 9, 10, 13, 15, 17, 20, 22, 24}
+    bias_ix = {1, 3, 7, 10, 11, 15, 18, 21, 25, 27, 29}
     weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
                for i, w in enumerate(weights)]
 
