@@ -43,8 +43,18 @@ BF16 = jnp.bfloat16
 
 
 def _gru(x, h, wx, wh, bx, bh, dtype):
-    """Fused GRU cell, torch gate order (r, z, n) — nn/rnn.py parity."""
-    gx = jnp.dot(x.astype(dtype), wx[...], preferred_element_type=F32) + bx[...]
+    """Fused GRU cell, torch gate order (r, z, n) — nn/rnn.py parity.
+    x/wx may be matching tuples: a caller's input CONCAT is replaced by
+    row-split weight matmuls summed into gx (an in-kernel concatenate is a
+    VMEM copy on the serial chain — taco2_decode._lstm measurement)."""
+    if isinstance(x, tuple):
+        gx = bx[...]
+        for xi, wi in zip(x, wx):
+            gx = gx + jnp.dot(xi.astype(dtype), wi[...],
+                              preferred_element_type=F32)
+    else:
+        gx = jnp.dot(x.astype(dtype), wx[...],
+                     preferred_element_type=F32) + bx[...]
     gh = jnp.dot(h.astype(dtype), wh[...], preferred_element_type=F32) + bh[...]
     H = h.shape[-1]
     r = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
@@ -55,8 +65,8 @@ def _gru(x, h, wx, wh, bx, bh, dtype):
 
 def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             p1_w, p1_b, p2_w, p2_b,
-            a_wx, a_wh, a_bx, a_bh, q_w, k_loc, v_w, v_b,
-            pj_w, pj_b,
+            a_wx_x, a_wx_c, a_wh, a_bx, a_bh, q_w, k_loc, v_w, v_b,
+            pj_w_a, pj_w_c, pj_b,
             d1_wx, d1_wh, d1_bx, d1_bh, d2_wx, d2_wh, d2_bx, d2_bh,
             pm_w, pm_b, stop_w, stop_b,
             out_ref, align_ref, stop_ref,
@@ -104,8 +114,9 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             x = jnp.where(_uniform(x.shape, key, 22) < 0.5, 0.0, x * 2.0)
 
         # --- attention GRU + location-sensitive attention -------------------
-        attn_in = jnp.concatenate([x, ctx_ref[...]], axis=-1)
-        ah = _gru(attn_in, ah_ref[...], a_wx, a_wh, a_bx, a_bh, dtype)
+        # input concats replaced by trace-time row-split weights (wrapper)
+        ah = _gru((x, ctx_ref[...]), ah_ref[...], (a_wx_x, a_wx_c), a_wh,
+                  a_bx, a_bh, dtype)
         pq = jnp.dot(ah.astype(dtype), q_w[...], preferred_element_type=F32)
         A = pq.shape[-1]
         if loc_tiled:
@@ -141,16 +152,20 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         ctx = jnp.sum(align[:, :, None] * inputs_ref[...], axis=1)
 
         # --- project + residual GRU stack + heads ---------------------------
-        xd = jnp.dot(jnp.concatenate([ah, ctx], axis=-1).astype(dtype),
-                     pj_w[...], preferred_element_type=F32) + pj_b[...]
+        xd = (jnp.dot(ah.astype(dtype), pj_w_a[...],
+                      preferred_element_type=F32)
+              + jnp.dot(ctx.astype(dtype), pj_w_c[...],
+                        preferred_element_type=F32) + pj_b[...])
         h1 = _gru(xd, h1_ref[...], d1_wx, d1_wh, d1_bx, d1_bh, dtype)
         xd = xd + h1
         h2 = _gru(xd, h2_ref[...], d2_wx, d2_wh, d2_bx, d2_bh, dtype)
         xd = xd + h2
         output = jnp.dot(xd.astype(dtype), pm_w[...],
                          preferred_element_type=F32) + pm_b[...]
-        stop_in = jnp.concatenate([xd, output], axis=-1)
-        stop_logit = jnp.dot(stop_in.astype(dtype), stop_w[...],
+        # stopnet folded through proj_mel at trace time (wrapper):
+        # stop([xd, output]) becomes one matmul on xd, in parallel with
+        # output instead of serially after it
+        stop_logit = jnp.dot(xd.astype(dtype), stop_w[...],
                              preferred_element_type=F32) + stop_b[...]
         stop_prob = jax.nn.sigmoid(stop_logit[:, 0])
 
@@ -259,19 +274,33 @@ def tacotron1_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                                  T, dtype))
 
     g1, g2 = p_dec["decoder_rnns"]
+    # trace-time serial-chain shortenings (same moves as taco2_decode):
+    # row-split the [prenet|ctx] and [ah|ctx] input weights (no in-kernel
+    # concats), and fold the stopnet through proj_mel — stop([xd, output])
+    # with output = xd@Wm + bm equals xd @ (Sx + Wm@So) + (sb + bm@So)
+    # where stop_w = [Sx ; So] splits at xd's width
+    P = p_dec["prenet"]["linears"][1]["w"].shape[1]
+    Ha = p_dec["attention_rnn"]["wh"].shape[0]
+    D = p_dec["project"]["w"].shape[1]
+    a_wx = p_dec["attention_rnn"]["wx"]                        # [P+E, 3Ha]
+    pj_w = p_dec["project"]["w"]                               # [Ha+E, D]
+    sw = p_dec["stopnet"]["w"]                                 # [D+OW, 1]
+    stop_w_eff = sw[:D] + jnp.matmul(p_dec["proj_mel"]["w"], sw[D:])
+    stop_b_eff = p_dec["stopnet"]["b"] + jnp.matmul(
+        p_dec["proj_mel"]["b"], sw[D:])
     weights = [
         p_dec["prenet"]["linears"][0]["w"], p_dec["prenet"]["linears"][0]["b"],
         p_dec["prenet"]["linears"][1]["w"], p_dec["prenet"]["linears"][1]["b"],
-        p_dec["attention_rnn"]["wx"], p_dec["attention_rnn"]["wh"],
+        a_wx[:P], a_wx[P:], p_dec["attention_rnn"]["wh"],
         p_dec["attention_rnn"]["bx"], p_dec["attention_rnn"]["bh"],
         q_w, k_loc, v_w, p_dec["attention"]["v"]["b"],
-        p_dec["project"]["w"], p_dec["project"]["b"],
+        pj_w[:Ha], pj_w[Ha:], p_dec["project"]["b"],
         g1["wx"], g1["wh"], g1["bx"], g1["bh"],
         g2["wx"], g2["wh"], g2["bx"], g2["bh"],
         p_dec["proj_mel"]["w"], p_dec["proj_mel"]["b"],
-        p_dec["stopnet"]["w"], p_dec["stopnet"]["b"],
+        stop_w_eff, stop_b_eff,
     ]
-    bias_ix = {1, 3, 6, 7, 10, 11, 13, 16, 17, 20, 21, 23, 25}
+    bias_ix = {1, 3, 7, 8, 11, 12, 15, 18, 19, 22, 23, 25, 27}
     weights = [jnp.asarray(w, F32 if i in bias_ix else dtype)
                for i, w in enumerate(weights)]
 
