@@ -141,8 +141,9 @@ def _sample_gauss(logits, key, greedy: bool):
 
 
 def _kernel(seed_ref, cond_ref,
-            i_w, i_b, g1_wx, g1_wh, g1_bx, g1_bh, g2_wx, g2_wh, g2_bx, g2_bh,
-            fc1_w, fc1_b, fc2_w, fc2_b, fc3_w, fc3_b,
+            i_w_x, i_w_c, i_b, g1_wx, g1_wh, g1_bx, g1_bh,
+            g2_wx_x, g2_wx_a, g2_wh, g2_bx, g2_bh,
+            fc1_w_x, fc1_w_a, fc1_b, fc2_w_f, fc2_w_a, fc2_b, fc3_w, fc3_b,
             out_ref, h1_ref, h2_ref, x_ref, *, chunk: int, n_mels: int,
             aux_dims: int, bits: int, mode: str = "mulaw",
             num_mixtures: int = 10, greedy: bool = False):
@@ -162,8 +163,6 @@ def _kernel(seed_ref, cond_ref,
         # independent of chunking
         key = _fmix32(seed + (chunk_base + t) * np.int32(_GOLD))
         c_t = cond_ref[t]                      # [B, C] = [B, 1+n_mels+4*aux]
-        m_t = c_t[:, :n_mels]
-        a1 = c_t[:, n_mels: n_mels + aux_dims]
         a2 = c_t[:, n_mels + aux_dims: n_mels + 2 * aux_dims]
         a3 = c_t[:, n_mels + 2 * aux_dims: n_mels + 3 * aux_dims]
         a4 = c_t[:, n_mels + 3 * aux_dims: n_mels + 4 * aux_dims]
@@ -171,22 +170,33 @@ def _kernel(seed_ref, cond_ref,
         h1 = h1_ref[...]
         h2 = h2_ref[...]
 
-        xin = jnp.concatenate([x_prev, m_t, a1], axis=-1)
-        x = jnp.dot(xin, i_w[...], preferred_element_type=F32) + i_b[...]
+        # every input concat is gone from the serial chain (a concat is a
+        # VMEM copy — taco2_decode._lstm measurement): weights are row-split
+        # at trace time and the parts matmul the already-extracted slices.
+        # x_prev's "matmul" is an outer product with one weight row — a VPU
+        # broadcast multiply, no MXU pass at all.
+        x = (x_prev * i_w_x[...]
+             + jnp.dot(c_t[:, : n_mels + aux_dims], i_w_c[...],
+                       preferred_element_type=F32) + i_b[...])
 
         g1_part = jnp.dot(x, g1_wx[...], preferred_element_type=F32) + g1_bx[...]
         h1 = _gru(g1_part, h1, g1_wh[...], g1_bh[...])
         x = x + h1
 
-        x2in = jnp.concatenate([x, a2], axis=-1)
-        g2_part = jnp.dot(x2in, g2_wx[...], preferred_element_type=F32) + g2_bx[...]
+        g2_part = (jnp.dot(x, g2_wx_x[...], preferred_element_type=F32)
+                   + jnp.dot(a2, g2_wx_a[...], preferred_element_type=F32)
+                   + g2_bx[...])
         h2 = _gru(g2_part, h2, g2_wh[...], g2_bh[...])
         x = x + h2
 
-        f1 = jax.nn.relu(jnp.dot(jnp.concatenate([x, a3], axis=-1), fc1_w[...],
-                                 preferred_element_type=F32) + fc1_b[...])
-        f2 = jax.nn.relu(jnp.dot(jnp.concatenate([f1, a4], axis=-1), fc2_w[...],
-                                 preferred_element_type=F32) + fc2_b[...])
+        f1 = jax.nn.relu(
+            jnp.dot(x, fc1_w_x[...], preferred_element_type=F32)
+            + jnp.dot(a3, fc1_w_a[...], preferred_element_type=F32)
+            + fc1_b[...])
+        f2 = jax.nn.relu(
+            jnp.dot(f1, fc2_w_f[...], preferred_element_type=F32)
+            + jnp.dot(a4, fc2_w_a[...], preferred_element_type=F32)
+            + fc2_b[...])
         logits = jnp.dot(f2, fc3_w[...], preferred_element_type=F32) + fc3_b[...]
 
         if mode == "mulaw":
@@ -236,26 +246,35 @@ def wavernn_generate_pallas(params: dict, cond: jnp.ndarray, aux: jnp.ndarray,
     stream = jnp.swapaxes(stream, 0, 1)                     # [Lp, B, C]
     n_chunks = Lp // chunk
 
+    # row-split every [a|b]-input weight at trace time so the kernel never
+    # concatenates on its serial chain (taco2_decode._lstm measurement):
+    # I [x | mel,a1], rnn2 wx [x | a2], fc1 [x | a3], fc2 [f1 | a4]
+    i_w = jnp.asarray(params["I"]["w"], F32)
+    g2_wx = jnp.asarray(params["rnn2"]["wx"], F32)
+    fc1_w = jnp.asarray(params["fc1"]["w"], F32)
+    fc2_w = jnp.asarray(params["fc2"]["w"], F32)
+    R = params["rnn1"]["wx"].shape[0]
+    Fd = fc1_w.shape[1]
     w = [
-        params["I"]["w"], params["I"]["b"],
+        i_w[0:1], i_w[1:], params["I"]["b"],
         params["rnn1"]["wx"], params["rnn1"]["wh"],
         params["rnn1"]["bx"], params["rnn1"]["bh"],
-        params["rnn2"]["wx"], params["rnn2"]["wh"],
+        g2_wx[:R], g2_wx[R:], params["rnn2"]["wh"],
         params["rnn2"]["bx"], params["rnn2"]["bh"],
-        params["fc1"]["w"], params["fc1"]["b"],
-        params["fc2"]["w"], params["fc2"]["b"],
+        fc1_w[:R], fc1_w[R:], params["fc1"]["b"],
+        fc2_w[:Fd], fc2_w[Fd:], params["fc2"]["b"],
         params["fc3"]["w"], params["fc3"]["b"],
     ]
     w = [jnp.asarray(x, F32) for x in w]
-    rnn_dims = w[2].shape[0]
-    n_classes = w[14].shape[1]
+    rnn_dims = R
+    n_classes = w[18].shape[1]
     if n_classes % 128:
         # lane-pad the narrow MoL/Gauss head; pad logits take a huge negative
         # bias so a full-width argmax (mulaw path) could never pick them, and
         # the mode samplers slice the real columns anyway
         padn = 128 - n_classes % 128
-        w[14] = jnp.pad(w[14], ((0, 0), (0, padn)))
-        w[15] = jnp.pad(w[15], ((0, padn),), constant_values=-1e9)
+        w[18] = jnp.pad(w[18], ((0, 0), (0, padn)))
+        w[19] = jnp.pad(w[19], ((0, padn),), constant_values=-1e9)
 
     # The input sample channel slot: cond stream layout is [mel | a1..a4];
     # x_prev is carried in scratch, so C here excludes it.
