@@ -191,6 +191,15 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
 
     def body(t, _):
         key = _fmix32(seed + (chunk_base + t) * np.int32(-1640531527))
+        # the banded location matmul depends only on the PREVIOUS step's
+        # alignments — issue it before the prenet so its MXU latency overlaps
+        # the prenet+attention-LSTM chain instead of serializing after it
+        # (the tiled formulation interleaves with pq and stays in place)
+        f_proj_early = None
+        if not graves and not loc_tiled:
+            ac0 = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)
+            f_proj_early = jnp.dot(ac0.astype(dtype), k_loc[...],
+                                   preferred_element_type=F32)  # [B, T*A]
         # --- prenet (dropout always on when enabled; reference quirk) -------
         x = frame_ref[...]                                     # [B, n_mels]
         x = jax.nn.relu(jnp.dot(x.astype(dtype), p1_w[...],
@@ -272,11 +281,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             e = (jnp.concatenate(e_parts, axis=-1) if len(e_parts) > 1
                  else e_parts[0]) + v_b[...]
         else:
-            ac = jnp.concatenate([att_ref[...], cum_ref[...]],
-                                 axis=-1)                      # [B, 2T]
-            f_proj = jnp.dot(ac.astype(dtype), k_loc[...],
-                             preferred_element_type=F32)       # [B, T*A]
-            f_proj = f_proj.reshape(B, T, A)
+            f_proj = f_proj_early.reshape(B, T, A)             # hoisted above
             tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
             e = (jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1)
                  + v_b[...])
