@@ -176,3 +176,28 @@ def test_preprocess_audit_cli(tmp_path):
     assert len(report2["problems"]) == 2
     assert any("unreadable" in s for s in report2["problems"])
     assert any("empty text" in s for s in report2["problems"])
+
+
+def test_words_cycle_corpus_fixed_shapes(tmp_path):
+    """words_cycle mode (the multi-host test's corpus): item i gets exactly
+    words_cycle[i % len] words with ONE fixed sentence and duration per
+    group — so a round-robin shard is single-bucket while different shards
+    differ."""
+    import wave
+
+    path = str(tmp_path / "cyc")
+    make_synthetic_corpus(path, n_items=8, sr=8000, words_cycle=(3, 8))
+    rows = [l.split("|") for l in
+            open(f"{path}/metadata.csv").read().splitlines()]
+    texts = [r[1] for r in rows]
+    # one fixed text per parity group, differing across groups
+    assert len(set(texts[0::2])) == 1 and len(set(texts[1::2])) == 1
+    assert texts[0] != texts[1]
+    assert len(texts[1].split()) == 8 and len(texts[0].split()) == 3
+    frames = []
+    for r in rows[:4]:
+        with wave.open(f"{path}/wavs/{r[0]}.wav") as f:
+            frames.append(f.getnframes())
+    # fixed duration per group (no jitter), longer for more words
+    assert frames[0] == frames[2] and frames[1] == frames[3]
+    assert frames[1] > frames[0]
