@@ -351,9 +351,9 @@ def test_taco2_decode_kernel_chunk_invariance():
 
 def test_taco2_decode_supported_config_and_t_limit(small_taco):
     """Routing contract: the whole attention family is served in-kernel
-    (round-3: windowing/forward attention, then Graves GMM, moved in-kernel);
-    only non-original prenets fall back to the XLA scan, and over-length
-    inputs raise instead of silently mis-serving."""
+    (round-3: windowing/forward attention, then Graves GMM, moved in-kernel),
+    BN prenets fold into the prenet Linears (no prenet fallback remains), and
+    over-length inputs raise instead of silently mis-serving."""
     assert supported_config(_small_taco_cfg())
     assert supported_config(_small_taco_cfg(attention_norm="softmax"))
     assert supported_config(_small_taco_cfg(windowing=True))
@@ -361,9 +361,10 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     assert supported_config(_small_taco_cfg(use_forward_attn=True,
                                             transition_agent=True))
     assert supported_config(_small_taco_cfg(attention_type="graves"))
-    assert not supported_config(_small_taco_cfg(attention_type="graves",
-                                                prenet_type="bn"))
-    assert not supported_config(_small_taco_cfg(prenet_type="bn"))
+    assert supported_config(_small_taco_cfg(attention_type="graves",
+                                            prenet_type="bn"))
+    assert supported_config(_small_taco_cfg(prenet_type="bn"))
+    assert not supported_config(_small_taco_cfg(location_attn=False))
 
     model, variables = small_taco
     params = variables["params"]
@@ -386,6 +387,36 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     assert out[1].shape == (4, big.shape[0], big.shape[1])
 
 
+def test_taco2_kernel_bn_prenet_matches_scan():
+    """BN-prenet configs are served in-kernel by folding the inference-mode
+    BatchNorm affine into the prenet Linears (models/common.fold_bn_prenet).
+    Running stats and scale/bias are randomized so the fold is non-trivial;
+    the kernel must still match the XLA scan."""
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(prenet_type="bn"),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    for i, bn_p in enumerate(params["decoder"]["prenet"]["bns"]):
+        bn_p["scale"] = 1.0 + 0.3 * jax.random.normal(ks[i], bn_p["scale"].shape)
+        bn_p["bias"] = 0.2 * jax.random.normal(ks[i + 2], bn_p["bias"].shape)
+    for i, bn_s in enumerate(state["decoder"]["prenet"]["bns"]):
+        bn_s["mean"] = 0.3 * jax.random.normal(ks[i + 4], bn_s["mean"].shape)
+        bn_s["var"] = jnp.exp(0.5 * jax.random.normal(ks[i + 6],
+                                                      bn_s["var"].shape))
+    enc_out, text_len = _enc_out(model, variables, B=2)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 12)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         12, interpret=True,
+                                         state=state["decoder"])
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
+
+
 def test_taco2_kernel_with_bf16_compute_dtype(small_taco):
     """compute_dtype=bf16 + use_pallas=True used to crash: the kernel emits
     f32 frames while the postnet params are cast to bf16, and lax.conv
@@ -396,13 +427,17 @@ def test_taco2_kernel_with_bf16_compute_dtype(small_taco):
     tl = jnp.array([12, 9])
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
-        # 8 steps: the dtype crash this guards fires on step 1 (kernel
-        # frames -> postnet); interpret-mode steps are the whole test cost
+        # 3 steps: the dtype crash this guards fires on step 1 (kernel
+        # frames -> postnet), step 2+ covers the state carry; interpret-mode
+        # steps are the whole test cost (8 steps measured 21 s on 1 core)
         b16 = model.inference(variables, text, tl, use_pallas=True,
                               compute_dtype=jnp.bfloat16,
-                              max_decoder_steps=8)
-        f32 = model.inference(variables, text, tl, use_pallas=True,
-                              max_decoder_steps=8)
+                              max_decoder_steps=3)
+    # f32 reference via the XLA scan: kernel-vs-scan equivalence is gated by
+    # test_taco2_decode_kernel_matches_scan, so the scan is a valid (and ~10x
+    # cheaper than a second interpret-mode kernel trace) f32 baseline here
+    f32 = model.inference(variables, text, tl, use_pallas=False,
+                          max_decoder_steps=3)
     assert b16["postnet_outputs"].dtype == jnp.float32  # outputs_f32 boundary
     rel = float(np.abs(np.asarray(b16["postnet_outputs"])
                        - np.asarray(f32["postnet_outputs"])).max()
@@ -624,6 +659,36 @@ def test_taco1_decode_kernel_matches_scan():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
                                atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
+
+
+def test_taco1_kernel_bn_prenet_matches_scan():
+    """BN-prenet fold (models/common.fold_bn_prenet) on the Tacotron(1)
+    kernel: randomized running stats, kernel must match the XLA scan. The
+    encoder prenet also runs BN here (outside the kernel) — covered free."""
+    from your_voice_tts_tpu.models.tacotron import Tacotron
+
+    cfg = _small_taco_cfg(model="Tacotron", tacotron_width=32, memory_size=5,
+                          prenet_type="bn")
+    model = Tacotron(TACO_CHARS, cfg, n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    for i, (bn_p, bn_s) in enumerate(zip(params["decoder"]["prenet"]["bns"],
+                                         state["decoder"]["prenet"]["bns"])):
+        bn_p["scale"] = 1.0 + 0.3 * jax.random.normal(ks[i], bn_p["scale"].shape)
+        bn_s["mean"] = 0.3 * jax.random.normal(ks[i + 2], bn_s["mean"].shape)
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 1, TACO_CHARS)
+    text_len = jnp.array([12, 10])
+    enc_out, _, _ = model._encode(params, state, text, None, False,
+                                  None, None, None)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 12)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         12, interpret=True,
+                                         state=state["decoder"])
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
     np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
 
 

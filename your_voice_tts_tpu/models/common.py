@@ -88,6 +88,23 @@ class Prenet:
         return x, new_state
 
 
+def fold_bn_prenet(p: Params, s: Params, eps: float = 1e-5) -> Params:
+    """Fold an inference-mode BN prenet into plain Linear+bias params.
+
+    prenet_type="bn" is Linear(no bias) -> BatchNorm(running stats) -> ReLU;
+    at inference BN is the affine y = scale*(x - mean)/sqrt(var+eps) + bias,
+    so each layer collapses to x @ (W * scale/std) + (bias - mean*scale/std)
+    — exactly the "original" prenet's Linear shape (dropout off). This is
+    what lets the weights-in-VMEM decode kernels serve BN-prenet configs
+    without any in-kernel BN support (taco2_decode.supported_config)."""
+    linears = []
+    for lin, bn, st in zip(p["linears"], p["bns"], s["bns"]):
+        k = bn["scale"] * jax.lax.rsqrt(st["var"].astype(jnp.float32) + eps)
+        linears.append({"w": lin["w"] * k,
+                        "b": bn["bias"] - st["mean"] * k})
+    return {"linears": linears}
+
+
 class ConvBNBlock:
     """conv(k) + BatchNorm + activation + dropout(0.5) (reference ConvBNBlock)."""
 

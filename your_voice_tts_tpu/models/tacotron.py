@@ -23,7 +23,8 @@ from ..config import ModelConfig
 from ..nn.core import BatchNorm1d, Conv1d, Dense, Embedding, Params
 from ..nn.rnn import GRUCell, gru
 from .attention import init_attn
-from .common import Prenet, cast_compute, outputs_f32, sequence_mask
+from .common import (Prenet, cast_compute, fold_bn_prenet, outputs_f32,
+                     sequence_mask)
 
 
 class Highway:
@@ -242,22 +243,32 @@ class TacotronDecoder:
 
     def inference_pallas(self, p, inputs, input_lengths, max_steps,
                          r: int | None = None, seed: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, state=None):
         """inference() on the weights-in-VMEM Pallas kernel
         (ops/pallas/taco1_decode.py) — same contract as the scan path; the
-        kernel's hash PRNG drives prenet dropout (seeded by `seed`)."""
+        kernel's hash PRNG drives prenet dropout (seeded by `seed`). `state`
+        (decoder state pytree) is required only for BN prenets, whose
+        running-stats affine folds into the prenet Linears
+        (models/common.fold_bn_prenet) with dropout off."""
         from ..ops.pallas.taco1_decode import tacotron1_decode_pallas
 
         r = r or self.r_init
         B = inputs.shape[0]
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed = self.attention.preprocess_inputs(p["attention"], inputs)
+        if self.prenet.prenet_type == "bn":
+            assert state is not None, \
+                "BN-prenet kernel decode needs the decoder state (running stats)"
+            p = {**p, "prenet": fold_bn_prenet(p["prenet"], state["prenet"])}
+            prenet_dropout = False
+        else:
+            prenet_dropout = (self.cfg.prenet_dropout
+                              and self.prenet.dropout_enabled)
         out, aligns, stops, steps_done = tacotron1_decode_pallas(
             p, inputs, processed, mask, n_mels=self.n_mels, r=r,
             memory_size=self.memory_size, max_steps=max_steps,
             norm=self.attention.norm, thresh=self.cfg.stop_threshold,
-            prenet_dropout=(self.cfg.prenet_dropout
-                            and self.prenet.dropout_enabled),
+            prenet_dropout=prenet_dropout,
             seed=seed, interpret=interpret)
         out = jnp.swapaxes(out[..., : self.n_mels * r], 0, 1) \
             .reshape(B, max_steps * r, self.n_mels)
@@ -458,7 +469,7 @@ class Tacotron:
         if use_pallas:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
-                seed=pallas_seed)
+                seed=pallas_seed, state=state["decoder"])
             if compute_dtype is not None:
                 # the kernel emits f32 frames; the PostCBHG params were cast
                 # to the compute dtype — match them (scan path parity)

@@ -25,8 +25,8 @@ from ..config import ModelConfig
 from ..nn.core import Dense, Embedding, Params
 from ..nn.rnn import LSTMCell, bilstm
 from .attention import init_attn
-from .common import (ConvBNBlock, Prenet, cast_compute, outputs_f32,
-                     sequence_mask)
+from .common import (ConvBNBlock, Prenet, cast_compute, fold_bn_prenet,
+                     outputs_f32, sequence_mask)
 
 
 class Encoder:
@@ -260,27 +260,39 @@ class Decoder:
             "forward_attn_mask": a.forward_attn_mask,
         }
 
+    def _pallas_prenet(self, p: Params, state: Params | None):
+        """(possibly-folded decoder params, in-kernel dropout flag) for the
+        decode kernel: BN prenets fold their running-stats affine into the
+        Linears (models/common.fold_bn_prenet) and never apply dropout."""
+        if self.prenet.prenet_type == "bn":
+            assert state is not None, \
+                "BN-prenet kernel decode needs the decoder state (running stats)"
+            return {**p, "prenet": fold_bn_prenet(p["prenet"],
+                                                  state["prenet"])}, False
+        return p, self.cfg.prenet_dropout and self.prenet.dropout_enabled
+
     def inference_pallas(self, p: Params, inputs, input_lengths, max_steps: int,
                          r: int | None = None, seed: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, state: Params | None = None):
         """inference() on the weights-in-VMEM Pallas kernel
         (ops/pallas/taco2_decode.py) — the TPU serving fast path for the
         default attention configuration. Prenet dropout draws from the
         kernel's hash PRNG (seeded by `seed`) instead of jax.random, so
         outputs are reproducible but not bit-matched to the scan path when
-        dropout is on."""
+        dropout is on. `state` (the decoder state pytree) is required only
+        for BN prenets, whose running stats fold into the prenet weights."""
         from ..ops.pallas.taco2_decode import tacotron2_decode_pallas
 
         r = r or self.r_init
         B = inputs.shape[0]
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed_inputs = self.attention.preprocess_inputs(p["attention"], inputs)
+        p, prenet_dropout = self._pallas_prenet(p, state)
         dec_out, aligns, stops, steps_done = tacotron2_decode_pallas(
             p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
             max_steps=max_steps, norm=getattr(self.attention, "norm", "sigmoid"),
             thresh=self.cfg.stop_threshold,
-            prenet_dropout=(self.cfg.prenet_dropout
-                            and self.prenet.dropout_enabled),
+            prenet_dropout=prenet_dropout,
             seed=seed, interpret=interpret, **self._attn_kernel_flags())
         dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
             .reshape(B, max_steps * r, self.n_mels)
@@ -290,7 +302,8 @@ class Decoder:
     def inference_truncated_pallas(self, p: Params, inputs, input_lengths,
                                    max_steps: int, r: int | None = None,
                                    seed: int = 0, stream=None,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   state: Params | None = None):
         """inference_truncated() on the weights-in-VMEM Pallas kernel: RNN
         hiddens + last frame stream across text chunks, attention resets per
         chunk, and the kernel's early exit stops decoding once every sample
@@ -305,12 +318,12 @@ class Decoder:
         if stream is not None:
             attn_hc, dec_hc, prev_frame = stream
             stream = (tuple(attn_hc), tuple(dec_hc), prev_frame)
+        p, prenet_dropout = self._pallas_prenet(p, state)
         dec_out, aligns, stops, steps_done, stream_out = tacotron2_decode_pallas(
             p, inputs, processed_inputs, mask, n_mels=self.n_mels, r=r,
             max_steps=max_steps, norm=getattr(self.attention, "norm", "sigmoid"),
             thresh=self.cfg.stop_threshold,
-            prenet_dropout=(self.cfg.prenet_dropout
-                            and self.prenet.dropout_enabled),
+            prenet_dropout=prenet_dropout,
             seed=seed, interpret=interpret, stream=stream, return_stream=True,
             **self._attn_kernel_flags())
         dec_out = jnp.swapaxes(dec_out[..., : self.n_mels * r], 0, 1) \
@@ -594,7 +607,7 @@ class Tacotron2:
         if use_pallas:
             dec_out, aligns, stops, out_lengths = self.decoder.inference_pallas(
                 params["decoder"], enc_out, text_lengths, max_steps, r=r,
-                seed=pallas_seed)
+                seed=pallas_seed, state=state["decoder"])
             if compute_dtype is not None:
                 # the kernel emits f32 frames; the postnet params were cast
                 # to the compute dtype — match them (scan path parity)
@@ -649,7 +662,8 @@ class Tacotron2:
             dec_out, aligns, stops, out_lengths, stream_out = \
                 self.decoder.inference_truncated_pallas(
                     params["decoder"], enc_out, text_lengths, max_steps, r=r,
-                    seed=pallas_seed, stream=stream_state)
+                    seed=pallas_seed, stream=stream_state,
+                    state=state["decoder"])
             if compute_dtype is not None:
                 # kernel emits f32 frames; postnet params are compute-dtype
                 dec_out = dec_out.astype(compute_dtype)

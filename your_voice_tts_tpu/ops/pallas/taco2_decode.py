@@ -361,9 +361,11 @@ def supported_config(cfg) -> bool:
     `attention_type="original"` configuration (location-sensitive energies
     with optional windowing, forward attention, transition agent, forward
     mask, sigmoid or softmax norm) AND Graves GMM attention (per-component
-    unrolled VPU math, means carried in VMEM scratch). Only non-original
-    prenets fall back to the XLA scan."""
-    if cfg.prenet_type != "original":
+    unrolled VPU math, means carried in VMEM scratch). Both prenet types are
+    served: "original" directly, "bn" by folding the inference-mode BatchNorm
+    affine into the prenet Linears at trace time
+    (models/common.fold_bn_prenet) — no config falls back on prenet grounds."""
+    if cfg.prenet_type not in ("original", "bn"):
         return False
     if cfg.attention_type == "graves":
         return True
