@@ -364,7 +364,8 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
     assert supported_config(_small_taco_cfg(attention_type="graves",
                                             prenet_type="bn"))
     assert supported_config(_small_taco_cfg(prenet_type="bn"))
-    assert not supported_config(_small_taco_cfg(location_attn=False))
+    assert supported_config(_small_taco_cfg(location_attn=False))
+    assert not supported_config(_small_taco_cfg(attention_norm="entmax"))
 
     model, variables = small_taco
     params = variables["params"]
@@ -385,6 +386,26 @@ def test_taco2_decode_supported_config_and_t_limit(small_taco):
                                   n_mels=TACO_N_MELS, r=2, max_steps=4,
                                   interpret=True, prenet_dropout=False)
     assert out[1].shape == (4, big.shape[0], big.shape[1])
+
+
+def test_taco2_kernel_content_attention_matches_scan():
+    """location_attn=False (plain content-based energies, no location term)
+    is served in-kernel by skipping the banded/tiled location matmul — the
+    kernel must match the XLA scan."""
+    model = Tacotron2(TACO_CHARS, _small_taco_cfg(location_attn=False),
+                      n_mels=TACO_N_MELS)
+    variables = model.init(KEY)
+    params, state = variables["params"], variables["state"]
+    enc_out, text_len = _enc_out(model, variables, B=2)
+    ref = model.decoder.inference(params["decoder"], state["decoder"],
+                                  enc_out, text_len, None, 12)
+    ker = model.decoder.inference_pallas(params["decoder"], enc_out, text_len,
+                                         12, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ker[3]), np.asarray(ref[3]))
 
 
 def test_taco2_kernel_bn_prenet_matches_scan():

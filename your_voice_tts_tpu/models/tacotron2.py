@@ -258,6 +258,7 @@ class Decoder:
             "win_front": a.win_front, "forward_attn": a.forward_attn,
             "trans_agent": a.trans_agent,
             "forward_attn_mask": a.forward_attn_mask,
+            "loc_attn": a.location_attention,
         }
 
     def _pallas_prenet(self, p: Params, state: Params | None):

@@ -88,7 +88,7 @@ def _rup(x: int, m: int) -> int:
 def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
                        n_mels: int, out_width: int, prenet_dim: int,
                        chunk: int = 50, graves: bool = False,
-                       loc_tiled: bool = False) -> int:
+                       loc_tiled: bool = False, loc_attn: bool = True) -> int:
     """Working-set bytes of the Tacotron2 decode kernel for the given shapes.
 
     Mirrors tacotron2_decode_pallas's buffer list: bf16 matmul operands,
@@ -109,6 +109,10 @@ def taco2_decode_bytes(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
         # Graves GMM: l1 [H1, H1] + section-packed l2 [H1, 384]; no banded
         # matrices, no key projection, tiny dummy pinp block
         w += (H1 * H1 + H1 * 384) * bf2 + (128 + 384) * f4
+    elif not loc_attn:
+        # content-based attention (location_attn=False): q [H1, A], v [A],
+        # dummy k_loc [8, 128] — no band, no T cap from location matrices
+        w += (H1 * A) * bf2 + 8 * 128 * bf2 + A * f4
     elif loc_tiled:
         # attention projections: q [H1, A], the shift-invariant tile matrix
         # [2*384, 128*A] (constant in T — taco2_decode._tile_matrices), v [A]
@@ -145,13 +149,14 @@ def taco2_route(cfg, *, T: int, B: int, E: int, r_init: int,
     Mirrors tacotron2_decode_pallas's auto-route exactly: banded up to
     MAX_T_BANDED, tiled beyond."""
     graves = getattr(cfg, "attention_type", "original") == "graves"
-    loc_tiled = (not graves) and T > MAX_T_BANDED
+    loc_attn = bool(getattr(cfg, "location_attn", True))
+    loc_tiled = (not graves) and loc_attn and T > MAX_T_BANDED
     need = taco2_decode_bytes(
         T=T if not loc_tiled else _rup(T, 128), B=B, E=E,
         A=cfg.attention_dim, H1=cfg.attention_rnn_dim,
         H2=cfg.decoder_rnn_dim, n_mels=n_mels, out_width=n_mels * r_init,
         prenet_dim=cfg.prenet_dim, chunk=chunk, graves=graves,
-        loc_tiled=loc_tiled)
+        loc_tiled=loc_tiled, loc_attn=loc_attn)
     if need > kernel_vmem_limit(device_kind):
         return None
     return "tiled" if loc_tiled else "banded"

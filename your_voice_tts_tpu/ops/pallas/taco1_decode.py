@@ -203,7 +203,7 @@ def taco1_supported(cfg, memory_size: int, r: int) -> bool:
     kernel, so the attention_type must be re-checked here)."""
     M = memory_size if memory_size > 0 else r
     return (supported_config(cfg) and cfg.attention_type == "original"
-            and r <= M
+            and cfg.location_attn and r <= M
             and not cfg.windowing and not cfg.use_forward_attn
             and not cfg.transition_agent)
 

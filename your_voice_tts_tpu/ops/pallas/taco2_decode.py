@@ -101,7 +101,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
             thresh: float, prenet_dropout: bool, dtype,
             windowing: bool, win_back: int, win_front: int,
             forward_attn: bool, trans_agent: bool, forward_attn_mask: bool,
-            graves: bool, n_gmm: int, loc_tiled: bool):
+            graves: bool, n_gmm: int, loc_tiled: bool, loc_attn: bool = True):
     step0 = pl.program_id(0) == 0
     # tiled location attention stores alignments at offset LOC_HALO inside
     # halo-padded [B, T + 2*LOC_HALO] att/cum scratch (see _tile_matrices)
@@ -196,7 +196,7 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
         # the prenet+attention-LSTM chain instead of serializing after it
         # (the tiled formulation interleaves with pq and stays in place)
         f_proj_early = None
-        if not graves and not loc_tiled:
+        if not graves and not loc_tiled and loc_attn:
             ac0 = jnp.concatenate([att_ref[...], cum_ref[...]], axis=-1)
             f_proj_early = jnp.dot(ac0.astype(dtype), k_loc[...],
                                    preferred_element_type=F32)  # [B, T*A]
@@ -280,9 +280,15 @@ def _kernel(seed_ref, inputs_ref, pinp_ref, maskadd_ref,
                 e_parts.append(jnp.sum(th * v_w[...][None, None, :], axis=-1))
             e = (jnp.concatenate(e_parts, axis=-1) if len(e_parts) > 1
                  else e_parts[0]) + v_b[...]
-        else:
+        elif loc_attn:
             f_proj = f_proj_early.reshape(B, T, A)             # hoisted above
             tanh_arg = jnp.tanh(pq[:, None, :] + f_proj + pinp_ref[...])
+            e = (jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1)
+                 + v_b[...])
+        else:
+            # plain content-based energies (location_attn=False): no
+            # location term at all — v . tanh(Wq h1 + Wk m)
+            tanh_arg = jnp.tanh(pq[:, None, :] + pinp_ref[...])
             e = (jnp.sum(tanh_arg * v_w[...][None, None, :], axis=-1)
                  + v_b[...])
         e = e + maskadd_ref[...]                               # -1e9 at pads
@@ -369,7 +375,9 @@ def supported_config(cfg) -> bool:
         return False
     if cfg.attention_type == "graves":
         return True
-    return (cfg.attention_type == "original" and cfg.location_attn
+    # location_attn=False (plain content-based energies) is served too: the
+    # kernel simply skips the banded/tiled location matmul (loc_attn flag)
+    return (cfg.attention_type == "original"
             and cfg.attention_norm in ("sigmoid", "softmax"))
 
 
@@ -438,7 +446,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
                             trans_agent: bool = False,
                             forward_attn_mask: bool = False,
                             graves: bool = False, attn_K: int = 4,
-                            loc_tiled: bool | None = None):
+                            loc_tiled: bool | None = None,
+                            loc_attn: bool = True):
     """Free-running Tacotron2 decode, whole loop in one kernel launch.
 
     p_dec: Decoder param pytree (models/tacotron2.py layout). enc_out
@@ -479,8 +488,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         processed_inputs = jnp.pad(processed_inputs, padb + ((0, 0), (0, 0)))
         mask = jnp.pad(mask, padb + ((0, 0),))
     if loc_tiled is None:
-        loc_tiled = (not graves) and T > MAX_T_BANDED
-    loc_tiled = bool(loc_tiled) and not graves
+        loc_tiled = (not graves) and loc_attn and T > MAX_T_BANDED
+    loc_tiled = bool(loc_tiled) and not graves and loc_attn
     T0 = T
     if loc_tiled:
         # tile formulation operates on whole 128-lane output tiles; padded
@@ -506,7 +515,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
     n_steps = ((max_steps + chunk - 1) // chunk) * chunk
     n_chunks = n_steps // chunk
 
-    if not graves and not loc_tiled and T > MAX_T_BANDED:
+    if not graves and loc_attn and not loc_tiled and T > MAX_T_BANDED:
         raise ValueError(
             f"banded location attention serves T <= {MAX_T_BANDED} "
             f"(got {T}); use loc_tiled=True (the auto-route default) or "
@@ -538,7 +547,8 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         # contribute tanh(0) * 0 = 0, exactly nothing)
         q_w = p_dec["attention"]["query"]["w"]
         v_w = p_dec["attention"]["v"]["w"][:, 0]
-        wdense = p_dec["attention"]["loc_dense"]["w"]          # [F, A]
+        wdense = (p_dec["attention"]["loc_dense"]["w"] if loc_attn
+                  else jnp.zeros((8, q_w.shape[1]), F32))      # [F, A]
         A0 = q_w.shape[1]
         A = ((A0 + 127) // 128) * 128
         if A != A0:
@@ -548,11 +558,16 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
             v_w = jnp.pad(v_w, ((0, A - A0),))
             processed_inputs = jnp.pad(processed_inputs,
                                        ((0, 0), (0, 0), (0, A - A0)))
-        k_loc = (_tile_matrices(p_dec["attention"]["loc_conv"]["w"],
-                                wdense, dtype) if loc_tiled
-                 else _band_matrices(
-                     p_dec["attention"]["loc_conv"]["w"],      # [K, 2, F]
-                     wdense, T, dtype))
+        if not loc_attn:
+            # plain content-based attention: no location matrices at all
+            # (and no T cap from the band — the kernel never reads k_loc)
+            k_loc = jnp.zeros((8, 128), dtype)
+        else:
+            k_loc = (_tile_matrices(p_dec["attention"]["loc_conv"]["w"],
+                                    wdense, dtype) if loc_tiled
+                     else _band_matrices(
+                         p_dec["attention"]["loc_conv"]["w"],  # [K, 2, F]
+                         wdense, T, dtype))
         gl1_w = jnp.zeros((8, 128), F32)
         gl1_b = jnp.zeros((128,), F32)
         g3_w = jnp.zeros((8, 384), F32)
@@ -659,7 +674,7 @@ def tacotron2_decode_pallas(p_dec: dict, enc_out, processed_inputs, mask,
         windowing=windowing, win_back=win_back, win_front=win_front,
         forward_attn=forward_attn, trans_agent=trans_agent,
         forward_attn_mask=forward_attn_mask, graves=graves, n_gmm=attn_K,
-        loc_tiled=loc_tiled)
+        loc_tiled=loc_tiled, loc_attn=loc_attn)
     dec_out, aligns, stops, *stream_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
