@@ -1,0 +1,260 @@
+"""Import reference torch checkpoints into this framework's param pytrees.
+
+The reference (prototypefund/your-voice-TTS, a mozilla/TTS fork) saves torch
+pickles of ``{"model": state_dict, "r": int, "step": int, ...}`` (reference
+utils/io.py save_checkpoint). This module converts that state_dict into the
+npz-serializable ``{"params": ..., "state": ...}`` pytree of
+models/tacotron2.Tacotron2, so trained reference models transfer instead of
+retraining (MIGRATION.md §3).
+
+PROVENANCE: /root/reference is empty in this environment, so the source key
+names are reconstructed from the upstream mozilla/TTS layer naming
+(layers/tacotron2.py Encoder/Decoder/Postnet, layers/common_layers.py
+Linear/Prenet wrappers) — the same provenance discipline as SURVEY.md §0.
+Matching is therefore *pattern-tolerant*: every target leaf carries a list of
+candidate source-name regexes (fork renames like ``location_conv`` vs
+``location_conv1d`` both match), and the conversion returns a report of
+unmapped source keys and unfilled targets instead of failing silently.
+
+Layout transforms (cross-checked against torch in tests/test_layers.py and
+tests/test_torch_import.py):
+
+- torch ``nn.Linear.weight`` is [out, in]  -> ours [in, out]  (transpose)
+- torch ``nn.Conv1d.weight`` is [out, in, k] -> ours [k, in, out]
+- torch LSTM/LSTMCell ``weight_ih`` is [4H, in] -> ours wx [in, 4H]; the two
+  torch biases sum into our single ``b`` (same i,f,g,o gate order)
+- BatchNorm weight/bias/running_mean/running_var -> scale/bias + state
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = ["convert_tacotron2_state_dict", "load_torch_state_dict",
+           "strip_module_prefix"]
+
+
+def strip_module_prefix(sd: dict) -> dict:
+    """Drop the ``module.`` prefix torch DataParallel training leaves behind."""
+    return {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+
+def load_torch_state_dict(path: str) -> tuple[dict, dict]:
+    """torch.load a reference checkpoint -> (numpy state_dict, metadata).
+
+    Accepts both a bare state_dict and the reference's
+    ``{"model": state_dict, "r": ..., "step": ...}`` envelope."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model" in blob and hasattr(
+            next(iter(blob["model"].values()), None), "numpy"):
+        sd, meta = blob["model"], {k: v for k, v in blob.items() if k != "model"}
+    else:
+        sd, meta = blob, {}
+    sd = strip_module_prefix(sd)
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()
+            if hasattr(v, "detach")}, meta
+
+
+def _t(a):
+    return np.ascontiguousarray(np.asarray(a).T)
+
+
+def _conv(a):   # torch [out, in, k] -> ours [k, in, out]
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (2, 1, 0)))
+
+
+def _id(a):
+    return np.asarray(a)
+
+
+class _Matcher:
+    """Pulls source tensors by candidate regex (first match wins), tracking
+    which source keys were consumed."""
+
+    def __init__(self, sd: dict):
+        self.sd = dict(sd)
+        self.used: set[str] = set()
+
+    def pop(self, *patterns: str, required: bool = True):
+        for pat in patterns:
+            rx = re.compile(pat + r"$")
+            for k in self.sd:
+                if rx.search(k):
+                    self.used.add(k)
+                    return self.sd[k]
+        if required:
+            raise KeyError(f"no source key matches any of {patterns}")
+        return None
+
+    def unused(self) -> list[str]:
+        return sorted(k for k in self.sd if k not in self.used
+                      and "num_batches_tracked" not in k)
+
+
+def _lstm_in(m: _Matcher, prefix: str, out_p: dict, suffix: str = ""):
+    """Map a torch LSTM(Cell)'s 4 tensors onto our fused {wx, wh, b}."""
+    wih = m.pop(rf"{prefix}\.weight_ih{suffix}")
+    whh = m.pop(rf"{prefix}\.weight_hh{suffix}")
+    bih = m.pop(rf"{prefix}\.bias_ih{suffix}", required=False)
+    bhh = m.pop(rf"{prefix}\.bias_hh{suffix}", required=False)
+    out_p["wx"] = _t(wih)
+    out_p["wh"] = _t(whh)
+    b = np.zeros(wih.shape[0], np.float32)
+    if bih is not None:
+        b = b + np.asarray(bih)
+    if bhh is not None:
+        b = b + np.asarray(bhh)
+    out_p["b"] = b
+
+
+def _convbn(m: _Matcher, prefix: str, blk_p: dict, blk_s: dict):
+    """ConvBNBlock: conv + batchnorm params and running stats."""
+    blk_p["conv"]["w"] = _conv(m.pop(
+        rf"{prefix}\.(convolution1d|conv1d|conv)\.weight"))
+    cb = m.pop(rf"{prefix}\.(convolution1d|conv1d|conv)\.bias", required=False)
+    if cb is not None and "b" in blk_p["conv"]:
+        blk_p["conv"]["b"] = _id(cb)
+    blk_p["bn"]["scale"] = _id(m.pop(
+        rf"{prefix}\.(batch_normalization|bn|batch_norm)\.weight"))
+    blk_p["bn"]["bias"] = _id(m.pop(
+        rf"{prefix}\.(batch_normalization|bn|batch_norm)\.bias"))
+    blk_s["bn"]["mean"] = _id(m.pop(
+        rf"{prefix}\.(batch_normalization|bn|batch_norm)\.running_mean"))
+    blk_s["bn"]["var"] = _id(m.pop(
+        rf"{prefix}\.(batch_normalization|bn|batch_norm)\.running_var"))
+
+
+def _linear(m: _Matcher, prefix: str, out_p: dict, bias: bool = True):
+    """Reference Linear wrapper (``X.linear_layer.weight``) or bare Linear."""
+    out_p["w"] = _t(m.pop(rf"{prefix}\.linear_layer\.weight",
+                          rf"{prefix}\.weight"))
+    if bias:
+        b = m.pop(rf"{prefix}\.linear_layer\.bias", rf"{prefix}\.bias",
+                  required=False)
+        if b is not None:
+            out_p["b"] = _id(b)
+
+
+def convert_tacotron2_state_dict(sd: dict, variables: dict) -> tuple[dict, dict]:
+    """Fill a fresh Tacotron2 ``variables`` pytree (from ``model.init``) with
+    the reference state_dict's weights.
+
+    Returns (variables, report) where report = {"mapped": n,
+    "unused_source_keys": [...], "note": ...}. Unfilled optional branches
+    (GST, speaker embedding) stay at their init values when the source model
+    doesn't have them."""
+    import copy
+
+    v = copy.deepcopy(variables)
+    p, s = v["params"], v["state"]
+    m = _Matcher(sd)
+
+    p["embedding"]["table"] = _id(m.pop(r"embedding\.weight"))
+
+    # --- encoder: 3 ConvBN blocks + BiLSTM ------------------------------
+    for i, blk in enumerate(p["encoder"]["blocks"]):
+        _convbn(m, rf"encoder\.convolutions\.{i}", blk,
+                s["encoder"]["blocks"][i])
+    _lstm_in(m, r"encoder\.lstm", p["encoder"]["lstm_fwd"], suffix="_l0")
+    _lstm_in(m, r"encoder\.lstm", p["encoder"]["lstm_bwd"],
+             suffix="_l0_reverse")
+
+    # --- decoder ---------------------------------------------------------
+    d = p["decoder"]
+    for i, lin in enumerate(d["prenet"]["linears"]):
+        _linear(m, rf"decoder\.prenet\.linear_layers\.{i}", lin)
+    if "bns" in d["prenet"]:
+        for i, bn in enumerate(d["prenet"]["bns"]):
+            bn["scale"] = _id(m.pop(
+                rf"decoder\.prenet\.linear_layers\.{i}\.(batch_normalization|bn)\.weight"))
+            bn["bias"] = _id(m.pop(
+                rf"decoder\.prenet\.linear_layers\.{i}\.(batch_normalization|bn)\.bias"))
+            s["decoder"]["prenet"]["bns"][i]["mean"] = _id(m.pop(
+                rf"decoder\.prenet\.linear_layers\.{i}\.(batch_normalization|bn)\.running_mean"))
+            s["decoder"]["prenet"]["bns"][i]["var"] = _id(m.pop(
+                rf"decoder\.prenet\.linear_layers\.{i}\.(batch_normalization|bn)\.running_var"))
+    _lstm_in(m, r"decoder\.attention_rnn", d["attention_rnn"])
+    a = d["attention"]
+    if "query" in a:  # location-sensitive family
+        _linear(m, r"decoder\.attention(_layer)?\.query_layer", a["query"],
+                bias=False)
+        _linear(m, r"decoder\.attention(_layer)?\.inputs_layer", a["inputs"],
+                bias=False)
+        _linear(m, r"decoder\.attention(_layer)?\.v", a["v"])
+        if "loc_conv" in a:
+            a["loc_conv"]["w"] = _conv(m.pop(
+                r"decoder\.attention(_layer)?\.location_layer"
+                r"\.(location_conv1d|location_conv)\.weight"))
+            _linear(m, r"decoder\.attention(_layer)?\.location_layer"
+                       r"\.location_dense", a["loc_dense"], bias=False)
+        if "ta" in a:
+            _linear(m, r"decoder\.attention(_layer)?\.ta", a["ta"])
+    else:  # Graves GMM attention: N_a = Sequential(linear, tanh, linear)
+        _linear(m, r"decoder\.attention(_layer)?\.N_a\.0", a["l1"])
+        _linear(m, r"decoder\.attention(_layer)?\.N_a\.2", a["l2"])
+    _lstm_in(m, r"decoder\.decoder_rnn", d["decoder_rnn"])
+    _linear(m, r"decoder\.linear_projection", d["projection"])
+    # stopnet = Sequential(Dropout, Linear) in the reference -> index 1
+    _linear(m, r"decoder\.stopnet\.1", d["stopnet"])
+
+    # --- postnet: 5 ConvBN blocks ---------------------------------------
+    for i, blk in enumerate(p["postnet"]["blocks"]):
+        _convbn(m, rf"postnet\.convolutions\.{i}", blk,
+                s["postnet"]["blocks"][i])
+
+    # --- optional conditioning branches ----------------------------------
+    if "speaker_embedding" in p:
+        se = m.pop(r"speaker_embedding\.weight", required=False)
+        if se is not None:
+            p["speaker_embedding"]["table"] = _id(se)
+
+    # shape validation: any converted leaf whose shape disagrees with the
+    # model's template (e.g. a fork with a different symbol set) reverts to
+    # its init value and is reported, never silently mis-loaded
+    mismatches: list[str] = []
+
+    def _check(tmpl, filled, path):
+        if isinstance(tmpl, dict):
+            for k in tmpl:
+                _check(tmpl[k], filled[k], f"{path}/{k}")
+        elif isinstance(tmpl, (list, tuple)):
+            for i, t in enumerate(tmpl):
+                _check(t, filled[i], f"{path}/{i}")
+        else:
+            if tuple(np.shape(filled)) != tuple(np.shape(tmpl)):
+                mismatches.append(
+                    f"{path}: got {tuple(np.shape(filled))}, "
+                    f"expected {tuple(np.shape(tmpl))}")
+
+    def _revert(tmpl, filled, path):
+        if isinstance(tmpl, dict):
+            for k in tmpl:
+                r = _revert(tmpl[k], filled[k], f"{path}/{k}")
+                if r is not None:
+                    filled[k] = r
+        elif isinstance(tmpl, (list, tuple)):
+            for i, t in enumerate(tmpl):
+                r = _revert(t, filled[i], f"{path}/{i}")
+                if r is not None:
+                    filled[i] = r
+        else:
+            if tuple(np.shape(filled)) != tuple(np.shape(tmpl)):
+                return np.asarray(tmpl)
+        return None
+
+    for name in ("params", "state"):
+        _check(variables[name], v[name], name)
+        _revert(variables[name], v[name], name)
+
+    report = {
+        "mapped": len(m.used),
+        "unused_source_keys": m.unused(),
+        "shape_mismatches": mismatches,
+        "note": ("source keys reconstructed from upstream mozilla/TTS "
+                 "naming; unused keys listed above were NOT transferred"),
+    }
+    return v, report
