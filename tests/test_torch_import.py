@@ -287,3 +287,66 @@ def test_postnet_forward_parity(imported):
     y, _ = model.postnet(params["postnet"], state["postnet"], jnp.asarray(x),
                          None, train=False)
     np.testing.assert_allclose(np.asarray(y), ty.numpy(), atol=2e-5)
+
+
+class TorchSpeakerEncoder(tnn.Module):
+    """Reference speaker_encoder/model.py replica: plain LSTM recurring on
+    its own hidden, bias-free Linear projection applied to the outputs."""
+
+    class LSTMWithProjection(tnn.Module):
+        def __init__(self, i, h, p):
+            super().__init__()
+            self.lstm = tnn.LSTM(i, h, batch_first=True)
+            self.linear = tnn.Linear(h, p, bias=False)
+
+        def forward(self, x):
+            return self.linear(self.lstm(x)[0])
+
+    def __init__(self, input_dim=20, proj_dim=16, lstm_dim=24, num_layers=2):
+        super().__init__()
+        mods, i = [], input_dim
+        for _ in range(num_layers):
+            mods.append(self.LSTMWithProjection(i, lstm_dim, proj_dim))
+            i = proj_dim
+        self.layers = tnn.ModuleList(mods)
+
+    def forward(self, x):
+        for l in self.layers:
+            x = l(x)
+        emb = x[:, -1]
+        return emb / emb.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+
+
+def test_speaker_encoder_import_forward_parity(tmp_path):
+    """Reference GE2E encoder -> import CLI -> our recur_on_proj=False
+    SpeakerEncoder produces the same d-vectors."""
+    import json
+
+    from your_voice_tts_tpu.bin.import_checkpoint import main
+    from your_voice_tts_tpu.speaker_encoder.model import SpeakerEncoder
+    from your_voice_tts_tpu.train.checkpoint import load_checkpoint, read_meta
+
+    torch.manual_seed(2)
+    tenc = TorchSpeakerEncoder().eval()
+    src = tmp_path / "enc.pth.tar"
+    torch.save({"model": tenc.state_dict(), "step": 5}, src)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(
+        {"audio": {"num_mels": 20, "fft_size": 256, "sample_rate": 8000,
+                   "hop_length": 64, "win_length": 256, "mel_fmax": None}}))
+    out = tmp_path / "enc.npz"
+    main([str(src), str(cfg_path), str(out), "--kind", "speaker_encoder"])
+
+    arch = read_meta(str(out))["speaker_encoder"]
+    assert arch == {"input_dim": 20, "lstm_dim": 24, "proj_dim": 16,
+                    "num_layers": 2, "recur_on_proj": False}
+    enc = SpeakerEncoder(**arch)
+    params = enc.init(jax.random.PRNGKey(0))
+    params, _, _, _ = load_checkpoint(str(out), params=params, model_state={},
+                                      opt_state=None)
+    mels = np.random.default_rng(3).standard_normal((3, 25, 20)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        t_emb = tenc(torch.from_numpy(mels)).numpy()
+    emb = np.asarray(enc(params, jnp.asarray(mels)))
+    np.testing.assert_allclose(emb, t_emb, atol=2e-5)

@@ -39,7 +39,19 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = load_config(args.config)
     ap = AudioProcessor(cfg.audio)
-    model = SpeakerEncoder(input_dim=cfg.audio.num_mels)
+    # imported reference encoders record their architecture in the meta
+    # (bin/import_checkpoint --kind speaker_encoder); honor it so the
+    # template matches before load_checkpoint
+    enc_kw = {}
+    if args.checkpoint:
+        from ..train.checkpoint import read_meta
+        enc_kw = read_meta(args.checkpoint).get("speaker_encoder", {})
+    model = SpeakerEncoder(input_dim=enc_kw.get("input_dim",
+                                                cfg.audio.num_mels),
+                           proj_dim=enc_kw.get("proj_dim", 256),
+                           lstm_dim=enc_kw.get("lstm_dim", 768),
+                           num_layers=enc_kw.get("num_layers", 3),
+                           recur_on_proj=enc_kw.get("recur_on_proj", True))
     params = model.init(jax.random.PRNGKey(0))
     if args.checkpoint:
         params, _, _, _ = load_checkpoint(args.checkpoint, params=params,

@@ -22,6 +22,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("torch_checkpoint")
     p.add_argument("config_path")
     p.add_argument("out_path")
+    p.add_argument("--kind", choices=["tacotron2", "speaker_encoder"],
+                   default="tacotron2")
     p.add_argument("--num_speakers", type=int, default=0)
     p.add_argument("--speaker_embedding_dim", type=int, default=0)
     args = p.parse_args(argv)
@@ -32,16 +34,41 @@ def main(argv: list[str] | None = None) -> None:
     from ..models import setup_model
     from ..text import phonemes, symbols
     from ..train.checkpoint import save_checkpoint
-    from ..utils.torch_import import (convert_tacotron2_state_dict,
+    from ..utils.torch_import import (convert_speaker_encoder_state_dict,
+                                      convert_tacotron2_state_dict,
                                       load_torch_state_dict)
 
     cfg = load_config(args.config_path)
     sd, meta = load_torch_state_dict(args.torch_checkpoint)
-    num_chars = len(phonemes) if cfg.data.use_phonemes else len(symbols)
-    model = setup_model(num_chars, args.num_speakers, cfg,
-                        args.speaker_embedding_dim)
-    variables = model.init(jax.random.PRNGKey(0))
-    variables, report = convert_tacotron2_state_dict(sd, variables)
+
+    if args.kind == "speaker_encoder":
+        from ..speaker_encoder.model import SpeakerEncoder
+
+        # size the encoder from the source tensors themselves:
+        # weight_ih_l0 [4H, in], linear.weight [proj, H]
+        wih = next(v for k, v in sd.items() if k.endswith("lstm.weight_ih_l0")
+                   and k.startswith("layers.0"))
+        lin = next(v for k, v in sd.items() if "layers.0.linear" in k
+                   and k.endswith("weight"))
+        n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                           if k.startswith("layers."))
+        arch = {"input_dim": int(wih.shape[1]),
+                "lstm_dim": int(wih.shape[0] // 4),
+                "proj_dim": int(lin.shape[0]), "num_layers": n_layers,
+                "recur_on_proj": False}
+        model = SpeakerEncoder(**arch)
+        params = model.init(jax.random.PRNGKey(0))
+        params, report = convert_speaker_encoder_state_dict(sd, params)
+        variables = {"params": params, "state": {}}
+        extra = {"imported_from": args.torch_checkpoint,
+                 "speaker_encoder": arch}
+    else:
+        num_chars = len(phonemes) if cfg.data.use_phonemes else len(symbols)
+        model = setup_model(num_chars, args.num_speakers, cfg,
+                            args.speaker_embedding_dim)
+        variables = model.init(jax.random.PRNGKey(0))
+        variables, report = convert_tacotron2_state_dict(sd, variables)
+        extra = {"imported_from": args.torch_checkpoint}
 
     print(f"mapped {report['mapped']} source tensors")
     if report["unused_source_keys"]:
@@ -57,8 +84,7 @@ def main(argv: list[str] | None = None) -> None:
         args.out_path, params=variables["params"],
         model_state=variables["state"], opt_state={},
         step=int(meta.get("step", 0)), epoch=int(meta.get("epoch", 0)),
-        r=int(meta.get("r", cfg.model.r)),
-        extra={"imported_from": args.torch_checkpoint})
+        r=int(meta.get("r", cfg.model.r)), extra=extra)
     print(f"wrote {args.out_path}")
 
 

@@ -12,12 +12,20 @@ from ..nn.core import Params
 
 
 class LSTMWithProjection:
-    """LSTM(hidden) with output projection; the projected output is both the
-    layer output and the next step's recurrent input (reference
-    LSTMWithProjection). Gate order (i, f, g, o)."""
+    """LSTM(hidden) with output projection. Gate order (i, f, g, o).
 
-    def __init__(self, in_dim: int, hidden: int, proj: int):
+    recur_on_proj=True (default, true LSTMP — Sak et al. 2014): the projected
+    output is both the layer output and the next step's recurrent input;
+    smaller recurrent matmul, the TPU-friendly choice this framework trains
+    with. recur_on_proj=False reproduces the reference LSTMWithProjection
+    (a plain nn.LSTM recurring on its own hidden, Linear projection applied
+    to the output sequence afterwards) — the layout trained reference
+    speaker-encoder checkpoints expect (utils/torch_import.py)."""
+
+    def __init__(self, in_dim: int, hidden: int, proj: int,
+                 recur_on_proj: bool = True):
         self.in_dim, self.hidden, self.proj_dim = in_dim, hidden, proj
+        self.recur_on_proj = recur_on_proj
 
     def init(self, key) -> Params:
         import math
@@ -25,9 +33,10 @@ class LSTMWithProjection:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         s = 1.0 / math.sqrt(self.hidden)
         u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -s, s)
+        rec_dim = self.proj_dim if self.recur_on_proj else self.hidden
         return {
             "wx": u(k1, (self.in_dim, 4 * self.hidden)),
-            "wh": u(k2, (self.proj_dim, 4 * self.hidden)),
+            "wh": u(k2, (rec_dim, 4 * self.hidden)),
             "b": u(k3, (4 * self.hidden,)),
             "proj": u(k4, (self.hidden, self.proj_dim)),
         }
@@ -35,16 +44,17 @@ class LSTMWithProjection:
     def __call__(self, p: Params, xs):
         """[B, T, in] -> [B, T, proj]."""
         B = xs.shape[0]
-        h0 = (jnp.zeros((B, self.proj_dim)), jnp.zeros((B, self.hidden)))
+        rec_dim = self.proj_dim if self.recur_on_proj else self.hidden
+        h0 = (jnp.zeros((B, rec_dim)), jnp.zeros((B, self.hidden)))
 
         def step(state, x_t):
-            h_proj, c = state
-            gates = x_t @ p["wx"] + h_proj @ p["wh"] + p["b"]
+            h_rec, c = state
+            gates = x_t @ p["wx"] + h_rec @ p["wh"] + p["b"]
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             out = h @ p["proj"]
-            return (out, c), out
+            return ((out, c) if self.recur_on_proj else (h, c)), out
 
         _, ys = lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
         return jnp.swapaxes(ys, 0, 1)
@@ -54,11 +64,13 @@ class SpeakerEncoder:
     """3x LSTMP(768 -> 256) -> L2-normalized 256-d d-vector (reference dims)."""
 
     def __init__(self, input_dim: int = 80, proj_dim: int = 256,
-                 lstm_dim: int = 768, num_layers: int = 3):
+                 lstm_dim: int = 768, num_layers: int = 3,
+                 recur_on_proj: bool = True):
         self.layers = []
         in_dim = input_dim
         for _ in range(num_layers):
-            self.layers.append(LSTMWithProjection(in_dim, lstm_dim, proj_dim))
+            self.layers.append(LSTMWithProjection(in_dim, lstm_dim, proj_dim,
+                                                  recur_on_proj))
             in_dim = proj_dim
         self.proj_dim = proj_dim
 

@@ -64,6 +64,13 @@ def save_checkpoint(path: str, *, params, model_state, opt_state, step: int,
     return path
 
 
+def read_meta(path: str) -> dict:
+    """Read just the metadata record of a checkpoint (cheap: no tree
+    reconstruction) — lets callers size the model before loading."""
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(bytes(z["__meta__"]).decode())
+
+
 def load_checkpoint(path: str, *, params, model_state, opt_state=None,
                     strict: bool = True):
     """Restore into the given templates. Returns (params, model_state,

@@ -32,8 +32,8 @@ import re
 
 import numpy as np
 
-__all__ = ["convert_tacotron2_state_dict", "load_torch_state_dict",
-           "strip_module_prefix"]
+__all__ = ["convert_tacotron2_state_dict", "convert_speaker_encoder_state_dict",
+           "load_torch_state_dict", "strip_module_prefix"]
 
 
 def strip_module_prefix(sd: dict) -> dict:
@@ -137,6 +137,24 @@ def _linear(m: _Matcher, prefix: str, out_p: dict, bias: bool = True):
                   required=False)
         if b is not None:
             out_p["b"] = _id(b)
+
+
+def convert_speaker_encoder_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
+    """Fill a SpeakerEncoder param pytree (speaker_encoder/model.py, built
+    with ``recur_on_proj=False`` — the reference recurrence) from the
+    reference GE2E encoder's state_dict (``layers.{i}.lstm.weight_ih_l0`` +
+    ``layers.{i}.linear.weight``)."""
+    import copy
+
+    p = copy.deepcopy(params)
+    m = _Matcher(sd)
+    for i, layer in enumerate(p["layers"]):
+        _lstm_in(m, rf"layers\.{i}\.lstm", layer, suffix="_l0")
+        layer["proj"] = _t(m.pop(rf"layers\.{i}\.linear\.weight",
+                                 rf"layers\.{i}\.linear\.linear_layer\.weight"))
+    report = {"mapped": len(m.used), "unused_source_keys": m.unused(),
+              "shape_mismatches": []}
+    return p, report
 
 
 def convert_tacotron2_state_dict(sd: dict, variables: dict) -> tuple[dict, dict]:
