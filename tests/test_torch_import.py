@@ -289,6 +289,222 @@ def test_postnet_forward_parity(imported):
     np.testing.assert_allclose(np.asarray(y), ty.numpy(), atol=2e-5)
 
 
+class _Stretch2d(tnn.Module):
+    def __init__(self, x_scale):
+        super().__init__()
+        self.x_scale = x_scale
+
+    def forward(self, x):  # [B, C, H, W] -> [B, C, H, W*scale]
+        b, c, h, w = x.size()
+        x = x.unsqueeze(-1).repeat(1, 1, 1, 1, self.x_scale)
+        return x.view(b, c, h, w * self.x_scale)
+
+
+class TorchWaveRNN(tnn.Module):
+    """Reference WaveRNN replica (vocoder/models/wavernn.py naming):
+    MelResNet with BatchNorms, Stretch2d + 1-channel 2D smoothing convs,
+    GRU pair with residual connections, 3 FC layers."""
+
+    class ResBlock(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.conv1 = tnn.Conv1d(d, d, 1, bias=False)
+            self.batch_norm1 = tnn.BatchNorm1d(d)
+            self.conv2 = tnn.Conv1d(d, d, 1, bias=False)
+            self.batch_norm2 = tnn.BatchNorm1d(d)
+
+        def forward(self, x):
+            r = x
+            x = torch.relu(self.batch_norm1(self.conv1(x)))
+            return self.batch_norm2(self.conv2(x)) + r
+
+    class MelResNet(tnn.Module):
+        def __init__(self, n_mels, compute, res_out, blocks, pad):
+            super().__init__()
+            self.conv_in = tnn.Conv1d(n_mels, compute, 2 * pad + 1, bias=False)
+            self.batch_norm = tnn.BatchNorm1d(compute)
+            self.layers = tnn.ModuleList(
+                [TorchWaveRNN.ResBlock(compute) for _ in range(blocks)])
+            self.conv_out = tnn.Conv1d(compute, res_out, 1)
+
+        def forward(self, x):
+            x = torch.relu(self.batch_norm(self.conv_in(x)))
+            for f in self.layers:
+                x = f(x)
+            return self.conv_out(x)
+
+    class UpsampleNetwork(tnn.Module):
+        def __init__(self, n_mels, factors, compute, res_out, blocks, pad):
+            super().__init__()
+            self.hop = int(np.prod(factors))
+            self.indent = pad * self.hop
+            self.resnet = TorchWaveRNN.MelResNet(n_mels, compute, res_out,
+                                                 blocks, pad)
+            self.resnet_stretch = _Stretch2d(self.hop)
+            ups = []
+            for f in factors:
+                ups.append(_Stretch2d(f))
+                c2 = tnn.Conv2d(1, 1, (1, 2 * f + 1), padding=(0, f),
+                                bias=False)
+                torch.nn.init.normal_(c2.weight)   # random: gate the mapping
+                ups.append(c2)
+            self.up_layers = tnn.ModuleList(ups)
+
+        def forward(self, m):  # [B, M, T]
+            aux = self.resnet(m).unsqueeze(1)
+            aux = self.resnet_stretch(aux).squeeze(1)
+            m = m.unsqueeze(1)
+            for f in self.up_layers:
+                m = f(m)
+            m = m.squeeze(1)[:, :, self.indent:-self.indent]
+            return m.transpose(1, 2), aux.transpose(1, 2)
+
+    def __init__(self, n_mels=20, bits=9, rnn_dims=32, fc_dims=32,
+                 compute=32, res_out=16, blocks=2, pad=2, factors=(4, 4)):
+        super().__init__()
+        self.aux_dims = res_out // 4
+        self.upsample = self.UpsampleNetwork(n_mels, factors, compute,
+                                             res_out, blocks, pad)
+        self.I = tnn.Linear(n_mels + self.aux_dims + 1, rnn_dims)
+        self.rnn1 = tnn.GRU(rnn_dims, rnn_dims, batch_first=True)
+        self.rnn2 = tnn.GRU(rnn_dims + self.aux_dims, rnn_dims,
+                            batch_first=True)
+        self.fc1 = tnn.Linear(rnn_dims + self.aux_dims, fc_dims)
+        self.fc2 = tnn.Linear(fc_dims + self.aux_dims, fc_dims)
+        self.fc3 = tnn.Linear(fc_dims, 2 ** bits)
+
+    def forward(self, x, mels):  # x [B, L] float; mels [B, M, T]
+        mels, aux = self.upsample(mels)
+        d = self.aux_dims
+        a1, a2, a3, a4 = (aux[:, :, i * d:(i + 1) * d] for i in range(4))
+        x = torch.cat([x.unsqueeze(-1), mels, a1], dim=2)
+        x = self.I(x)
+        res = x
+        x, _ = self.rnn1(x)
+        x = x + res
+        res = x
+        x, _ = self.rnn2(torch.cat([x, a2], dim=2))
+        x = x + res
+        x = torch.relu(self.fc1(torch.cat([x, a3], dim=2)))
+        x = torch.relu(self.fc2(torch.cat([x, a4], dim=2)))
+        return self.fc3(x)
+
+
+def test_wavernn_import_forward_parity():
+    """Reference WaveRNN -> convert (BN folds, diagonal smoothing expand,
+    GRU bias pairs) -> teacher-forced logits match at every step."""
+    from your_voice_tts_tpu.utils.torch_import import (
+        convert_wavernn_state_dict, strip_module_prefix)
+    from your_voice_tts_tpu.vocoder.models.wavernn import WaveRNN
+
+    torch.manual_seed(4)
+    trep = TorchWaveRNN().eval()
+    for mod in trep.modules():
+        if isinstance(mod, tnn.BatchNorm1d):
+            mod.running_mean.normal_(0.0, 0.3)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy()
+          for k, v in strip_module_prefix(trep.state_dict()).items()}
+
+    model = WaveRNN(n_mels=20, bits=9, rnn_dims=32, fc_dims=32,
+                    compute_dims=32, res_out_dims=16, num_res_blocks=2,
+                    pad=2, upsample_factors=(4, 4))
+    params = model.init(jax.random.PRNGKey(0))
+    params, report = convert_wavernn_state_dict(sd, params)
+    assert report["unused_source_keys"] == [], report["unused_source_keys"]
+
+    rng = np.random.default_rng(5)
+    mels = rng.standard_normal((2, 8, 20)).astype(np.float32)
+    L = (8 - 2 * 2) * 16
+    x = rng.uniform(-1, 1, (2, L)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = trep(torch.from_numpy(x),
+                        torch.from_numpy(mels.transpose(0, 2, 1))).numpy()
+    logits = np.asarray(model.forward(params, jnp.asarray(x),
+                                      jnp.asarray(mels)))
+    np.testing.assert_allclose(logits, t_logits, atol=5e-5)
+
+
+def _wn(mod):
+    return torch.nn.utils.weight_norm(mod)
+
+
+class TorchResStack(tnn.Module):
+    """Reference vocoder/layers/melgan.py ResidualStack: LeakyReLU +
+    ReflectionPad + weight-normed dilated conv + LeakyReLU + 1x1, with a
+    learned weight-normed 1x1 shortcut per block."""
+
+    def __init__(self, ch, n, k=3):
+        super().__init__()
+        self.blocks = tnn.ModuleList([
+            tnn.Sequential(
+                tnn.LeakyReLU(0.2),
+                tnn.ReflectionPad1d(((k - 1) // 2) * k ** i),
+                _wn(tnn.Conv1d(ch, ch, k, dilation=k ** i)),
+                tnn.LeakyReLU(0.2),
+                _wn(tnn.Conv1d(ch, ch, 1)))
+            for i in range(n)])
+        self.shortcuts = tnn.ModuleList(
+            [_wn(tnn.Conv1d(ch, ch, 1)) for _ in range(n)])
+
+    def forward(self, x):
+        for block, shortcut in zip(self.blocks, self.shortcuts):
+            x = shortcut(x) + block(x)
+        return x
+
+
+class TorchMelGAN(tnn.Module):
+    """Reference melgan_generator.py replica: one Sequential of pad +
+    weight-normed convs + per-factor (LeakyReLU, ConvTranspose, ResStack)."""
+
+    def __init__(self, n_mels=20, base=64, factors=(4, 4), blocks=2, k=7):
+        super().__init__()
+        layers = [tnn.ReflectionPad1d((k - 1) // 2),
+                  _wn(tnn.Conv1d(n_mels, base, k))]
+        ch = base
+        for u in factors:
+            layers += [tnn.LeakyReLU(0.2),
+                       _wn(tnn.ConvTranspose1d(ch, ch // 2, 2 * u, u,
+                                               padding=u // 2 + u % 2,
+                                               output_padding=u % 2))]
+            layers += [TorchResStack(ch // 2, blocks, 3)]
+            ch //= 2
+        layers += [tnn.LeakyReLU(0.2), tnn.ReflectionPad1d((k - 1) // 2),
+                   _wn(tnn.Conv1d(ch, 1, k)), tnn.Tanh()]
+        self.layers = tnn.Sequential(*layers)
+
+    def forward(self, m):  # [B, M, T]
+        return self.layers(m)
+
+
+def test_melgan_import_forward_parity():
+    """Reference MelGAN generator -> convert (weight_norm folds, flipped
+    transposed-conv kernels, conv shortcuts, reflection pads) -> generated
+    audio matches elementwise."""
+    from your_voice_tts_tpu.utils.torch_import import (
+        convert_melgan_state_dict, strip_module_prefix)
+    from your_voice_tts_tpu.vocoder.models.melgan import MelganGenerator
+
+    torch.manual_seed(6)
+    trep = TorchMelGAN().eval()
+    sd = {k: v.detach().numpy()
+          for k, v in strip_module_prefix(trep.state_dict()).items()}
+
+    model = MelganGenerator(n_mels=20, upsample_factors=(4, 4),
+                            base_channels=64, num_res_blocks=2, kernel_size=7)
+    params = model.init(jax.random.PRNGKey(0))
+    params, report = convert_melgan_state_dict(sd, params)
+    assert report["unused_source_keys"] == [], report["unused_source_keys"]
+
+    mel = np.random.default_rng(7).standard_normal((2, 11, 20)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        t_wav = trep(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()[:, 0]
+    wav = np.asarray(model(params, jnp.asarray(mel)))
+    assert wav.shape == t_wav.shape
+    np.testing.assert_allclose(wav, t_wav, atol=5e-6)
+
+
 class TorchSpeakerEncoder(tnn.Module):
     """Reference speaker_encoder/model.py replica: plain LSTM recurring on
     its own hidden, bias-free Linear projection applied to the outputs."""

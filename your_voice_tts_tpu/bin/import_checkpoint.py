@@ -22,7 +22,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("torch_checkpoint")
     p.add_argument("config_path")
     p.add_argument("out_path")
-    p.add_argument("--kind", choices=["tacotron2", "speaker_encoder"],
+    p.add_argument("--kind",
+                   choices=["tacotron2", "speaker_encoder", "wavernn",
+                            "melgan"],
                    default="tacotron2")
     p.add_argument("--num_speakers", type=int, default=0)
     p.add_argument("--speaker_embedding_dim", type=int, default=0)
@@ -38,8 +40,60 @@ def main(argv: list[str] | None = None) -> None:
                                       convert_tacotron2_state_dict,
                                       load_torch_state_dict)
 
-    cfg = load_config(args.config_path)
     sd, meta = load_torch_state_dict(args.torch_checkpoint)
+
+    if args.kind == "melgan":
+        from ..utils.torch_import import convert_melgan_state_dict
+        from ..vocoder.config import load_vocoder_config
+        from ..vocoder.models.melgan import MelganGenerator
+
+        vcfg = load_vocoder_config(args.config_path)
+        g = vcfg.melgan
+        model = MelganGenerator(vcfg.audio.num_mels, g.upsample_factors,
+                                g.base_channels, g.num_res_blocks,
+                                g.kernel_size)
+        params = model.init(jax.random.PRNGKey(0))
+        params, report = convert_melgan_state_dict(sd, params)
+        print(f"mapped {report['mapped']} source tensors")
+        if report["unused_source_keys"]:
+            print("WARNING: NOT transferred (no matching target):")
+            for k in report["unused_source_keys"]:
+                print(f"  - {k}")
+        # the GAN trainer's checkpoint layout keys the generator under 'g'
+        # (vocoder/synthesizer._restore_generator_subtree)
+        save_checkpoint(args.out_path, params={"g": params}, model_state={},
+                        opt_state={}, step=int(meta.get("step", 0)),
+                        epoch=int(meta.get("epoch", 0)), r=1,
+                        extra={"imported_from": args.torch_checkpoint})
+        print(f"wrote {args.out_path}")
+        return
+
+    if args.kind == "wavernn":
+        from ..utils.torch_import import convert_wavernn_state_dict
+        from ..vocoder.config import load_vocoder_config
+        from ..vocoder.models.wavernn import WaveRNN
+
+        vcfg = load_vocoder_config(args.config_path)
+        w = vcfg.wavernn
+        model = WaveRNN(vcfg.audio.num_mels, w.bits, w.rnn_dims, w.fc_dims,
+                        w.compute_dims, w.res_out_dims, w.num_res_blocks,
+                        w.pad, w.upsample_factors, w.mode,
+                        num_mixtures=w.num_mixtures)
+        params = model.init(jax.random.PRNGKey(0))
+        params, report = convert_wavernn_state_dict(sd, params)
+        extra = {"imported_from": args.torch_checkpoint}
+        print(f"mapped {report['mapped']} source tensors")
+        if report["unused_source_keys"]:
+            print("WARNING: NOT transferred (no matching target):")
+            for k in report["unused_source_keys"]:
+                print(f"  - {k}")
+        save_checkpoint(args.out_path, params=params, model_state={},
+                        opt_state={}, step=int(meta.get("step", 0)),
+                        epoch=int(meta.get("epoch", 0)), r=1, extra=extra)
+        print(f"wrote {args.out_path}")
+        return
+
+    cfg = load_config(args.config_path)
 
     if args.kind == "speaker_encoder":
         from ..speaker_encoder.model import SpeakerEncoder

@@ -83,11 +83,15 @@ class Conv1d:
 
     def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
                  stride: int = 1, padding: str | int = "same",
-                 use_bias: bool = True, init_gain: str = "relu", dilation: int = 1):
+                 use_bias: bool = True, init_gain: str = "relu",
+                 dilation: int = 1, pad_mode: str = "zeros"):
         self.in_dim, self.out_dim, self.k = in_dim, out_dim, kernel_size
         self.stride, self.dilation = stride, dilation
         self.use_bias = use_bias
         self.gain = _GAINS[init_gain]
+        # pad_mode="reflect" mirrors the input instead of zero-filling
+        # (torch ReflectionPad1d + valid conv — the MelGAN family's choice)
+        self.pad_mode = pad_mode
         if padding == "same":
             total = dilation * (kernel_size - 1)
             self.pad = (total // 2, total - total // 2)
@@ -105,8 +109,12 @@ class Conv1d:
         return p
 
     def __call__(self, p: Params, x):
+        pad = [self.pad]
+        if self.pad_mode == "reflect" and self.pad != (0, 0):
+            x = jnp.pad(x, ((0, 0), self.pad, (0, 0)), mode="reflect")
+            pad = [(0, 0)]
         y = lax.conv_general_dilated(
-            x, p["w"], window_strides=(self.stride,), padding=[self.pad],
+            x, p["w"], window_strides=(self.stride,), padding=pad,
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
@@ -114,8 +122,14 @@ class Conv1d:
 
 
 class ConvTranspose1d:
-    """Channel-last transposed 1D conv: [B, T, C_in] -> [B, T*stride, C_out]
-    ('SAME' output length semantics, the MelGAN upsampler contract)."""
+    """Channel-last transposed 1D conv: [B, T, C_in] -> [B, T*stride, C_out].
+
+    Exactly torch's ConvTranspose1d with the MelGAN upsampler contract
+    (padding = stride//2 + stride%2, output_padding = stride%2): expressed as
+    an input-dilated regular conv (lhs_dilation = stride). Verified
+    elementwise against torch for even and odd strides
+    (tests/test_torch_import.py). Torch's [in, out, k] weight maps to our
+    [k, in, out] with the kernel axis flipped."""
 
     def __init__(self, in_dim: int, out_dim: int, kernel_size: int, stride: int,
                  use_bias: bool = True, init_gain: str = "linear"):
@@ -130,9 +144,12 @@ class ConvTranspose1d:
         return p
 
     def __call__(self, p: Params, x):
-        y = lax.conv_transpose(
-            x, p["w"], strides=(self.stride,), padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"))
+        u = self.stride
+        p0 = u // 2 + u % 2
+        pl = self.k - 1 - p0
+        y = lax.conv_general_dilated(
+            x, p["w"], window_strides=(1,), padding=[(pl, pl + u % 2)],
+            lhs_dilation=(u,), dimension_numbers=("NWC", "WIO", "NWC"))
         return y + p["b"] if self.use_bias else y
 
 

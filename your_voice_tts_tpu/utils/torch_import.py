@@ -33,6 +33,7 @@ import re
 import numpy as np
 
 __all__ = ["convert_tacotron2_state_dict", "convert_speaker_encoder_state_dict",
+           "convert_wavernn_state_dict", "convert_melgan_state_dict",
            "load_torch_state_dict", "strip_module_prefix"]
 
 
@@ -137,6 +138,146 @@ def _linear(m: _Matcher, prefix: str, out_p: dict, bias: bool = True):
                   required=False)
         if b is not None:
             out_p["b"] = _id(b)
+
+
+def _gru_in(m: _Matcher, prefix: str, out_p: dict, suffix: str = ""):
+    """torch GRU -> our GRUCell: biases stay separate (the n-gate applies
+    bias_hh inside the reset product — nn/rnn.py parity)."""
+    out_p["wx"] = _t(m.pop(rf"{prefix}\.weight_ih{suffix}"))
+    out_p["wh"] = _t(m.pop(rf"{prefix}\.weight_hh{suffix}"))
+    out_p["bx"] = _id(m.pop(rf"{prefix}\.bias_ih{suffix}"))
+    out_p["bh"] = _id(m.pop(rf"{prefix}\.bias_hh{suffix}"))
+
+
+def _fold_conv_bn_into(m: _Matcher, conv_w, bn_prefix: str, target: dict,
+                       eps: float = 1e-5):
+    """conv(bias=False) + eval-mode BatchNorm -> conv(scale-folded) + bias.
+
+    conv_w is the torch [out, in, k] weight; target gains w [k, in, out]
+    and b [out]. Exact at inference (BN is affine on running stats)."""
+    g = np.asarray(m.pop(rf"{bn_prefix}\.weight"))
+    b = np.asarray(m.pop(rf"{bn_prefix}\.bias"))
+    mu = np.asarray(m.pop(rf"{bn_prefix}\.running_mean"))
+    var = np.asarray(m.pop(rf"{bn_prefix}\.running_var"))
+    k = g / np.sqrt(var + eps)
+    target["w"] = _conv(np.asarray(conv_w) * k[:, None, None])
+    target["b"] = (b - mu * k).astype(np.float32)
+
+
+def _wn_fold(v, g):
+    """torch weight_norm (dim=0): w = g * v / ||v|| with the norm over all
+    non-leading dims per leading slice."""
+    v = np.asarray(v, np.float64)
+    g = np.asarray(g, np.float64)
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return (v * (g / norm)).astype(np.float32)
+
+
+def convert_melgan_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
+    """Fill a MelganGenerator param pytree (vocoder/models/melgan.py) from
+    the reference generator's state_dict.
+
+    The reference builds one nn.Sequential ``layers`` (pad, conv_in, then per
+    upsample factor: LeakyReLU + weight-normed ConvTranspose + ResidualStack,
+    then LeakyReLU + pad + conv_out + tanh). Indices are discovered from the
+    keys, not hard-coded: top-level weight-normed convs sort into conv_in /
+    per-factor transposed convs / conv_out; ResidualStack children live under
+    ``layers.{n}.blocks.{i}.{2,4}`` + ``layers.{n}.shortcuts.{i}``. Every
+    weight_norm (g, v) pair folds into a plain weight (inference exact)."""
+    import copy
+
+    p = copy.deepcopy(params)
+    m = _Matcher(sd)
+
+    def pop_wn(prefix):
+        v = m.pop(rf"{prefix}\.weight_v")
+        g = m.pop(rf"{prefix}\.weight_g")
+        b = m.pop(rf"{prefix}\.bias", required=False)
+        return _wn_fold(v, g), b
+
+    top = sorted(int(re.fullmatch(r"layers\.(\d+)\.weight_v", k).group(1))
+                 for k in m.sd if re.fullmatch(r"layers\.(\d+)\.weight_v", k))
+    stacks = sorted({int(k.split(".")[1]) for k in m.sd
+                     if re.match(r"layers\.\d+\.blocks\.", k)})
+    assert len(top) == 2 + len(p["ups"]), (top, len(p["ups"]))
+    assert len(stacks) == len(p["ups"]), (stacks, len(p["ups"]))
+
+    w, b = pop_wn(rf"layers\.{top[0]}")
+    p["conv_in"]["w"] = _conv(w)
+    p["conv_in"]["b"] = _id(b)
+    for j, upd in enumerate(p["ups"]):
+        w, b = pop_wn(rf"layers\.{top[1 + j]}")       # torch [in, out, k]
+        upd["up"]["w"] = np.ascontiguousarray(
+            np.transpose(w[:, :, ::-1], (2, 0, 1)))   # flip k -> [k, in, out]
+        upd["up"]["b"] = _id(b)
+        for i, blk in enumerate(upd["res"]["blocks"]):
+            w1, b1 = pop_wn(rf"layers\.{stacks[j]}\.blocks\.{i}\.2")
+            w2, b2 = pop_wn(rf"layers\.{stacks[j]}\.blocks\.{i}\.4")
+            ws, bs = pop_wn(rf"layers\.{stacks[j]}\.shortcuts\.{i}")
+            blk["c1"]["w"], blk["c1"]["b"] = _conv(w1), _id(b1)
+            blk["c2"]["w"], blk["c2"]["b"] = _conv(w2), _id(b2)
+            blk["sc"]["w"], blk["sc"]["b"] = _conv(ws), _id(bs)
+    w, b = pop_wn(rf"layers\.{top[-1]}")
+    p["conv_out"]["w"] = _conv(w)
+    p["conv_out"]["b"] = _id(b)
+
+    report = {"mapped": len(m.used), "unused_source_keys": m.unused(),
+              "shape_mismatches": []}
+    return p, report
+
+
+def convert_wavernn_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
+    """Fill a WaveRNN param pytree (vocoder/models/wavernn.py) from the
+    reference torch WaveRNN's state_dict.
+
+    The reference MelResNet runs conv(bias=False)+BatchNorm at conv_in and
+    inside each ResBlock; this framework is BN-free there, so each BN's
+    eval-mode affine folds into the conv scale + bias (exact at inference).
+    The reference's 2D smoothing convs (1-channel, kernel (1, 2f+1)) become
+    diagonal channel maps of our dense [k, M, M] smoothing convs."""
+    import copy
+
+    p = copy.deepcopy(params)
+    m = _Matcher(sd)
+
+    R = p["upsample"]["resnet"]
+    _fold_conv_bn_into(m, m.pop(r"upsample\.resnet\.conv_in\.weight"),
+                       r"upsample\.resnet\.batch_norm", R["conv_in"])
+    for i, blk in enumerate(R["blocks"]):
+        _fold_conv_bn_into(
+            m, m.pop(rf"upsample\.resnet\.layers\.{i}\.conv1\.weight"),
+            rf"upsample\.resnet\.layers\.{i}\.batch_norm1", blk["c1"])
+        _fold_conv_bn_into(
+            m, m.pop(rf"upsample\.resnet\.layers\.{i}\.conv2\.weight"),
+            rf"upsample\.resnet\.layers\.{i}\.batch_norm2", blk["c2"])
+    R["out"]["w"] = _conv(m.pop(r"upsample\.resnet\.conv_out\.weight"))
+    R["out"]["b"] = _id(m.pop(r"upsample\.resnet\.conv_out\.bias"))
+
+    # up_layers alternates Stretch2d (no params) and Conv2d [1, 1, 1, K];
+    # collect the conv weights in index order -> diagonal [K, M, M]
+    conv_keys = sorted((k for k in m.sd
+                        if re.fullmatch(r"upsample\.up_layers\.\d+\.weight", k)),
+                       key=lambda k: int(k.split(".")[2]))
+    assert len(conv_keys) == len(p["upsample"]["smooth"]), (
+        conv_keys, len(p["upsample"]["smooth"]))
+    for key, sm in zip(conv_keys, p["upsample"]["smooth"]):
+        m.used.add(key)
+        w2d = np.asarray(m.sd[key])              # [1, 1, 1, K]
+        K = w2d.shape[-1]
+        M = np.shape(sm["w"])[1]
+        eye = np.eye(M, dtype=np.float32)
+        sm["w"] = (w2d.reshape(K, 1, 1) * eye[None]).astype(np.float32)
+
+    _linear(m, r"I", p["I"])
+    _gru_in(m, r"rnn1", p["rnn1"], suffix="_l0")
+    _gru_in(m, r"rnn2", p["rnn2"], suffix="_l0")
+    _linear(m, r"fc1", p["fc1"])
+    _linear(m, r"fc2", p["fc2"])
+    _linear(m, r"fc3", p["fc3"])
+
+    report = {"mapped": len(m.used), "unused_source_keys": m.unused(),
+              "shape_mismatches": []}
+    return p, report
 
 
 def convert_speaker_encoder_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:

@@ -26,29 +26,35 @@ def _lrelu(x):
 
 
 class ResidualStack:
-    """num_blocks dilated residual blocks (dilation 3^i), MelGAN-style."""
+    """num_blocks dilated residual blocks (dilation k^i), MelGAN-style, with
+    the reference's learned 1x1 conv shortcuts and reflection padding
+    (reference vocoder/layers/melgan.py ResidualStack: out = shortcut(x) +
+    blocks(x)) — so trained reference generators transfer exactly
+    (utils/torch_import.py)."""
 
     def __init__(self, channels: int, num_blocks: int = 3, kernel_size: int = 3):
         self.blocks = []
         for i in range(num_blocks):
-            d = 3 ** i
+            d = kernel_size ** i
             self.blocks.append((
                 Conv1d(channels, channels, kernel_size, padding="same",
-                       dilation=d, init_gain="relu"),
+                       dilation=d, init_gain="relu", pad_mode="reflect"),
+                Conv1d(channels, channels, 1, init_gain="linear"),
                 Conv1d(channels, channels, 1, init_gain="linear"),
             ))
 
     def init(self, key) -> Params:
-        ks = jax.random.split(key, 2 * len(self.blocks))
+        ks = jax.random.split(key, 3 * len(self.blocks))
         return {"blocks": [
-            {"c1": c1.init(ks[2 * i]), "c2": c2.init(ks[2 * i + 1])}
-            for i, (c1, c2) in enumerate(self.blocks)]}
+            {"c1": c1.init(ks[3 * i]), "c2": c2.init(ks[3 * i + 1]),
+             "sc": sc.init(ks[3 * i + 2])}
+            for i, (c1, c2, sc) in enumerate(self.blocks)]}
 
     def __call__(self, p: Params, x):
-        for (c1, c2), bp in zip(self.blocks, p["blocks"]):
+        for (c1, c2, sc), bp in zip(self.blocks, p["blocks"]):
             y = c1(bp["c1"], _lrelu(x))
             y = c2(bp["c2"], _lrelu(y))
-            x = x + y
+            x = sc(bp["sc"], x) + y
         return x
 
 
@@ -60,7 +66,8 @@ class MelganGenerator:
         self.hop = 1
         for u in upsample_factors:
             self.hop *= u
-        self.conv_in = Conv1d(n_mels, base_channels, kernel_size, init_gain="linear")
+        self.conv_in = Conv1d(n_mels, base_channels, kernel_size,
+                              init_gain="linear", pad_mode="reflect")
         self.ups = []
         ch = base_channels
         for u in upsample_factors:
@@ -69,7 +76,8 @@ class MelganGenerator:
                 ResidualStack(ch // 2, num_res_blocks),
             ))
             ch //= 2
-        self.conv_out = Conv1d(ch, 1, kernel_size, init_gain="tanh")
+        self.conv_out = Conv1d(ch, 1, kernel_size, init_gain="tanh",
+                               pad_mode="reflect")
 
     def init(self, key) -> Params:
         ks = jax.random.split(key, 2 + 2 * len(self.ups))

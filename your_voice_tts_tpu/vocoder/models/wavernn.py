@@ -56,11 +56,17 @@ class MelResNet:
 
     def __init__(self, n_mels: int, compute_dims: int, res_out_dims: int,
                  num_blocks: int, pad: int):
+        # biases stand in for the reference's inference-mode BatchNorms: the
+        # reference runs conv(bias=False)+BN at each of these sites, and
+        # eval-mode BN is an affine that folds into conv scale + bias
+        # (utils/torch_import.py), so this parameterization loads trained
+        # reference checkpoints exactly while training stays BN-free (the
+        # TPU-side simplification this framework made from the start)
         self.conv_in = Conv1d(n_mels, compute_dims, 2 * pad + 1, padding="valid",
-                              use_bias=False, init_gain="relu")
+                              init_gain="relu")
         self.blocks = [
-            (Conv1d(compute_dims, compute_dims, 1, use_bias=False, init_gain="relu"),
-             Conv1d(compute_dims, compute_dims, 1, use_bias=False, init_gain="linear"))
+            (Conv1d(compute_dims, compute_dims, 1, init_gain="relu"),
+             Conv1d(compute_dims, compute_dims, 1, init_gain="linear"))
             for _ in range(num_blocks)]
         self.conv_out = Conv1d(compute_dims, res_out_dims, 1, init_gain="linear")
 
