@@ -829,7 +829,8 @@ def main() -> None:
             ref_level_db=acfg.ref_level_db, min_level_db=acfg.min_level_db,
             spec_gain=acfg.spec_gain, max_norm=acfg.max_norm,
             symmetric=acfg.symmetric_norm, clip=acfg.clip_norm,
-            power=acfg.power, gl_iters=acfg.griffin_lim_iters)
+            power=acfg.power, gl_iters=acfg.griffin_lim_iters,
+            gl_momentum=acfg.griffin_lim_momentum)
         # reduce to a scalar INSIDE the program: timing converts it to a host
         # float, which cannot complete before the whole computation has run
         # (block_until_ready over the remote-TPU tunnel has been observed to

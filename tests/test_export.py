@@ -1,0 +1,80 @@
+"""AOT serving-export gates (infer/export.py): the serialized StableHLO
+artifact must reproduce the live jitted program and be servable through
+ExportedSynthesizer with shape-bucket padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.audio import AudioProcessor
+from your_voice_tts_tpu.config import AudioConfig, ModelConfig
+from your_voice_tts_tpu.infer.export import (ExportedSynthesizer,
+                                             export_serving, make_serving_fn)
+from your_voice_tts_tpu.models.tacotron2 import Tacotron2
+
+N_MELS, N_CHARS = 20, 30
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfgm = ModelConfig(r=2, embedding_dim=32, encoder_dim=32,
+                       decoder_rnn_dim=48, attention_rnn_dim=48,
+                       attention_dim=24, attention_location_filters=8,
+                       attention_location_kernel_size=15, prenet_dim=24,
+                       postnet_dim=32, max_decoder_steps=10,
+                       prenet_dropout=False)
+    acfg = AudioConfig(num_mels=N_MELS, fft_size=256, sample_rate=8000,
+                       hop_length=64, win_length=256, griffin_lim_iters=4,
+                       mel_fmax=None)
+
+    class Cfg:
+        model = cfgm
+        audio = acfg
+
+    model = Tacotron2(N_CHARS, cfgm, n_mels=N_MELS)
+    variables = model.init(jax.random.PRNGKey(0))
+    ap = AudioProcessor(acfg)
+    return model, variables, Cfg(), ap
+
+
+def test_export_roundtrip_matches_live(tiny, tmp_path):
+    model, variables, cfg, ap = tiny
+    out = str(tmp_path / "exported")
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(2,), text_buckets=(16,),
+                              platforms=("cpu",))
+    assert manifest["entries"] == [
+        {"file": "serve_b2_t16.stablehlo", "batch": 2, "text_bucket": 16}]
+
+    rng = np.random.default_rng(0)
+    text = rng.integers(1, N_CHARS, (2, 16)).astype(np.int32)
+    lens = np.array([16, 12], np.int32)
+    key = jax.random.PRNGKey(0)
+
+    live = make_serving_fn(model, variables, cfg, ap)
+    wav_live, len_live = jax.jit(live)(jnp.asarray(text), jnp.asarray(lens),
+                                       key)
+
+    served = ExportedSynthesizer(out)
+    wav_exp, len_exp = served(text, lens, seed=0)
+    assert wav_exp.shape == wav_live.shape
+    np.testing.assert_array_equal(np.asarray(len_live), len_exp)
+    np.testing.assert_allclose(np.asarray(wav_live), wav_exp, atol=1e-5)
+    assert np.isfinite(wav_exp).all() and np.abs(wav_exp).max() > 0
+
+
+def test_exported_pads_into_bucket(tiny, tmp_path):
+    """A smaller request pads into the exported shape; only real rows
+    return."""
+    model, variables, cfg, ap = tiny
+    out = str(tmp_path / "exported")
+    export_serving(model, variables, cfg, ap, out, batch_sizes=(4,),
+                   text_buckets=(16,), platforms=("cpu",))
+    served = ExportedSynthesizer(out)
+    text = np.random.default_rng(1).integers(1, N_CHARS, (1, 9)) \
+        .astype(np.int32)
+    wav, mel_lens = served(text, np.array([9], np.int32))
+    assert wav.shape[0] == 1 and mel_lens.shape == (1,)
+    with pytest.raises(ValueError, match="no exported shape fits"):
+        served(np.zeros((8, 16), np.int32), np.full((8,), 16, np.int32))

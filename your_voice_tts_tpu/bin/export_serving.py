@@ -1,0 +1,41 @@
+"""Export the end-to-end serving program to StableHLO artifacts.
+
+python -m your_voice_tts_tpu.bin.export_serving --config cfg.json \
+    --checkpoint ckpt.npz --out exported/ [--batch 1 8] [--text_bucket 128] \
+    [--platforms cpu tpu] [--max_decoder_steps N]
+
+Writes one self-contained artifact per (batch, text-bucket) shape plus a
+manifest (infer/export.py). Serve with ExportedSynthesizer(out_dir) — no
+model code or checkpoint needed at serving time.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="AOT-export the serving program")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, nargs="+", default=[1])
+    p.add_argument("--text_bucket", type=int, nargs="+", default=[128])
+    p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--max_decoder_steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..infer.export import export_serving
+    from ..infer.synthesizer import Synthesizer
+
+    synth = Synthesizer(args.config, args.checkpoint)
+    manifest = export_serving(
+        synth.model, synth.variables, synth.cfg, synth.ap, args.out,
+        batch_sizes=tuple(args.batch), text_buckets=tuple(args.text_bucket),
+        max_decoder_steps=args.max_decoder_steps,
+        platforms=tuple(args.platforms))
+    print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
