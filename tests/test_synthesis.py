@@ -155,6 +155,37 @@ def test_synthesizer_streaming_yields_chunks(cfg, model_and_vars, tmp_path):
         assert np.all(np.isfinite(c))
 
 
+def test_synthesizer_streaming_with_neural_vocoder(cfg, model_and_vars,
+                                                   tmp_path):
+    """Streaming chunks must route through the neural vocoder when one is
+    loaded: each chunk's length equals mel frames x the vocoder's upsample
+    product (regression: the mel handed to mel_to_wav must be [n_mels, T],
+    and the return is already the 1-D waveform)."""
+    from your_voice_tts_tpu.config import AudioConfig as VAudio
+    from your_voice_tts_tpu.vocoder.config import MelganConfig, VocoderConfig
+
+    model, variables = model_and_vars
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params=variables["params"],
+                    model_state=variables["state"], opt_state={}, step=1,
+                    epoch=0, r=2)
+    vcfg = VocoderConfig(
+        model="melgan",
+        audio=VAudio(sample_rate=8000, fft_size=256, hop_length=64,
+                     win_length=256, num_mels=cfg.audio.num_mels,
+                     mel_fmax=None, do_trim_silence=False),
+        melgan=MelganConfig(upsample_factors=(4, 4, 4), base_channels=8,
+                            num_res_blocks=1, num_scales=1,
+                            disc_base_channels=4))
+    synth = Synthesizer(cfg, ckpt, vocoder_config=vcfg)
+    chunks = list(synth.tts_streaming("One. Two."))
+    assert len(chunks) == 2
+    for c in chunks:
+        assert c.dtype == np.float32 and c.ndim == 1
+        assert len(c) % 64 == 0 and len(c) > 0  # frames x upsample product
+        assert np.all(np.isfinite(c))
+
+
 @pytest.mark.slow  # ~21 s on the 1-core box; dryrun_multichip also covers it
 def test_synthesis_batch_mesh_matches_unsharded(cfg, ap):
     """Data-parallel serving over the 8-virtual-device mesh: batch sharded,

@@ -142,7 +142,9 @@ class Synthesizer:
             n = int(out["mel_lengths"][0])
             mel = np.asarray(out["postnet_outputs"][0][:max(n, 1)])
             if self.vocoder is not None:
-                wav = np.asarray(self.vocoder.mel_to_wav(mel[None])[0])
+                # mel_to_wav takes the reference [n_mels, T] layout and
+                # returns the 1-D waveform directly
+                wav = np.asarray(self.vocoder.mel_to_wav(mel.T))
             else:
                 wav = np.asarray(self.ap.inv_melspectrogram(mel.T))
             yield wav.astype(np.float32)
