@@ -64,6 +64,44 @@ def test_export_roundtrip_matches_live(tiny, tmp_path):
     assert np.isfinite(wav_exp).all() and np.abs(wav_exp).max() > 0
 
 
+def test_export_with_melgan_vocoder(tiny, tmp_path):
+    """A MelGAN generator baked into the artifact replaces Griffin-Lim:
+    output length is frames x upsample product and matches the live jitted
+    TTS+vocoder program."""
+    from your_voice_tts_tpu.config import AudioConfig as VAudio
+    from your_voice_tts_tpu.vocoder.config import MelganConfig, VocoderConfig
+    from your_voice_tts_tpu.vocoder.synthesizer import VocoderSynthesizer
+
+    model, variables, cfg, ap = tiny
+    vcfg = VocoderConfig(
+        model="melgan",
+        audio=VAudio(sample_rate=8000, fft_size=256, hop_length=64,
+                     win_length=256, num_mels=N_MELS, mel_fmax=None,
+                     do_trim_silence=False),
+        melgan=MelganConfig(upsample_factors=(4, 4, 4), base_channels=8,
+                            num_res_blocks=1, num_scales=1,
+                            disc_base_channels=4))
+    voc = VocoderSynthesizer(vcfg, None)
+    out = str(tmp_path / "exported_voc")
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(2,), text_buckets=(16,),
+                              platforms=("cpu",), vocoder=voc)
+    assert manifest["waveform"] == "melgan"
+    assert manifest["samples_per_frame"] == 64
+
+    rng = np.random.default_rng(2)
+    text = rng.integers(1, N_CHARS, (2, 16)).astype(np.int32)
+    lens = np.array([16, 10], np.int32)
+    live = make_serving_fn(model, variables, cfg, ap, vocoder=voc)
+    wav_live, _ = jax.jit(live)(jnp.asarray(text), jnp.asarray(lens),
+                                jax.random.PRNGKey(0))
+    served = ExportedSynthesizer(out)
+    wav_exp, mel_lens = served(text, lens, seed=0)
+    steps = cfg.model.max_decoder_steps * cfg.model.r
+    assert wav_exp.shape == (2, steps * 64)
+    np.testing.assert_allclose(np.asarray(wav_live), wav_exp, atol=1e-5)
+
+
 def test_exported_pads_into_bucket(tiny, tmp_path):
     """A smaller request pads into the exported shape; only real rows
     return."""

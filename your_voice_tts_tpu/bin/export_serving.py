@@ -23,17 +23,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text_bucket", type=int, nargs="+", default=[128])
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     p.add_argument("--max_decoder_steps", type=int, default=None)
+    p.add_argument("--vocoder_config", default=None,
+                   help="bake a MelGAN/PWGAN generator in place of "
+                        "Griffin-Lim")
+    p.add_argument("--vocoder_checkpoint", default=None)
     args = p.parse_args(argv)
 
     from ..infer.export import export_serving
     from ..infer.synthesizer import Synthesizer
 
-    synth = Synthesizer(args.config, args.checkpoint)
+    synth = Synthesizer(args.config, args.checkpoint,
+                        vocoder_config=args.vocoder_config,
+                        vocoder_checkpoint=args.vocoder_checkpoint)
     manifest = export_serving(
         synth.model, synth.variables, synth.cfg, synth.ap, args.out,
         batch_sizes=tuple(args.batch), text_buckets=tuple(args.text_bucket),
         max_decoder_steps=args.max_decoder_steps,
-        platforms=tuple(args.platforms))
+        platforms=tuple(args.platforms), vocoder=synth.vocoder)
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
 
 

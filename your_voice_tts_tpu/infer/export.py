@@ -31,29 +31,53 @@ import numpy as np
 MANIFEST_NAME = "manifest.json"
 
 
-def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None):
+def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
+                    vocoder=None):
     """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, key) ->
     (wav [B, L] f32, mel_lengths [B] i32). Weights are closed over, so
-    export bakes them into the artifact."""
+    export bakes them into the artifact.
+
+    vocoder: optional VocoderSynthesizer — its generator (MelGAN / PWGAN)
+    replaces Griffin-Lim inside the artifact, weights baked in alongside the
+    TTS model's. WaveRNN is excluded: its sample-serial generation belongs to
+    the live Pallas route, not a portable artifact."""
     import jax.numpy as jnp
 
     from ..ops import dsp
     from ..ops.filters import hann_window
 
     acfg = cfg.audio
-    window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size),
-                         jnp.float32)
-    inv_basis = jnp.asarray(ap.inv_mel_basis)
     compute_dtype = (jnp.bfloat16 if getattr(
         cfg.model, "inference_compute_dtype", "float32") == "bfloat16"
         else None)
-    stats = None
-    if getattr(ap, "mel_stats", None) is not None:
-        stats = tuple(jnp.asarray(s) for s in ap.mel_stats)
     if getattr(model, "output_type", "mel") == "linear":
         raise NotImplementedError(
             "export currently covers mel models (Tacotron2); the Tacotron1 "
             "linear path serves live via infer/synthesis.py")
+    if vocoder is not None:
+        vkind = vocoder.cfg.model
+        if vkind not in ("melgan", "pwgan"):
+            raise NotImplementedError(
+                f"export supports melgan/pwgan vocoders, not {vkind!r}")
+        vmodel, vparams = vocoder.model, vocoder.params
+
+        def serve_vocoder(text, lengths, key):
+            out = model.inference(variables, text, lengths, rng=None,
+                                  max_decoder_steps=max_decoder_steps,
+                                  compute_dtype=compute_dtype,
+                                  use_pallas=False)
+            mel = out["postnet_outputs"]  # [B, T, n_mels], normalized
+            wav = (vmodel(vparams, mel, key=key) if vkind == "pwgan"
+                   else vmodel(vparams, mel))
+            return wav, out["mel_lengths"]
+
+        return serve_vocoder
+    window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size),
+                         jnp.float32)
+    inv_basis = jnp.asarray(ap.inv_mel_basis)
+    stats = None
+    if getattr(ap, "mel_stats", None) is not None:
+        stats = tuple(jnp.asarray(s) for s in ap.mel_stats)
 
     def serve(text, lengths, key):
         out = model.inference(variables, text, lengths, rng=None,
@@ -76,14 +100,18 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None):
 
 def export_serving(model, variables, cfg, ap, out_dir: str, *,
                    batch_sizes=(1,), text_buckets=(128,),
-                   max_decoder_steps=None, platforms=("cpu", "tpu")) -> dict:
+                   max_decoder_steps=None, platforms=("cpu", "tpu"),
+                   vocoder=None) -> dict:
     """Export one artifact per (batch, text-bucket) shape into out_dir and
-    write a manifest. Returns the manifest dict."""
+    write a manifest. Returns the manifest dict. With a vocoder
+    (VocoderSynthesizer), its generator replaces Griffin-Lim in the
+    artifact."""
     import jax
     from jax import export as jexport
 
     serve = make_serving_fn(model, variables, cfg, ap,
-                            max_decoder_steps=max_decoder_steps)
+                            max_decoder_steps=max_decoder_steps,
+                            vocoder=vocoder)
     os.makedirs(out_dir, exist_ok=True)
     steps = max_decoder_steps or cfg.model.max_decoder_steps
     entries = []
@@ -97,6 +125,14 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(exp.serialize())
             entries.append({"file": name, "batch": B, "text_bucket": T})
+    if vocoder is None:
+        waveform, upsample = "griffin_lim", cfg.audio.hop_length
+    else:
+        waveform = vocoder.cfg.model
+        vk = getattr(vocoder.cfg, waveform)
+        upsample = 1
+        for f in vk.upsample_factors:
+            upsample *= f
     manifest = {
         "entries": entries,
         "platforms": list(platforms),
@@ -104,9 +140,12 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "hop_length": cfg.audio.hop_length,
         "r": cfg.model.r,
         "max_decoder_steps": steps,
-        "key_dtype": "uint32[2] (jax PRNG key data for Griffin-Lim phase)",
+        "waveform": waveform,
+        "samples_per_frame": upsample,
+        "key_dtype": "uint32[2] (jax PRNG key data for stochastic phase)",
         "inputs": "text ids [B, T] int32 (zero-padded), lengths [B] int32",
-        "outputs": "wav [B, steps*r*hop] float32, mel_lengths [B] int32",
+        "outputs": ("wav [B, steps*r*samples_per_frame] float32, "
+                    "mel_lengths [B] int32"),
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1)
