@@ -102,6 +102,62 @@ def test_export_with_melgan_vocoder(tiny, tmp_path):
     np.testing.assert_allclose(np.asarray(wav_live), wav_exp, atol=1e-5)
 
 
+def test_server_from_artifact_dir(tiny, tmp_path):
+    """The HTTP server serves /api/tts straight from an export directory:
+    ExportedSynthesizer provides tts_to_wav_bytes (manifest-recorded text
+    frontend, wav trimmed to mel_lengths)."""
+    import threading
+    import urllib.request
+    import wave as wavemod
+
+    from your_voice_tts_tpu.infer.server import make_server
+    from your_voice_tts_tpu.text import symbols
+
+    _, _, cfg, ap = tiny
+    # the served frontend emits real symbol-table ids, so the model's
+    # embedding must cover the whole table (num_chars is manifest-checked)
+    model = Tacotron2(len(symbols), cfg.model, n_mels=N_MELS)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    class Data:
+        use_phonemes = False
+        text_cleaner = "basic_cleaners"
+        phoneme_language = "en-us"
+        enable_eos_bos_chars = False
+        cmudict_path = None
+
+    cfg.data = Data()
+    out = str(tmp_path / "exported")
+    export_serving(model, variables, cfg, ap, out, batch_sizes=(1,),
+                   text_buckets=(32,), platforms=("cpu",))
+    # vocab-mismatch guard: an artifact traced with a small vocab must
+    # refuse text that maps past it instead of serving NaN audio
+    tiny_model, tiny_vars, *_ = tiny
+    out_small = str(tmp_path / "exported_small")
+    export_serving(tiny_model, tiny_vars, cfg, ap, out_small,
+                   batch_sizes=(1,), text_buckets=(32,), platforms=("cpu",))
+    with pytest.raises(ValueError, match="different symbol table"):
+        ExportedSynthesizer(out_small).tts_to_wav_bytes("hello artifact")
+    served = ExportedSynthesizer(out)
+    srv = make_server(served, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/tts?text=hello%20artifact") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/wav"
+            blob = r.read()
+    finally:
+        srv.shutdown()
+    p = tmp_path / "out.wav"
+    p.write_bytes(blob)
+    with wavemod.open(str(p), "rb") as f:
+        assert f.getframerate() == cfg.audio.sample_rate
+        assert 0 < f.getnframes() <= \
+            cfg.model.max_decoder_steps * cfg.model.r * cfg.audio.hop_length
+
+
 def test_exported_pads_into_bucket(tiny, tmp_path):
     """A smaller request pads into the exported shape; only real rows
     return."""

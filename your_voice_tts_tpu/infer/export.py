@@ -147,6 +147,20 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "outputs": ("wav [B, steps*r*samples_per_frame] float32, "
                     "mel_lengths [B] int32"),
     }
+    emb = getattr(model, "embedding", None)
+    if emb is not None:
+        manifest["num_chars"] = emb.num
+    dcfg = getattr(cfg, "data", None)
+    if dcfg is not None:
+        # enough of the text frontend to reproduce the id mapping the
+        # artifact was traced with (ExportedSynthesizer.text_to_ids)
+        manifest["text"] = {
+            "use_phonemes": dcfg.use_phonemes,
+            "text_cleaner": dcfg.text_cleaner,
+            "phoneme_language": dcfg.phoneme_language,
+            "enable_eos_bos": dcfg.enable_eos_bos_chars,
+            "cmudict_path": dcfg.cmudict_path,
+        }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1)
     return manifest
@@ -169,6 +183,59 @@ class ExportedSynthesizer:
 
     def shapes(self):
         return sorted(self._fns)
+
+    def text_to_ids(self, text: str) -> np.ndarray:
+        """Reproduce the id mapping recorded in the manifest (same frontend
+        the artifact was traced with)."""
+        tcfg = self.manifest.get("text") or {}
+        if tcfg.get("use_phonemes"):
+            from ..text import default_g2p_backend, phoneme_to_sequence
+
+            backend = default_g2p_backend(
+                tcfg.get("phoneme_language", "en-us"),
+                tcfg.get("cmudict_path"))
+            seq = phoneme_to_sequence(
+                text, language=tcfg.get("phoneme_language", "en-us"),
+                enable_eos_bos=tcfg.get("enable_eos_bos", False),
+                backend=backend)
+        else:
+            from ..text import text_to_sequence
+
+            seq = text_to_sequence(
+                text, tcfg.get("text_cleaner", "basic_cleaners"))
+        ids = np.asarray(seq, np.int32)
+        n_chars = self.manifest.get("num_chars")
+        if n_chars is not None and ids.size and int(ids.max()) >= n_chars:
+            raise ValueError(
+                f"text maps to id {int(ids.max())} but the exported model "
+                f"embeds only {n_chars} symbols — the artifact was traced "
+                "with a different symbol table than this frontend")
+        return ids
+
+    def tts_to_wav_bytes(self, text: str, speaker=None, seed: int = 0) -> bytes:
+        """text -> WAV container bytes, Synthesizer.tts_to_wav_bytes shape —
+        lets the HTTP server serve straight from an artifact directory."""
+        import io
+        import wave
+
+        if speaker is not None:
+            raise ValueError(
+                "exported artifacts close over one voice; re-export per "
+                "speaker for multi-speaker serving")
+        ids = self.text_to_ids(text)[None]
+        wav, mel_lens = self(ids, np.array([ids.shape[1]], np.int32),
+                             seed=seed)
+        spf = self.manifest.get("samples_per_frame",
+                                self.manifest["hop_length"])
+        w = wav[0][: max(int(mel_lens[0]), 1) * spf]
+        norm = w * (32767 / max(0.01, float(np.max(np.abs(w)))))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.manifest["sample_rate"])
+            f.writeframes(norm.astype(np.int16).tobytes())
+        return buf.getvalue()
 
     def __call__(self, text_ids: np.ndarray, lengths: np.ndarray, seed: int = 0):
         """text_ids [B, T] int32 -> (wav [B, L] f32, mel_lengths [B]).
