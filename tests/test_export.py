@@ -102,6 +102,76 @@ def test_export_with_melgan_vocoder(tiny, tmp_path):
     np.testing.assert_allclose(np.asarray(wav_live), wav_exp, atol=1e-5)
 
 
+def test_export_linear_tacotron1(tiny, tmp_path):
+    """Tacotron1's linear head exports too: inversion goes through
+    inv_spectrogram_batch (no mel pinv) and matches the live program."""
+    from your_voice_tts_tpu.config import ModelConfig
+    from your_voice_tts_tpu.models.tacotron import Tacotron
+
+    _, _, cfg, ap = tiny
+    n_freq = cfg.audio.fft_size // 2 + 1
+    cfgm = ModelConfig(model="Tacotron", r=5, memory_size=4,
+                       max_decoder_steps=4, attention_dim=24,
+                       attention_location_filters=8,
+                       attention_location_kernel_size=15, tacotron_width=32,
+                       prenet_dropout=False)
+
+    class Cfg:
+        model = cfgm
+        audio = cfg.audio
+
+    model = Tacotron(N_CHARS, cfgm, n_mels=N_MELS, num_freq=n_freq)
+    variables = model.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "exported_lin")
+    export_serving(model, variables, Cfg(), ap, out, batch_sizes=(2,),
+                   text_buckets=(16,), platforms=("cpu",))
+    text = np.random.default_rng(3).integers(1, N_CHARS, (2, 16)) \
+        .astype(np.int32)
+    lens = np.array([16, 11], np.int32)
+    live = make_serving_fn(model, variables, Cfg(), ap)
+    wav_live, _ = jax.jit(live)(jnp.asarray(text), jnp.asarray(lens),
+                                jax.random.PRNGKey(0))
+    wav_exp, _ = ExportedSynthesizer(out)(text, lens, seed=0)
+    assert wav_exp.shape == wav_live.shape and np.isfinite(wav_exp).all()
+    np.testing.assert_allclose(np.asarray(wav_live), wav_exp, atol=1e-5)
+
+
+def test_export_dvector_speaker_input(tiny, tmp_path):
+    """A cloning artifact: d-vector is a runtime input, the manifest carries
+    a named speaker table, and different d-vectors give different audio."""
+    from your_voice_tts_tpu.text import symbols
+
+    _, _, cfg, ap = tiny
+    # full symbol table so tts_to_wav_bytes' default frontend ids are in range
+    model = Tacotron2(len(symbols), cfg.model, n_mels=N_MELS, num_speakers=4,
+                      speaker_embedding_dim=8)
+    variables = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+    table = {f"spk{i}": rng.standard_normal(8).tolist() for i in range(2)}
+    out = str(tmp_path / "exported_dv")
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(1,), text_buckets=(16,),
+                              platforms=("cpu",), speaker_mode="dvector",
+                              d_dim=8, speakers=table)
+    assert manifest["speaker_input"] == {"kind": "dvector", "dim": 8}
+
+    served = ExportedSynthesizer(out)
+    text = rng.integers(1, N_CHARS, (1, 16)).astype(np.int32)
+    lens = np.array([16], np.int32)
+    dv0 = np.asarray(table["spk0"], np.float32)[None]
+    dv1 = np.asarray(table["spk1"], np.float32)[None]
+    wav0, _ = served(text, lens, seed=0, d_vectors=dv0)
+    wav0b, _ = served(text, lens, seed=0, d_vectors=dv0)
+    wav1, _ = served(text, lens, seed=0, d_vectors=dv1)
+    np.testing.assert_array_equal(wav0, wav0b)
+    assert np.abs(wav0 - wav1).max() > 1e-6  # conditioning reaches output
+    with pytest.raises(ValueError, match="expects d_vectors"):
+        served(text, lens)
+    # named speaker through the wav-bytes path
+    blob = served.tts_to_wav_bytes("ab", speaker="spk1")
+    assert blob[:4] == b"RIFF"
+
+
 def test_server_from_artifact_dir(tiny, tmp_path):
     """The HTTP server serves /api/tts straight from an export directory:
     ExportedSynthesizer provides tts_to_wav_bytes (manifest-recorded text

@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="bake a MelGAN/PWGAN generator in place of "
                         "Griffin-Lim")
     p.add_argument("--vocoder_checkpoint", default=None)
+    p.add_argument("--speakers_json", default=None,
+                   help="multi-speaker export: adds a speaker input "
+                        "(d-vectors if the json carries embeddings, ids "
+                        "otherwise) and records the table in the manifest")
     args = p.parse_args(argv)
 
     from ..infer.export import export_serving
@@ -34,12 +38,21 @@ def main(argv: list[str] | None = None) -> None:
 
     synth = Synthesizer(args.config, args.checkpoint,
                         vocoder_config=args.vocoder_config,
-                        vocoder_checkpoint=args.vocoder_checkpoint)
+                        vocoder_checkpoint=args.vocoder_checkpoint,
+                        speakers_json=args.speakers_json)
+    speaker_mode = d_dim = speakers = None
+    if synth.speaker_embeddings:
+        speaker_mode = "dvector"
+        speakers = synth.speaker_embeddings
+        d_dim = len(next(iter(speakers.values())))
+    elif synth.speaker_ids:
+        speaker_mode, speakers = "id", synth.speaker_ids
     manifest = export_serving(
         synth.model, synth.variables, synth.cfg, synth.ap, args.out,
         batch_sizes=tuple(args.batch), text_buckets=tuple(args.text_bucket),
         max_decoder_steps=args.max_decoder_steps,
-        platforms=tuple(args.platforms), vocoder=synth.vocoder)
+        platforms=tuple(args.platforms), vocoder=synth.vocoder,
+        speaker_mode=speaker_mode, d_dim=d_dim, speakers=speakers)
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
 
 

@@ -32,15 +32,22 @@ MANIFEST_NAME = "manifest.json"
 
 
 def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
-                    vocoder=None):
-    """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, key) ->
-    (wav [B, L] f32, mel_lengths [B] i32). Weights are closed over, so
+                    vocoder=None, speaker_mode=None):
+    """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, [spk,] key)
+    -> (wav [B, L] f32, mel_lengths [B] i32). Weights are closed over, so
     export bakes them into the artifact.
 
     vocoder: optional VocoderSynthesizer — its generator (MelGAN / PWGAN)
     replaces Griffin-Lim inside the artifact, weights baked in alongside the
     TTS model's. WaveRNN is excluded: its sample-serial generation belongs to
-    the live Pallas route, not a portable artifact."""
+    the live Pallas route, not a portable artifact.
+
+    speaker_mode: None (single voice) | "id" (spk is [B] int32 embedding-
+    table ids) | "dvector" (spk is [B, D] float32 d-vectors — the cloning
+    deployment: any voice the speaker encoder can embed, one artifact).
+
+    Tacotron1's linear head is inverted with inv_spectrogram_batch (no mel
+    pinv); neural vocoders require a mel model."""
     import jax.numpy as jnp
 
     from ..ops import dsp
@@ -50,41 +57,38 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
     compute_dtype = (jnp.bfloat16 if getattr(
         cfg.model, "inference_compute_dtype", "float32") == "bfloat16"
         else None)
-    if getattr(model, "output_type", "mel") == "linear":
-        raise NotImplementedError(
-            "export currently covers mel models (Tacotron2); the Tacotron1 "
-            "linear path serves live via infer/synthesis.py")
+    is_linear = getattr(model, "output_type", "mel") == "linear"
+    if speaker_mode not in (None, "id", "dvector"):
+        raise ValueError(f"unknown speaker_mode {speaker_mode!r}")
+
+    def infer(text, lengths, spk):
+        kw = {}
+        if speaker_mode == "id":
+            kw["speaker_ids"] = spk
+        elif speaker_mode == "dvector":
+            kw["speaker_embeddings"] = spk
+        return model.inference(variables, text, lengths, rng=None,
+                               max_decoder_steps=max_decoder_steps,
+                               compute_dtype=compute_dtype,
+                               use_pallas=False, **kw)
+
     if vocoder is not None:
+        if is_linear:
+            raise NotImplementedError("neural vocoders take mel input")
         vkind = vocoder.cfg.model
         if vkind not in ("melgan", "pwgan"):
             raise NotImplementedError(
                 f"export supports melgan/pwgan vocoders, not {vkind!r}")
         vmodel, vparams = vocoder.model, vocoder.params
 
-        def serve_vocoder(text, lengths, key):
-            out = model.inference(variables, text, lengths, rng=None,
-                                  max_decoder_steps=max_decoder_steps,
-                                  compute_dtype=compute_dtype,
-                                  use_pallas=False)
-            mel = out["postnet_outputs"]  # [B, T, n_mels], normalized
-            wav = (vmodel(vparams, mel, key=key) if vkind == "pwgan"
-                   else vmodel(vparams, mel))
-            return wav, out["mel_lengths"]
-
-        return serve_vocoder
-    window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size),
-                         jnp.float32)
-    inv_basis = jnp.asarray(ap.inv_mel_basis)
-    stats = None
-    if getattr(ap, "mel_stats", None) is not None:
-        stats = tuple(jnp.asarray(s) for s in ap.mel_stats)
-
-    def serve(text, lengths, key):
-        out = model.inference(variables, text, lengths, rng=None,
-                              max_decoder_steps=max_decoder_steps,
-                              compute_dtype=compute_dtype, use_pallas=False)
-        wav = dsp.inv_melspectrogram_batch(
-            out["postnet_outputs"], key, mel_inv_basis=inv_basis,
+        def wav_fn(spec, key):
+            return (vmodel(vparams, spec, key=key) if vkind == "pwgan"
+                    else vmodel(vparams, spec))
+    else:
+        window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size),
+                             jnp.float32)
+        inv_basis = jnp.asarray(ap.inv_mel_basis)
+        gl_kw = dict(
             window=window, n_fft=acfg.fft_size, hop=acfg.hop_length,
             preemph=acfg.preemphasis, ref_level_db=acfg.ref_level_db,
             min_level_db=acfg.min_level_db, spec_gain=acfg.spec_gain,
@@ -92,8 +96,31 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
             clip=acfg.clip_norm, power=acfg.power,
             gl_iters=acfg.griffin_lim_iters,
             gl_momentum=acfg.griffin_lim_momentum,
-            signal_norm=acfg.signal_norm, stats=stats, use_pallas=False)
-        return wav, out["mel_lengths"]
+            signal_norm=acfg.signal_norm, use_pallas=False)
+        if is_linear:
+            lstats = getattr(ap, "linear_stats", None)
+
+            def wav_fn(spec, key):
+                return dsp.inv_spectrogram_batch(
+                    spec, key, stats=None if lstats is None else tuple(
+                        jnp.asarray(s) for s in lstats), **gl_kw)
+        else:
+            mstats = getattr(ap, "mel_stats", None)
+
+            def wav_fn(spec, key):
+                return dsp.inv_melspectrogram_batch(
+                    spec, key, mel_inv_basis=inv_basis,
+                    stats=None if mstats is None else tuple(
+                        jnp.asarray(s) for s in mstats), **gl_kw)
+
+    if speaker_mode is None:
+        def serve(text, lengths, key):
+            out = infer(text, lengths, None)
+            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+    else:
+        def serve(text, lengths, spk, key):
+            out = infer(text, lengths, spk)
+            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
 
     return serve
 
@@ -101,26 +128,37 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
 def export_serving(model, variables, cfg, ap, out_dir: str, *,
                    batch_sizes=(1,), text_buckets=(128,),
                    max_decoder_steps=None, platforms=("cpu", "tpu"),
-                   vocoder=None) -> dict:
+                   vocoder=None, speaker_mode=None, d_dim=None,
+                   speakers=None) -> dict:
     """Export one artifact per (batch, text-bucket) shape into out_dir and
     write a manifest. Returns the manifest dict. With a vocoder
     (VocoderSynthesizer), its generator replaces Griffin-Lim in the
-    artifact."""
+    artifact. speaker_mode "id"/"dvector" adds a speaker input (d_dim
+    required for "dvector"); `speakers` (name -> id or name -> d-vector
+    list) is recorded in the manifest so named speakers serve from the
+    artifact directory alone."""
     import jax
     from jax import export as jexport
 
     serve = make_serving_fn(model, variables, cfg, ap,
                             max_decoder_steps=max_decoder_steps,
-                            vocoder=vocoder)
+                            vocoder=vocoder, speaker_mode=speaker_mode)
+    if speaker_mode == "dvector" and not d_dim:
+        raise ValueError("speaker_mode='dvector' needs d_dim")
     os.makedirs(out_dir, exist_ok=True)
     steps = max_decoder_steps or cfg.model.max_decoder_steps
     entries = []
     for B in batch_sizes:
         for T in text_buckets:
-            exp = jexport.export(jax.jit(serve), platforms=list(platforms))(
-                jax.ShapeDtypeStruct((B, T), np.int32),
-                jax.ShapeDtypeStruct((B,), np.int32),
-                jax.ShapeDtypeStruct((2,), np.uint32))
+            args = [jax.ShapeDtypeStruct((B, T), np.int32),
+                    jax.ShapeDtypeStruct((B,), np.int32)]
+            if speaker_mode == "id":
+                args.append(jax.ShapeDtypeStruct((B,), np.int32))
+            elif speaker_mode == "dvector":
+                args.append(jax.ShapeDtypeStruct((B, d_dim), np.float32))
+            args.append(jax.ShapeDtypeStruct((2,), np.uint32))
+            exp = jexport.export(jax.jit(serve),
+                                 platforms=list(platforms))(*args)
             name = f"serve_b{B}_t{T}.stablehlo"
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(exp.serialize())
@@ -143,10 +181,19 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "waveform": waveform,
         "samples_per_frame": upsample,
         "key_dtype": "uint32[2] (jax PRNG key data for stochastic phase)",
-        "inputs": "text ids [B, T] int32 (zero-padded), lengths [B] int32",
+        "inputs": "text ids [B, T] int32 (zero-padded), lengths [B] int32"
+                  + {"id": ", speaker ids [B] int32",
+                     "dvector": f", d-vectors [B, {d_dim}] float32"}.get(
+                         speaker_mode, ""),
         "outputs": ("wav [B, steps*r*samples_per_frame] float32, "
                     "mel_lengths [B] int32"),
     }
+    if speaker_mode is not None:
+        manifest["speaker_input"] = {"kind": speaker_mode, "dim": d_dim}
+        if speakers:
+            manifest["speakers"] = {
+                k: (v if isinstance(v, int) else list(map(float, v)))
+                for k, v in speakers.items()}
     emb = getattr(model, "embedding", None)
     if emb is not None:
         manifest["num_chars"] = emb.num
@@ -212,19 +259,44 @@ class ExportedSynthesizer:
                 "with a different symbol table than this frontend")
         return ids
 
+    def _speaker_args(self, speaker, B: int):
+        """Resolve a speaker request against the manifest into kwargs for
+        __call__ (speaker_ids or d_vectors, broadcast to batch B)."""
+        spec = self.manifest.get("speaker_input")
+        if spec is None:
+            if speaker is not None:
+                raise ValueError(
+                    "this artifact closes over one voice; export with "
+                    "speaker_mode to serve multiple speakers")
+            return {}
+        table = self.manifest.get("speakers") or {}
+        if isinstance(speaker, str) and speaker in table:
+            speaker = table[speaker]
+        elif speaker is None:
+            if not table:
+                raise ValueError(
+                    "artifact expects a speaker input and records no "
+                    "speaker table; pass one explicitly")
+            speaker = next(iter(table.values()))
+        if spec["kind"] == "id":
+            return {"speaker_ids": np.full((B,), int(speaker), np.int32)}
+        vec = np.asarray(speaker, np.float32)
+        if vec.shape != (spec["dim"],):
+            raise ValueError(
+                f"d-vector of dim {spec['dim']} required, got {vec.shape}")
+        return {"d_vectors": np.tile(vec, (B, 1))}
+
     def tts_to_wav_bytes(self, text: str, speaker=None, seed: int = 0) -> bytes:
         """text -> WAV container bytes, Synthesizer.tts_to_wav_bytes shape —
-        lets the HTTP server serve straight from an artifact directory."""
+        lets the HTTP server serve straight from an artifact directory.
+        `speaker` may be a name from the manifest's speaker table, an id, or
+        a d-vector, per the artifact's speaker_input."""
         import io
         import wave
 
-        if speaker is not None:
-            raise ValueError(
-                "exported artifacts close over one voice; re-export per "
-                "speaker for multi-speaker serving")
         ids = self.text_to_ids(text)[None]
         wav, mel_lens = self(ids, np.array([ids.shape[1]], np.int32),
-                             seed=seed)
+                             seed=seed, **self._speaker_args(speaker, 1))
         spf = self.manifest.get("samples_per_frame",
                                 self.manifest["hop_length"])
         w = wav[0][: max(int(mel_lens[0]), 1) * spf]
@@ -237,11 +309,15 @@ class ExportedSynthesizer:
             f.writeframes(norm.astype(np.int16).tobytes())
         return buf.getvalue()
 
-    def __call__(self, text_ids: np.ndarray, lengths: np.ndarray, seed: int = 0):
+    def __call__(self, text_ids: np.ndarray, lengths: np.ndarray,
+                 seed: int = 0, speaker_ids=None, d_vectors=None):
         """text_ids [B, T] int32 -> (wav [B, L] f32, mel_lengths [B]).
-        Picks the smallest exported shape that fits and pads into it."""
+        Picks the smallest exported shape that fits and pads into it.
+        speaker_ids [B] / d_vectors [B, D] are required iff the artifact
+        was exported with the matching speaker_mode."""
         import jax
 
+        spec = self.manifest.get("speaker_input")
         B, T = text_ids.shape
         fit = [s for s in self._fns if s[0] >= B and s[1] >= T]
         if not fit:
@@ -252,6 +328,24 @@ class ExportedSynthesizer:
         text[:B, :T] = text_ids
         lens = np.zeros((Bs,), np.int32)
         lens[:B] = lengths
-        key = jax.random.key_data(jax.random.PRNGKey(seed)).astype(np.uint32)
-        wav, mel_lens = self._fns[(Bs, Ts)].call(text, lens, key)
+        args = [text, lens]
+        if spec is not None:
+            if spec["kind"] == "id":
+                if speaker_ids is None:
+                    raise ValueError("artifact expects speaker_ids [B]")
+                sid = np.zeros((Bs,), np.int32)
+                sid[:B] = np.asarray(speaker_ids, np.int32)
+                args.append(sid)
+            else:
+                if d_vectors is None:
+                    raise ValueError(
+                        f"artifact expects d_vectors [B, {spec['dim']}]")
+                dv = np.zeros((Bs, spec["dim"]), np.float32)
+                dv[:B] = np.asarray(d_vectors, np.float32)
+                args.append(dv)
+        elif speaker_ids is not None or d_vectors is not None:
+            raise ValueError("artifact takes no speaker input")
+        args.append(jax.random.key_data(
+            jax.random.PRNGKey(seed)).astype(np.uint32))
+        wav, mel_lens = self._fns[(Bs, Ts)].call(*args)
         return np.asarray(wav)[:B], np.asarray(mel_lens)[:B]

@@ -464,6 +464,26 @@ def inv_melspectrogram_batch(mel_norm: jnp.ndarray, key: jax.Array, *,
     return inv_preemphasis(y, preemph)
 
 
+def inv_spectrogram_batch(spec_norm: jnp.ndarray, key: jax.Array, *,
+                          window: jnp.ndarray, n_fft: int, hop: int,
+                          preemph: float, ref_level_db: float,
+                          min_level_db: float, spec_gain: float,
+                          max_norm: float, symmetric: bool, clip: bool,
+                          power: float, gl_iters: int,
+                          signal_norm: bool = True, stats=None,
+                          use_pallas: bool | None = None,
+                          gl_momentum: float = 0.0) -> jnp.ndarray:
+    """Batched normalized linear spec [B, T, n_freq] -> waveforms [B, L]
+    (Tacotron1's output head; inv_melspectrogram_batch minus mel pinv)."""
+    D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip,
+                         signal_norm, stats)
+    S = db_to_amp(D + ref_level_db, spec_gain)
+    y = griffin_lim_batch(S ** power, key, n_iters=gl_iters, n_fft=n_fft,
+                          hop=hop, window=window, use_pallas=use_pallas,
+                          momentum=gl_momentum)
+    return inv_preemphasis(y, preemph)
+
+
 def mel_to_linear(M: jnp.ndarray, inv_basis: jnp.ndarray) -> jnp.ndarray:
     """Time-major mel [T, n_mels] -> linear magnitude [T, n_freq] (pinv, floored)."""
     lin = jnp.dot(M, inv_basis.T, preferred_element_type=jnp.float32,
