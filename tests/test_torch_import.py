@@ -566,3 +566,125 @@ def test_speaker_encoder_import_forward_parity(tmp_path):
         t_emb = tenc(torch.from_numpy(mels)).numpy()
     emb = np.asarray(enc(params, jnp.asarray(mels)))
     np.testing.assert_allclose(emb, t_emb, atol=2e-5)
+
+
+class TorchPWGANResBlock(tnn.Module):
+    """Reference parallel_wavegan ResidualBlock: weight-normed dilated gated
+    conv with aux conditioning, 1x1 residual + skip heads."""
+
+    def __init__(self, res_ch, gate_ch, skip_ch, aux_ch, k, dilation):
+        super().__init__()
+        pad = (k - 1) // 2 * dilation
+        self.conv = _wn(tnn.Conv1d(res_ch, gate_ch, k, padding=pad,
+                                   dilation=dilation))
+        self.conv1x1_aux = _wn(tnn.Conv1d(aux_ch, gate_ch, 1, bias=False))
+        self.conv1x1_out = _wn(tnn.Conv1d(gate_ch // 2, res_ch, 1))
+        self.conv1x1_skip = _wn(tnn.Conv1d(gate_ch // 2, skip_ch, 1))
+
+    def forward(self, x, c):
+        h = self.conv(x) + self.conv1x1_aux(c)
+        xa, xb = h.split(h.size(1) // 2, dim=1)
+        z = torch.tanh(xa) * torch.sigmoid(xb)
+        s = self.conv1x1_skip(z)
+        x = (self.conv1x1_out(z) + x) * (0.5 ** 0.5)
+        return x, s
+
+
+class TorchStretch2d(tnn.Module):
+    def __init__(self, f):
+        super().__init__()
+        self.f = f
+
+    def forward(self, x):  # [B, 1, C, T]
+        return x.repeat_interleave(self.f, dim=3)
+
+
+class TorchPWGAN(tnn.Module):
+    """Reference parallel_wavegan_generator.py replica: first_conv on noise,
+    gated residual stack conditioned on the conv-in + stretch/Conv2d
+    upsampled aux, ReLU/1x1 output head; weight norm on every conv."""
+
+    def __init__(self, aux=20, layers=6, stacks=2, res=8, gate=16, skip=8,
+                 k=3, factors=(4, 4, 4), aux_window=2):
+        super().__init__()
+        self.aux_window = aux_window
+        self.first_conv = _wn(tnn.Conv1d(1, res, 1))
+        lps = layers // stacks
+        self.conv_layers = tnn.ModuleList([
+            TorchPWGANResBlock(res, gate, skip, aux, k, 2 ** (i % lps))
+            for i in range(layers)])
+        self.last_conv_layers = tnn.ModuleList([
+            tnn.ReLU(), _wn(tnn.Conv1d(skip, skip, 1)),
+            tnn.ReLU(), _wn(tnn.Conv1d(skip, 1, 1))])
+
+        class Up(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                ups = []
+                for f in factors:
+                    ups += [TorchStretch2d(f),
+                            _wn(tnn.Conv2d(1, 1, (1, 2 * f + 1),
+                                           padding=(0, f), bias=False))]
+                self.up_layers = tnn.ModuleList(ups)
+
+        class UpsampleNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_in = _wn(tnn.Conv1d(aux, aux, 2 * aux_window + 1,
+                                              bias=False))
+                self.upsample = Up()
+
+            def forward(self, c):
+                c = self.conv_in(c)
+                c = c.unsqueeze(1)
+                for layer in self.upsample.up_layers:
+                    c = layer(c)
+                return c.squeeze(1)
+
+        self.upsample_net = UpsampleNet()
+
+    def forward(self, c, z):  # c [B, M, T] mel, z [B, 1, T*hop] noise
+        c = torch.nn.functional.pad(
+            c, (self.aux_window, self.aux_window), mode="replicate")
+        c = self.upsample_net(c)
+        x = self.first_conv(z)
+        skips = 0.0
+        for f in self.conv_layers:
+            x, h = f(x, c)
+            skips = skips + h
+        skips = skips * ((1.0 / len(self.conv_layers)) ** 0.5)
+        x = skips
+        for f in self.last_conv_layers:
+            x = f(x)
+        return x
+
+
+def test_pwgan_import_forward_parity():
+    """Reference PWGAN generator -> convert (weight_norm folds, diagonal
+    upsample maps, aux context conv) -> same audio for the same noise."""
+    from your_voice_tts_tpu.utils.torch_import import (
+        convert_pwgan_state_dict, strip_module_prefix)
+    from your_voice_tts_tpu.vocoder.models.pwgan import ParallelWaveganGenerator
+
+    torch.manual_seed(8)
+    trep = TorchPWGAN().eval()
+    sd = {k: v.detach().numpy()
+          for k, v in strip_module_prefix(trep.state_dict()).items()}
+
+    model = ParallelWaveganGenerator(
+        n_mels=20, num_layers=6, stacks=2, residual_ch=8, gate_ch=16,
+        skip_ch=8, kernel_size=3, upsample_factors=(4, 4, 4),
+        aux_context_window=2)
+    params = model.init(jax.random.PRNGKey(0))
+    params, report = convert_pwgan_state_dict(sd, params)
+    assert report["unused_source_keys"] == [], report["unused_source_keys"]
+
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((2, 7, 20)).astype(np.float32)
+    noise = rng.standard_normal((2, 7 * 64)).astype(np.float32)
+    with torch.no_grad():
+        t_wav = trep(torch.from_numpy(mel.transpose(0, 2, 1)),
+                     torch.from_numpy(noise[:, None])).numpy()[:, 0]
+    wav = np.asarray(model(params, jnp.asarray(mel), noise=jnp.asarray(noise)))
+    assert wav.shape == t_wav.shape
+    np.testing.assert_allclose(wav, t_wav, atol=5e-6)

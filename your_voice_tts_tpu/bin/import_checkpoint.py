@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("out_path")
     p.add_argument("--kind",
                    choices=["tacotron2", "speaker_encoder", "wavernn",
-                            "melgan"],
+                            "melgan", "pwgan"],
                    default="tacotron2")
     p.add_argument("--num_speakers", type=int, default=0)
     p.add_argument("--speaker_embedding_dim", type=int, default=0)
@@ -61,6 +61,31 @@ def main(argv: list[str] | None = None) -> None:
                 print(f"  - {k}")
         # the GAN trainer's checkpoint layout keys the generator under 'g'
         # (vocoder/synthesizer._restore_generator_subtree)
+        save_checkpoint(args.out_path, params={"g": params}, model_state={},
+                        opt_state={}, step=int(meta.get("step", 0)),
+                        epoch=int(meta.get("epoch", 0)), r=1,
+                        extra={"imported_from": args.torch_checkpoint})
+        print(f"wrote {args.out_path}")
+        return
+
+    if args.kind == "pwgan":
+        from ..utils.torch_import import convert_pwgan_state_dict
+        from ..vocoder.config import load_vocoder_config
+        from ..vocoder.models.pwgan import ParallelWaveganGenerator
+
+        vcfg = load_vocoder_config(args.config_path)
+        g = vcfg.pwgan
+        model = ParallelWaveganGenerator(
+            vcfg.audio.num_mels, g.num_layers, g.stacks, g.residual_channels,
+            g.gate_channels, g.skip_channels, g.kernel_size,
+            g.upsample_factors, aux_context_window=g.aux_context_window)
+        params = model.init(jax.random.PRNGKey(0))
+        params, report = convert_pwgan_state_dict(sd, params)
+        print(f"mapped {report['mapped']} source tensors")
+        if report["unused_source_keys"]:
+            print("WARNING: NOT transferred (no matching target):")
+            for k in report["unused_source_keys"]:
+                print(f"  - {k}")
         save_checkpoint(args.out_path, params={"g": params}, model_state={},
                         opt_state={}, step=int(meta.get("step", 0)),
                         epoch=int(meta.get("epoch", 0)), r=1,

@@ -226,6 +226,76 @@ def convert_melgan_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
     return p, report
 
 
+def convert_pwgan_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
+    """Fill a ParallelWaveganGenerator param pytree (vocoder/models/pwgan.py)
+    from the reference generator's state_dict (kan-bayashi layout the
+    reference vendors: ``first_conv``, ``conv_layers.{i}.{conv, conv1x1_aux,
+    conv1x1_out, conv1x1_skip}``, ``last_conv_layers.{1,3}``,
+    ``upsample_net.conv_in`` + ``upsample_net.upsample.up_layers``).
+
+    Every conv may be weight-normed (the reference applies WN to all Conv1d/
+    Conv2d) — (g, v) pairs fold to plain weights. The reference's per-factor
+    upsample Conv2d (1 channel, kernel (1, 2f+1)) becomes a diagonal channel
+    map of our dense [k, M, M] Conv1d, exactly like the WaveRNN smoothing
+    convs; its aux ``conv_in`` context conv maps onto ``aux_conv`` (build
+    the model with the matching ``aux_context_window``)."""
+    import copy
+
+    p = copy.deepcopy(params)
+    m = _Matcher(sd)
+
+    def pop_conv(prefix, bias=True):
+        v = m.pop(rf"{prefix}\.weight_v", required=False)
+        if v is not None:
+            w = _wn_fold(v, m.pop(rf"{prefix}\.weight_g"))
+        else:
+            w = np.asarray(m.pop(rf"{prefix}\.weight"))
+        b = m.pop(rf"{prefix}\.bias", required=False) if bias else None
+        return w, b
+
+    w, b = pop_conv(r"first_conv")
+    p["conv_in"]["w"], p["conv_in"]["b"] = _conv(w), _id(b)
+    for i, blk in enumerate(p["blocks"]):
+        w, b = pop_conv(rf"conv_layers\.{i}\.conv")
+        blk["conv"]["w"], blk["conv"]["b"] = _conv(w), _id(b)
+        w, _ = pop_conv(rf"conv_layers\.{i}\.conv1x1_aux", bias=False)
+        blk["cond"]["w"] = _conv(w)
+        w, b = pop_conv(rf"conv_layers\.{i}\.conv1x1_out")
+        blk["res"]["w"], blk["res"]["b"] = _conv(w), _id(b)
+        w, b = pop_conv(rf"conv_layers\.{i}\.conv1x1_skip")
+        blk["skip"]["w"], blk["skip"]["b"] = _conv(w), _id(b)
+    w, b = pop_conv(r"last_conv_layers\.1")
+    p["out1"]["w"], p["out1"]["b"] = _conv(w), _id(b)
+    w, b = pop_conv(r"last_conv_layers\.3")
+    p["out2"]["w"], p["out2"]["b"] = _conv(w), _id(b)
+
+    if "aux_conv" in p:
+        w, _ = pop_conv(r"upsample_net\.conv_in", bias=False)
+        p["aux_conv"]["w"] = _conv(w)
+
+    conv_keys = sorted(
+        (k for k in m.sd if re.fullmatch(
+            r"upsample_net\.(upsample\.)?up_layers\.\d+\.(weight|weight_v)", k)),
+        key=lambda k: int(k.split(".")[-2]))
+    assert len(conv_keys) == len(p["up"]), (conv_keys, len(p["up"]))
+    for key, upd in zip(conv_keys, p["up"]):
+        if key.endswith("weight_v"):
+            w2d = _wn_fold(m.pop(re.escape(key)),
+                           m.pop(re.escape(key[:-1] + "g")))
+        else:
+            w2d = np.asarray(m.pop(re.escape(key)))
+        assert w2d.shape[:3] == (1, 1, 1), (
+            f"freq-axis kernel > 1 unsupported: {key} {w2d.shape}")
+        K = w2d.shape[-1]
+        M = np.shape(upd["w"])[1]
+        eye = np.eye(M, dtype=np.float32)
+        upd["w"] = (w2d.reshape(K, 1, 1) * eye[None]).astype(np.float32)
+
+    report = {"mapped": len(m.used), "unused_source_keys": m.unused(),
+              "shape_mismatches": []}
+    return p, report
+
+
 def convert_wavernn_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
     """Fill a WaveRNN param pytree (vocoder/models/wavernn.py) from the
     reference torch WaveRNN's state_dict.

@@ -27,6 +27,7 @@ class PWGANConfig:
     gate_channels: int = 128
     skip_channels: int = 64
     kernel_size: int = 3
+    aux_context_window: int = 0   # reference conv_in context frames/side
     disc_layers: int = 10
     disc_channels: int = 64
 

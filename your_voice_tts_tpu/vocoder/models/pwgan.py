@@ -53,12 +53,21 @@ class PWGANResBlock:
 class ParallelWaveganGenerator:
     def __init__(self, n_mels: int = 80, num_layers: int = 30, stacks: int = 3,
                  residual_ch: int = 64, gate_ch: int = 128, skip_ch: int = 64,
-                 kernel_size: int = 3, upsample_factors=(4, 4, 4, 4)):
+                 kernel_size: int = 3, upsample_factors=(4, 4, 4, 4),
+                 aux_context_window: int = 0):
         self.n_mels = n_mels
         self.hop = 1
         for u in upsample_factors:
             self.hop *= u
         self.factors = tuple(upsample_factors)
+        # reference conv_in context conv (aux_context_window mel frames each
+        # side, edge-padded at inference so T is preserved)
+        self.aux_context_window = aux_context_window
+        if aux_context_window > 0:
+            self.aux_conv = Conv1d(n_mels, n_mels,
+                                   2 * aux_context_window + 1,
+                                   padding="valid", use_bias=False,
+                                   init_gain="linear")
         self.upsample_convs = [
             Conv1d(n_mels, n_mels, 2 * f + 1, padding="same", use_bias=False,
                    init_gain="linear") for f in self.factors]
@@ -73,9 +82,11 @@ class ParallelWaveganGenerator:
         self.skip_scale = 1.0 / (len(self.blocks) ** 0.5)
 
     def init(self, key) -> Params:
-        ks = jax.random.split(key, len(self.upsample_convs) + len(self.blocks) + 3)
+        ks = jax.random.split(key, len(self.upsample_convs) + len(self.blocks) + 4)
         i = 0
         p: Params = {"up": []}
+        if self.aux_context_window > 0:
+            p["aux_conv"] = self.aux_conv.init(ks[-1])
         for conv in self.upsample_convs:
             cp = conv.init(ks[i]); i += 1
             cp["w"] = jnp.where(jnp.eye(conv.in_dim)[None] > 0,
@@ -91,6 +102,10 @@ class ParallelWaveganGenerator:
 
     def upsample(self, p: Params, mel):
         c = mel
+        if self.aux_context_window > 0:
+            w = self.aux_context_window
+            c = jnp.pad(c, ((0, 0), (w, w), (0, 0)), mode="edge")
+            c = self.aux_conv(p["aux_conv"], c)
         for conv, cp, f in zip(self.upsample_convs, p["up"], self.factors):
             c = conv(cp, _stretch(c, f))
         return c

@@ -42,7 +42,8 @@ class VocoderSynthesizer:
             self.model = ParallelWaveganGenerator(
                 self.cfg.audio.num_mels, m.num_layers, m.stacks,
                 m.residual_channels, m.gate_channels, m.skip_channels,
-                m.kernel_size, m.upsample_factors)
+                m.kernel_size, m.upsample_factors,
+                aux_context_window=m.aux_context_window)
             self.params = self.model.init(jax.random.PRNGKey(0))
             if checkpoint:
                 self.params = _restore_generator_subtree(checkpoint, self.params)

@@ -78,7 +78,8 @@ class GANTrainer:
             self.generator = ParallelWaveganGenerator(
                 cfg.audio.num_mels, cfg.pwgan.num_layers, cfg.pwgan.stacks,
                 cfg.pwgan.residual_channels, cfg.pwgan.gate_channels,
-                cfg.pwgan.skip_channels, cfg.pwgan.kernel_size, ups)
+                cfg.pwgan.skip_channels, cfg.pwgan.kernel_size, ups,
+                aux_context_window=cfg.pwgan.aux_context_window)
             pw_disc = ParallelWaveganDiscriminator(cfg.pwgan.disc_layers,
                                                    cfg.pwgan.disc_channels)
             # uniform interface: a list of (score, feats) scales
