@@ -64,6 +64,22 @@ def test_export_roundtrip_matches_live(tiny, tmp_path):
     assert np.isfinite(wav_exp).all() and np.abs(wav_exp).max() > 0
 
 
+def test_export_multiplatform_cpu_tpu(tiny, tmp_path):
+    """The default platforms=("cpu","tpu") lowering works on a CPU-only
+    host (lower once, run on either device kind) and the artifact still
+    executes here on cpu."""
+    model, variables, cfg, ap = tiny
+    out = str(tmp_path / "exported_mp")
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(1,), text_buckets=(16,),
+                              platforms=("cpu", "tpu"))
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    text = np.random.default_rng(5).integers(1, N_CHARS, (1, 16)) \
+        .astype(np.int32)
+    wav, _ = ExportedSynthesizer(out)(text, np.array([16], np.int32))
+    assert wav.shape[0] == 1 and np.isfinite(wav).all()
+
+
 def test_export_with_melgan_vocoder(tiny, tmp_path):
     """A MelGAN generator baked into the artifact replaces Griffin-Lim:
     output length is frames x upsample product and matches the live jitted
