@@ -24,6 +24,27 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: int = 240) -> str | None:
+    """Return an error string if JAX backend init cannot complete in time.
+
+    The remote-TPU (axon) tunnel in this environment can wedge INDEFINITELY
+    after a TPU-holding process dies mid-run — even bare ``jax.devices()``
+    blocks with ~0 CPU. Probing in a killable subprocess turns "bench hangs
+    forever and records nothing" into a recorded, explained failure line."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return (f"JAX backend init did not complete within {timeout_s}s "
+                "(remote-TPU tunnel wedge); rerun when the lease recovers")
+    if proc.returncode != 0:
+        return f"JAX backend init failed: {proc.stderr[-500:]}"
+    return None
+
+
 def _setup_compile_cache() -> None:
     """Persistent XLA compile cache, same as tests/conftest.py — without it
     every bench invocation pays cold compiles over the remote-TPU tunnel
@@ -751,6 +772,15 @@ def main() -> None:
                         "batch (attributes the batch wall to its two "
                         "components; costs two extra compiles)")
     args = p.parse_args()
+
+    err = _probe_backend()
+    if err is not None:
+        # value 0 + error field: recorded and explained, never mistaken
+        # for a performance claim
+        print(json.dumps({"metric": "e2e_synthesis_realtime_factor",
+                          "value": 0.0, "unit": "x_realtime_per_chip",
+                          "vs_baseline": 0.0, "error": err}))
+        sys.exit(0 if not args.verify else 1)
 
     _setup_compile_cache()
 
