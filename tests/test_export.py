@@ -188,6 +188,34 @@ def test_export_dvector_speaker_input(tiny, tmp_path):
     assert blob[:4] == b"RIFF"
 
 
+def test_export_speaker_encoder_matches_live(tmp_path):
+    """The exported GE2E encoder reproduces compute_embedding for both the
+    short-utterance (tile) and sliding-window paths, including batch
+    chunking through the exported shape."""
+    from your_voice_tts_tpu.infer.export import (ExportedSpeakerEncoder,
+                                                 export_speaker_encoder)
+    from your_voice_tts_tpu.speaker_encoder.model import SpeakerEncoder
+
+    enc = SpeakerEncoder(input_dim=N_MELS, proj_dim=16, lstm_dim=24,
+                         num_layers=2)
+    params = enc.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "exported_se")
+    manifest = export_speaker_encoder(enc, params, out, input_dim=N_MELS,
+                                      batch_sizes=(2,), num_frames=12,
+                                      platforms=("cpu",))
+    assert manifest["proj_dim"] == 16
+    served = ExportedSpeakerEncoder(out)
+
+    rng = np.random.default_rng(6)
+    for T in (7, 40):  # tile path; 5-window path (chunks of 2 through B=2)
+        mel = rng.standard_normal((T, N_MELS)).astype(np.float32)
+        live = np.asarray(enc.compute_embedding(params, jnp.asarray(mel),
+                                                num_frames=12))
+        got = served.embed(mel)
+        np.testing.assert_allclose(got, live, atol=1e-5)
+        assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-4
+
+
 def test_server_from_artifact_dir(tiny, tmp_path):
     """The HTTP server serves /api/tts straight from an export directory:
     ExportedSynthesizer provides tts_to_wav_bytes (manifest-recorded text

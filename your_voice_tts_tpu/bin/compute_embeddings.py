@@ -44,8 +44,10 @@ def main(argv: list[str] | None = None) -> None:
     # template matches before load_checkpoint
     enc_kw = {}
     if args.checkpoint:
+        from ..speaker_encoder.model import arch_from_checkpoint
         from ..train.checkpoint import read_meta
-        enc_kw = read_meta(args.checkpoint).get("speaker_encoder", {})
+        enc_kw = read_meta(args.checkpoint).get("speaker_encoder") or \
+            arch_from_checkpoint(args.checkpoint)
     model = SpeakerEncoder(input_dim=enc_kw.get("input_dim",
                                                 cfg.audio.num_mels),
                            proj_dim=enc_kw.get("proj_dim", 256),

@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="multi-speaker export: adds a speaker input "
                         "(d-vectors if the json carries embeddings, ids "
                         "otherwise) and records the table in the manifest")
+    p.add_argument("--speaker_encoder_checkpoint", default=None,
+                   help="also export the GE2E encoder (mel windows -> "
+                        "d-vectors) into the same directory, making the "
+                        "cloning pipeline artifact-only")
+    p.add_argument("--se_num_frames", type=int, default=160)
     args = p.parse_args(argv)
 
     from ..infer.export import export_serving
@@ -54,6 +59,30 @@ def main(argv: list[str] | None = None) -> None:
         platforms=tuple(args.platforms), vocoder=synth.vocoder,
         speaker_mode=speaker_mode, d_dim=d_dim, speakers=speakers)
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
+
+    if args.speaker_encoder_checkpoint:
+        import jax
+
+        from ..infer.export import export_speaker_encoder
+        from ..speaker_encoder.model import SpeakerEncoder
+        from ..train.checkpoint import load_checkpoint, read_meta
+
+        from ..speaker_encoder.model import arch_from_checkpoint
+
+        enc_kw = read_meta(args.speaker_encoder_checkpoint) \
+            .get("speaker_encoder") or \
+            arch_from_checkpoint(args.speaker_encoder_checkpoint)
+        input_dim = enc_kw["input_dim"]
+        enc = SpeakerEncoder(**enc_kw)
+        eparams = enc.init(jax.random.PRNGKey(0))
+        eparams, _, _, _ = load_checkpoint(args.speaker_encoder_checkpoint,
+                                           params=eparams, model_state={},
+                                           opt_state=None)
+        se = export_speaker_encoder(enc, eparams, args.out,
+                                    input_dim=input_dim,
+                                    num_frames=args.se_num_frames,
+                                    platforms=tuple(args.platforms))
+        print(f"exported speaker encoder ({len(se['entries'])} artifact(s))")
 
 
 if __name__ == "__main__":

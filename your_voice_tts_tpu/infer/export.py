@@ -213,6 +213,89 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
     return manifest
 
 
+SE_MANIFEST_NAME = "speaker_encoder.json"
+
+
+def export_speaker_encoder(enc, params, out_dir: str, *, input_dim: int,
+                           batch_sizes=(8,), num_frames: int = 160,
+                           overlap: float = 0.5,
+                           platforms=("cpu", "tpu")) -> dict:
+    """Export the GE2E speaker encoder (mel windows [B, F, M] -> L2-normed
+    d-vectors [B, D]) so the whole cloning pipeline — reference audio ->
+    d-vector -> speech — runs from artifacts alone. Windowing over an
+    utterance is host-side numpy (ExportedSpeakerEncoder.embed), matching
+    SpeakerEncoder.compute_embedding."""
+    import jax
+    from jax import export as jexport
+
+    def embed(wins):
+        return enc(params, wins)
+
+    os.makedirs(out_dir, exist_ok=True)
+    entries = []
+    for B in batch_sizes:
+        exp = jexport.export(jax.jit(embed), platforms=list(platforms))(
+            jax.ShapeDtypeStruct((B, num_frames, input_dim), np.float32))
+        name = f"embed_b{B}_f{num_frames}.stablehlo"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        entries.append({"file": name, "batch": B})
+    manifest = {"entries": entries, "platforms": list(platforms),
+                "num_frames": num_frames, "input_dim": input_dim,
+                "proj_dim": enc.proj_dim, "overlap": overlap}
+    with open(os.path.join(out_dir, SE_MANIFEST_NAME), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ExportedSpeakerEncoder:
+    """Compute d-vectors from an export_speaker_encoder() directory."""
+
+    def __init__(self, artifact_dir: str):
+        from jax import export as jexport
+
+        with open(os.path.join(artifact_dir, SE_MANIFEST_NAME),
+                  encoding="utf-8") as f:
+            self.manifest = json.load(f)
+        self._fns = {}
+        for e in self.manifest["entries"]:
+            with open(os.path.join(artifact_dir, e["file"]), "rb") as f:
+                self._fns[e["batch"]] = jexport.deserialize(f.read())
+
+    def _call_batched(self, wins: np.ndarray) -> np.ndarray:
+        """wins [N, F, M] -> [N, D], chunked through the exported batches."""
+        caps = sorted(self._fns)
+        out, i = [], 0
+        while i < len(wins):
+            B = next((b for b in caps if b >= len(wins) - i), caps[-1])
+            chunk = wins[i: i + B]
+            pad = np.zeros((B, *wins.shape[1:]), np.float32)
+            pad[: len(chunk)] = chunk
+            out.append(np.asarray(self._fns[B].call(pad))[: len(chunk)])
+            i += len(chunk)
+        return np.concatenate(out)
+
+    def embed(self, mel: np.ndarray) -> np.ndarray:
+        """Sliding-window utterance embedding [T, M] -> [D], the
+        SpeakerEncoder.compute_embedding contract on host windows."""
+        F = self.manifest["num_frames"]
+        mel = np.asarray(mel, np.float32)
+        T = mel.shape[0]
+        if T <= F:
+            reps = -(-F // T)
+            wins = np.tile(mel, (reps, 1))[None, :F]
+        else:
+            hop = max(1, int(F * (1 - self.manifest["overlap"])))
+            starts = list(range(0, T - F + 1, hop)) or [0]
+            wins = np.stack([mel[s: s + F] for s in starts])
+        embs = self._call_batched(wins)
+        if len(embs) == 1:
+            return embs[0]
+        mean = embs.mean(axis=0)
+        return mean / max(float(np.linalg.norm(mean)), 1e-8)
+
+
 class ExportedSynthesizer:
     """Serve from an export_serving() directory — no model code involved."""
 

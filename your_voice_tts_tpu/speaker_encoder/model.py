@@ -101,3 +101,30 @@ class SpeakerEncoder:
         embs = self(p, wins)
         mean = embs.mean(axis=0)
         return mean / jnp.maximum(jnp.linalg.norm(mean), 1e-8)
+
+
+def arch_from_checkpoint(path: str) -> dict:
+    """Infer SpeakerEncoder constructor kwargs from a checkpoint's param
+    shapes — fallback for checkpoints whose meta lacks the architecture
+    record (only imported reference encoders carry one). wx[0] gives
+    (input_dim, 4*lstm_dim), proj gives proj_dim, and wh's leading dim
+    distinguishes recur_on_proj (== proj_dim) from the reference recurrence
+    (== lstm_dim); the ambiguous proj_dim == lstm_dim case defaults True."""
+    import re
+
+    import numpy as np
+
+    with np.load(path) as z:
+        shapes = {k[len("params::"):]: z[k].shape for k in z.files
+                  if k.startswith("params::['layers']")}
+    layers = {int(re.match(r"\['layers'\]\[(\d+)\]", k).group(1))
+              for k in shapes}
+    wx = shapes["['layers'][0]['wx']"]
+    proj = shapes["['layers'][0]['proj']"]
+    wh = shapes["['layers'][0]['wh']"]
+    lstm_dim = wx[1] // 4
+    proj_dim = proj[1]
+    return {"input_dim": wx[0], "proj_dim": proj_dim, "lstm_dim": lstm_dim,
+            "num_layers": len(layers),
+            "recur_on_proj": (wh[0] == proj_dim if proj_dim != lstm_dim
+                              else True)}
