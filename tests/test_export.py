@@ -273,16 +273,27 @@ def test_server_from_artifact_dir(tiny, tmp_path):
 
 
 def test_exported_pads_into_bucket(tiny, tmp_path):
-    """A smaller request pads into the exported shape; only real rows
-    return."""
+    """A smaller request pads into the exported shape (only real rows
+    return); an oversized batch chunks through the biggest exported batch;
+    only an oversized TEXT bucket is an error."""
     model, variables, cfg, ap = tiny
     out = str(tmp_path / "exported")
     export_serving(model, variables, cfg, ap, out, batch_sizes=(4,),
                    text_buckets=(16,), platforms=("cpu",))
     served = ExportedSynthesizer(out)
-    text = np.random.default_rng(1).integers(1, N_CHARS, (1, 9)) \
-        .astype(np.int32)
+    rng = np.random.default_rng(1)
+    text = rng.integers(1, N_CHARS, (1, 9)).astype(np.int32)
     wav, mel_lens = served(text, np.array([9], np.int32))
     assert wav.shape[0] == 1 and mel_lens.shape == (1,)
+    # B=6 through the B=4 artifact: chunks of 4 + 2. Row 4 sits at batch
+    # position 0 of the second chunk, so it must match a solo call exactly
+    # (GL phase keys are split per batch position).
+    text6 = rng.integers(1, N_CHARS, (6, 16)).astype(np.int32)
+    lens6 = np.full((6,), 16, np.int32)
+    wav6, ml6 = served(text6, lens6)
+    assert wav6.shape[0] == 6 and ml6.shape == (6,)
+    wav_solo, ml_solo = served(text6[4:5], lens6[4:5])
+    assert ml6[4] == ml_solo[0]
+    np.testing.assert_allclose(wav6[4], wav_solo[0], atol=1e-6)
     with pytest.raises(ValueError, match="no exported shape fits"):
-        served(np.zeros((8, 16), np.int32), np.full((8,), 16, np.int32))
+        served(np.zeros((1, 32), np.int32), np.full((1,), 32, np.int32))

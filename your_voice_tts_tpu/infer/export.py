@@ -395,17 +395,29 @@ class ExportedSynthesizer:
     def __call__(self, text_ids: np.ndarray, lengths: np.ndarray,
                  seed: int = 0, speaker_ids=None, d_vectors=None):
         """text_ids [B, T] int32 -> (wav [B, L] f32, mel_lengths [B]).
-        Picks the smallest exported shape that fits and pads into it.
-        speaker_ids [B] / d_vectors [B, D] are required iff the artifact
-        was exported with the matching speaker_mode."""
+        Picks the smallest exported shape that fits and pads into it; a
+        batch larger than every exported batch is chunked through the
+        biggest one. speaker_ids [B] / d_vectors [B, D] are required iff
+        the artifact was exported with the matching speaker_mode."""
         import jax
 
         spec = self.manifest.get("speaker_input")
         B, T = text_ids.shape
-        fit = [s for s in self._fns if s[0] >= B and s[1] >= T]
-        if not fit:
+        t_fit = [s for s in self._fns if s[1] >= T]
+        if not t_fit:
             raise ValueError(
                 f"no exported shape fits (B={B}, T={T}); have {self.shapes()}")
+        cap = max(s[0] for s in t_fit)
+        if B > cap:
+            parts = [self(text_ids[i: i + cap], lengths[i: i + cap], seed,
+                          None if speaker_ids is None
+                          else speaker_ids[i: i + cap],
+                          None if d_vectors is None
+                          else d_vectors[i: i + cap])
+                     for i in range(0, B, cap)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        fit = [s for s in t_fit if s[0] >= B]
         Bs, Ts = min(fit)
         text = np.zeros((Bs, Ts), np.int32)
         text[:B, :T] = text_ids
