@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import GSTConfig
-from ..nn.core import Dense, Params, _host_rng, xavier_uniform
+from ..nn.core import BatchNorm1d, Dense, Params, _host_rng, xavier_uniform
 from ..nn.rnn import GRUCell, gru
 
 
@@ -27,6 +27,7 @@ class ReferenceEncoder:
     def __init__(self, n_mels: int, out_dim: int = 128):
         self.n_mels = n_mels
         self.out_dim = out_dim
+        self.bns = [BatchNorm1d(ch) for ch in self.CHANNELS]
         # frequency size after 6 stride-2 convs
         f = n_mels
         for _ in self.CHANNELS:
@@ -37,32 +38,39 @@ class ReferenceEncoder:
         ks = jax.random.split(key, len(self.CHANNELS) + 1)
         convs = []
         in_ch = 1
-        for i, ch in enumerate(self.CHANNELS):
+        for i, (ch, bn) in enumerate(zip(self.CHANNELS, self.bns)):
             convs.append({
                 "w": xavier_uniform(ks[i], (3, 3 * in_ch, ch)).reshape(3, 3, in_ch, ch),
                 "b": jnp.zeros((ch,)),
-                "bn_scale": jnp.ones((ch,)),
-                "bn_bias": jnp.zeros((ch,)),
+                "bn": bn.init(),
             })
             in_ch = ch
         return {"convs": convs, "gru": self.gru_cell.init(ks[-1])}
 
-    def __call__(self, p: Params, mel):
-        """mel: [B, T, n_mels] -> [B, out_dim] style summary."""
+    def init_state(self) -> Params:
+        return {"convs": [bn.init_state() for bn in self.bns]}
+
+    def __call__(self, p: Params, state: Params, mel, train: bool = False):
+        """mel: [B, T, n_mels] -> ([B, out_dim] style summary, new state).
+
+        Real BatchNorm with running stats (torch parity): batch statistics
+        in training, running statistics at inference. (The earlier
+        instance-norm stand-in collapsed to a CONSTANT embedding once the
+        strided convs reduced the spatial extent to one position — style
+        conditioning silently died for every input.)"""
         x = mel[..., None]  # NHWC: [B, T, n_mels, 1]
-        for cp in p["convs"]:
+        new_state: Params = {"convs": []}
+        for cp, bn, st in zip(p["convs"], self.bns, state["convs"]):
             x = lax.conv_general_dilated(
                 x, cp["w"], window_strides=(2, 2), padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + cp["b"]
-            # instance-style normalization stand-in for BN at inference
-            mean = x.mean(axis=(1, 2), keepdims=True)
-            var = x.var(axis=(1, 2), keepdims=True)
-            x = (x - mean) * lax.rsqrt(var + 1e-5) * cp["bn_scale"] + cp["bn_bias"]
+            x, ns = bn(cp["bn"], st, x, train)  # reduces (B, T, F) per ch
+            new_state["convs"].append(ns)
             x = jax.nn.relu(x)
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
         out = gru(self.gru_cell, p["gru"], x)
-        return out[:, -1, :]
+        return out[:, -1, :], new_state
 
 
 class StyleTokenLayer:
@@ -118,7 +126,12 @@ class GST:
             "proj": self.out_proj.init(k2),
         }
 
-    def __call__(self, p: Params, style_mel, style_len=None):
-        ref = self.ref_encoder(p["ref"], style_mel)
+    def init_state(self) -> Params:
+        return {"ref": self.ref_encoder.init_state()}
+
+    def __call__(self, p: Params, state: Params, style_mel, style_len=None,
+                 train: bool = False):
+        ref, ref_state = self.ref_encoder(p["ref"], state["ref"], style_mel,
+                                          train)
         style = self.style_layer(p["style"], ref)
-        return self.out_proj(p["proj"], style)
+        return self.out_proj(p["proj"], style), {"ref": ref_state}

@@ -377,6 +377,8 @@ class Tacotron:
             "decoder": self.decoder.init_state(),
             "post_cbhg": self.post_cbhg.init_state(),
         }
+        if self.use_gst:
+            state["gst"] = self.gst.init_state()
         return {"params": params, "state": state}
 
     def _encode(self, params, state, text, rng, train, speaker_ids,
@@ -386,8 +388,10 @@ class Tacotron:
                                        x, rng, train)
         enc_out, cbhg_state = self.encoder_cbhg(params["encoder_cbhg"],
                                                 state["encoder_cbhg"], x, train)
+        gst_state = state.get("gst", {}) if self.use_gst else {}
         if self.use_gst and style_mel is not None:
-            style = self.gst(params["gst"], style_mel)
+            style, gst_state = self.gst(params["gst"], state["gst"],
+                                        style_mel, train=train)
             enc_out = enc_out + style[:, None, :]
         if self.num_speakers > 0:
             B, T = enc_out.shape[:2]
@@ -398,7 +402,7 @@ class Tacotron:
             enc_out = jnp.concatenate(
                 [enc_out, jnp.broadcast_to(spk[:, None, :], (B, T, self.spk_dim))],
                 axis=-1)
-        return enc_out, pre_state, cbhg_state
+        return enc_out, pre_state, cbhg_state, gst_state
 
     def forward(self, variables, text, text_lengths, mels, rng=None,
                 train: bool = True, speaker_ids=None, speaker_embeddings=None,
@@ -409,7 +413,7 @@ class Tacotron:
             rng, k_enc, k_dec = jax.random.split(rng, 3)
         else:
             k_enc = k_dec = None
-        enc_out, pre_state, cbhg_state = self._encode(
+        enc_out, pre_state, cbhg_state, gst_state = self._encode(
             params, state, text, k_enc, train, speaker_ids, speaker_embeddings,
             style_mel=mels)
         dec_out, aligns, stops, dec_state = self.decoder.forward(
@@ -427,8 +431,9 @@ class Tacotron:
             "postnet_outputs": linear,      # LINEAR spectrogram [B, T, num_freq]
             "alignments": aligns,
             "stop_logits": stops,
-            "state": {"enc_prenet": pre_state, "encoder_cbhg": cbhg_state,
-                      "decoder": dec_state, "post_cbhg": post_state},
+            "state": ({"enc_prenet": pre_state, "encoder_cbhg": cbhg_state,
+                       "decoder": dec_state, "post_cbhg": post_state}
+                      | ({"gst": gst_state} if self.use_gst else {})),
         }
 
     def pallas_decode_supported(self, T: int, B: int = 1) -> bool:
@@ -461,7 +466,7 @@ class Tacotron:
         params, state, speaker_embeddings, style_mel = cast_compute(
             params, state, compute_dtype, speaker_embeddings, style_mel)
         max_steps = max_decoder_steps or self.cfg.max_decoder_steps
-        enc_out, _, _ = self._encode(params, state, text, rng, False,
+        enc_out, _, _, _ = self._encode(params, state, text, rng, False,
                                      speaker_ids, speaker_embeddings, style_mel)
         if use_pallas is None:
             use_pallas = self.pallas_decode_supported(text.shape[1],

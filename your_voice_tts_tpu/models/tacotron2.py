@@ -471,14 +471,20 @@ class Tacotron2:
             "decoder": self.decoder.init_state(),
             "postnet": self.postnet.init_state(),
         }
+        if self.use_gst:
+            state["gst"] = self.gst.init_state()
         return {"params": params, "state": state}
 
-    def _condition(self, params, enc_out, speaker_ids=None, speaker_embeddings=None,
-                   style_mel=None, style_len=None):
-        """Attach speaker/style conditioning to encoder outputs."""
+    def _condition(self, params, state, enc_out, speaker_ids=None,
+                   speaker_embeddings=None, style_mel=None, style_len=None,
+                   train: bool = False):
+        """Attach speaker/style conditioning to encoder outputs. Returns
+        (enc_out, gst_state) — gst_state is {} for non-GST models."""
         B, T = enc_out.shape[:2]
+        gst_state = state.get("gst", {}) if self.use_gst else {}
         if self.use_gst and style_mel is not None:
-            style = self.gst(params["gst"], style_mel, style_len)  # [B, E]
+            style, gst_state = self.gst(params["gst"], state["gst"],
+                                        style_mel, style_len, train)  # [B, E]
             enc_out = enc_out + style[:, None, :]
         if self.num_speakers > 0:
             if self.use_external_speaker_embedding:
@@ -487,7 +493,7 @@ class Tacotron2:
                 spk = self.speaker_embedding(params["speaker_embedding"], speaker_ids)
             spk = jnp.broadcast_to(spk[:, None, :], (B, T, self.spk_dim))
             enc_out = jnp.concatenate([enc_out, spk], axis=-1)
-        return enc_out
+        return enc_out, gst_state
 
     def set_r(self, r: int) -> None:
         """Change the active reduction factor (gradual training; reference
@@ -513,8 +519,9 @@ class Tacotron2:
         x = self.embedding(params["embedding"], text)
         enc_out, enc_state = self.encoder(params["encoder"], state["encoder"],
                                           x, text_lengths, k_enc, train)
-        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
-                                  style_mel=mels, style_len=None)
+        enc_out, gst_state = self._condition(
+            params, state, enc_out, speaker_ids, speaker_embeddings,
+            style_mel=mels, style_len=None, train=train)
         dec_out, aligns, stops, dec_state = self.decoder.forward(
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
             k_dec, train, r=r)
@@ -531,6 +538,8 @@ class Tacotron2:
             "stop_logits": stops,
             "state": {"encoder": enc_state, "decoder": dec_state, "postnet": post_state},
         }
+        if self.use_gst:
+            out["state"]["gst"] = gst_state
         if self.cfg.bidirectional_decoder and train:
             # run the backward decoder on time-reversed mels; flip its output
             # back so losses compare in forward time (reference
@@ -600,8 +609,8 @@ class Tacotron2:
         x = self.embedding(params["embedding"], text)
         enc_out, _ = self.encoder(params["encoder"], state["encoder"],
                                   x, text_lengths, None, train=False)
-        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
-                                  style_mel=style_mel)
+        enc_out, _ = self._condition(params, state, enc_out, speaker_ids,
+                                     speaker_embeddings, style_mel=style_mel)
         if use_pallas is None:
             use_pallas = self.pallas_decode_supported(text.shape[1],
                                                       text.shape[0])
@@ -654,8 +663,8 @@ class Tacotron2:
         x = self.embedding(params["embedding"], text)
         enc_out, _ = self.encoder(params["encoder"], state["encoder"],
                                   x, text_lengths, None, train=False)
-        enc_out = self._condition(params, enc_out, speaker_ids, speaker_embeddings,
-                                  style_mel=style_mel)
+        enc_out, _ = self._condition(params, state, enc_out, speaker_ids,
+                                     speaker_embeddings, style_mel=style_mel)
         if use_pallas is None:
             use_pallas = self.pallas_decode_supported(text.shape[1],
                                                       text.shape[0])
@@ -714,8 +723,9 @@ class Tacotron2:
                 x = self.embedding(params["embedding"], text)
                 enc_out, _ = self.encoder(params["encoder"], state["encoder"],
                                           x, text_lengths, None, train=False)
-                return self._condition(params, enc_out, speaker_ids,
-                                       speaker_embeddings, style_mel=style_mel)
+                return self._condition(params, state, enc_out, speaker_ids,
+                                       speaker_embeddings,
+                                       style_mel=style_mel)[0]
 
             self._jit_fns[enc_key] = jax.jit(encode)
         enc_out = self._jit_fns[enc_key](params, state, text, text_lengths,
