@@ -188,6 +188,44 @@ def test_export_dvector_speaker_input(tiny, tmp_path):
     assert blob[:4] == b"RIFF"
 
 
+def test_export_gst_style_input(tiny, tmp_path):
+    """A GST artifact takes a style-reference mel input: conditioning
+    reaches the output, short references tile into the exported window,
+    and the result matches the live jitted program."""
+    _, _, cfg, ap = tiny
+    model = Tacotron2(N_CHARS, cfg.model, n_mels=N_MELS, use_gst=True)
+    variables = model.init(jax.random.PRNGKey(2))
+    out = str(tmp_path / "exported_gst")
+    F = 8
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(1,), text_buckets=(16,),
+                              platforms=("cpu",), style_frames=F)
+    assert manifest["style_input"] == {"frames": F, "num_mels": N_MELS}
+
+    served = ExportedSynthesizer(out)
+    rng = np.random.default_rng(7)
+    text = rng.integers(1, N_CHARS, (1, 16)).astype(np.int32)
+    lens = np.array([16], np.int32)
+    sty0 = rng.standard_normal((1, F, N_MELS)).astype(np.float32)
+    sty1 = rng.standard_normal((1, F, N_MELS)).astype(np.float32)
+    wav0, _ = served(text, lens, seed=0, style_mel=sty0)
+    wav1, _ = served(text, lens, seed=0, style_mel=sty1)
+    assert np.abs(wav0 - wav1).max() > 1e-6  # style reaches the output
+
+    live = make_serving_fn(model, variables, cfg, ap, style_frames=F)
+    wav_live, _ = jax.jit(live)(jnp.asarray(text), jnp.asarray(lens),
+                                jnp.asarray(sty0), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(wav_live), wav0, atol=1e-5)
+    # a 3-frame reference tiles into the 8-frame window
+    short = sty0[:, :3]
+    wav_s, _ = served(text, lens, seed=0, style_mel=short)
+    tiled = np.tile(short, (1, 3, 1))[:, :F]
+    wav_t, _ = served(text, lens, seed=0, style_mel=tiled)
+    np.testing.assert_allclose(wav_s, wav_t, atol=1e-6)
+    with pytest.raises(ValueError, match="expects style_mel"):
+        served(text, lens)
+
+
 def test_export_speaker_encoder_matches_live(tmp_path):
     """The exported GE2E encoder reproduces compute_embedding for both the
     short-utterance (tile) and sliding-window paths, including batch

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> None:
                         "d-vectors) into the same directory, making the "
                         "cloning pipeline artifact-only")
     p.add_argument("--se_num_frames", type=int, default=160)
+    p.add_argument("--style_frames", type=int, default=None,
+                   help="GST models: add a style-reference mel input of "
+                        "this many frames to the artifact")
     args = p.parse_args(argv)
 
     from ..infer.export import export_serving
@@ -57,7 +60,8 @@ def main(argv: list[str] | None = None) -> None:
         batch_sizes=tuple(args.batch), text_buckets=tuple(args.text_bucket),
         max_decoder_steps=args.max_decoder_steps,
         platforms=tuple(args.platforms), vocoder=synth.vocoder,
-        speaker_mode=speaker_mode, d_dim=d_dim, speakers=speakers)
+        speaker_mode=speaker_mode, d_dim=d_dim, speakers=speakers,
+        style_frames=args.style_frames)
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
 
     if args.speaker_encoder_checkpoint:

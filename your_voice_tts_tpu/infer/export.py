@@ -32,10 +32,10 @@ MANIFEST_NAME = "manifest.json"
 
 
 def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
-                    vocoder=None, speaker_mode=None):
-    """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, [spk,] key)
-    -> (wav [B, L] f32, mel_lengths [B] i32). Weights are closed over, so
-    export bakes them into the artifact.
+                    vocoder=None, speaker_mode=None, style_frames=None):
+    """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, [spk,]
+    [style,] key) -> (wav [B, L] f32, mel_lengths [B] i32). Weights are
+    closed over, so export bakes them into the artifact.
 
     vocoder: optional VocoderSynthesizer — its generator (MelGAN / PWGAN)
     replaces Griffin-Lim inside the artifact, weights baked in alongside the
@@ -45,6 +45,10 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
     speaker_mode: None (single voice) | "id" (spk is [B] int32 embedding-
     table ids) | "dvector" (spk is [B, D] float32 d-vectors — the cloning
     deployment: any voice the speaker encoder can embed, one artifact).
+
+    style_frames: for GST models, adds a style-reference input
+    [B, style_frames, n_mels] (a fixed-length mel window of the style
+    audio; ExportedSynthesizer tiles/truncates host-side).
 
     Tacotron1's linear head is inverted with inv_spectrogram_batch (no mel
     pinv); neural vocoders require a mel model."""
@@ -61,12 +65,14 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
     if speaker_mode not in (None, "id", "dvector"):
         raise ValueError(f"unknown speaker_mode {speaker_mode!r}")
 
-    def infer(text, lengths, spk):
+    def infer(text, lengths, spk, style):
         kw = {}
         if speaker_mode == "id":
             kw["speaker_ids"] = spk
         elif speaker_mode == "dvector":
             kw["speaker_embeddings"] = spk
+        if style_frames is not None:
+            kw["style_mel"] = style
         return model.inference(variables, text, lengths, rng=None,
                                max_decoder_steps=max_decoder_steps,
                                compute_dtype=compute_dtype,
@@ -113,13 +119,23 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
                     stats=None if mstats is None else tuple(
                         jnp.asarray(s) for s in mstats), **gl_kw)
 
-    if speaker_mode is None:
-        def serve(text, lengths, key):
-            out = infer(text, lengths, None)
+    has_spk = speaker_mode is not None
+    has_style = style_frames is not None
+    if has_spk and has_style:
+        def serve(text, lengths, spk, style, key):
+            out = infer(text, lengths, spk, style)
+            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+    elif has_spk:
+        def serve(text, lengths, spk, key):
+            out = infer(text, lengths, spk, None)
+            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+    elif has_style:
+        def serve(text, lengths, style, key):
+            out = infer(text, lengths, None, style)
             return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
     else:
-        def serve(text, lengths, spk, key):
-            out = infer(text, lengths, spk)
+        def serve(text, lengths, key):
+            out = infer(text, lengths, None, None)
             return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
 
     return serve
@@ -129,20 +145,22 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
                    batch_sizes=(1,), text_buckets=(128,),
                    max_decoder_steps=None, platforms=("cpu", "tpu"),
                    vocoder=None, speaker_mode=None, d_dim=None,
-                   speakers=None) -> dict:
+                   speakers=None, style_frames=None) -> dict:
     """Export one artifact per (batch, text-bucket) shape into out_dir and
     write a manifest. Returns the manifest dict. With a vocoder
     (VocoderSynthesizer), its generator replaces Griffin-Lim in the
     artifact. speaker_mode "id"/"dvector" adds a speaker input (d_dim
     required for "dvector"); `speakers` (name -> id or name -> d-vector
     list) is recorded in the manifest so named speakers serve from the
-    artifact directory alone."""
+    artifact directory alone. style_frames adds a GST style-reference mel
+    input [B, style_frames, n_mels]."""
     import jax
     from jax import export as jexport
 
     serve = make_serving_fn(model, variables, cfg, ap,
                             max_decoder_steps=max_decoder_steps,
-                            vocoder=vocoder, speaker_mode=speaker_mode)
+                            vocoder=vocoder, speaker_mode=speaker_mode,
+                            style_frames=style_frames)
     if speaker_mode == "dvector" and not d_dim:
         raise ValueError("speaker_mode='dvector' needs d_dim")
     os.makedirs(out_dir, exist_ok=True)
@@ -156,6 +174,9 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
                 args.append(jax.ShapeDtypeStruct((B,), np.int32))
             elif speaker_mode == "dvector":
                 args.append(jax.ShapeDtypeStruct((B, d_dim), np.float32))
+            if style_frames is not None:
+                args.append(jax.ShapeDtypeStruct(
+                    (B, style_frames, cfg.audio.num_mels), np.float32))
             args.append(jax.ShapeDtypeStruct((2,), np.uint32))
             exp = jexport.export(jax.jit(serve),
                                  platforms=list(platforms))(*args)
@@ -194,6 +215,9 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
             manifest["speakers"] = {
                 k: (v if isinstance(v, int) else list(map(float, v)))
                 for k, v in speakers.items()}
+    if style_frames is not None:
+        manifest["style_input"] = {"frames": style_frames,
+                                   "num_mels": cfg.audio.num_mels}
     emb = getattr(model, "embedding", None)
     if emb is not None:
         manifest["num_chars"] = emb.num
@@ -393,15 +417,19 @@ class ExportedSynthesizer:
         return buf.getvalue()
 
     def __call__(self, text_ids: np.ndarray, lengths: np.ndarray,
-                 seed: int = 0, speaker_ids=None, d_vectors=None):
+                 seed: int = 0, speaker_ids=None, d_vectors=None,
+                 style_mel=None):
         """text_ids [B, T] int32 -> (wav [B, L] f32, mel_lengths [B]).
         Picks the smallest exported shape that fits and pads into it; a
         batch larger than every exported batch is chunked through the
         biggest one. speaker_ids [B] / d_vectors [B, D] are required iff
-        the artifact was exported with the matching speaker_mode."""
+        the artifact was exported with the matching speaker_mode;
+        style_mel [B, F, M] (tiled/truncated to the exported style window)
+        iff it was exported with style_frames (GST)."""
         import jax
 
         spec = self.manifest.get("speaker_input")
+        style_spec = self.manifest.get("style_input")
         B, T = text_ids.shape
         t_fit = [s for s in self._fns if s[1] >= T]
         if not t_fit:
@@ -413,7 +441,9 @@ class ExportedSynthesizer:
                           None if speaker_ids is None
                           else speaker_ids[i: i + cap],
                           None if d_vectors is None
-                          else d_vectors[i: i + cap])
+                          else d_vectors[i: i + cap],
+                          None if style_mel is None
+                          else style_mel[i: i + cap])
                      for i in range(0, B, cap)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
@@ -440,6 +470,21 @@ class ExportedSynthesizer:
                 args.append(dv)
         elif speaker_ids is not None or d_vectors is not None:
             raise ValueError("artifact takes no speaker input")
+        if style_spec is not None:
+            if style_mel is None:
+                raise ValueError(
+                    f"artifact expects style_mel [B, F, "
+                    f"{style_spec['num_mels']}]")
+            F = style_spec["frames"]
+            style_mel = np.asarray(style_mel, np.float32)
+            if style_mel.shape[1] < F:  # tile short references into window
+                reps = -(-F // style_mel.shape[1])
+                style_mel = np.tile(style_mel, (1, reps, 1))
+            sty = np.zeros((Bs, F, style_spec["num_mels"]), np.float32)
+            sty[:B] = style_mel[:, :F]
+            args.append(sty)
+        elif style_mel is not None:
+            raise ValueError("artifact takes no style input")
         args.append(jax.random.key_data(
             jax.random.PRNGKey(seed)).astype(np.uint32))
         wav, mel_lens = self._fns[(Bs, Ts)].call(*args)
