@@ -61,8 +61,11 @@ class ReferenceEncoder:
         x = mel[..., None]  # NHWC: [B, T, n_mels, 1]
         new_state: Params = {"convs": []}
         for cp, bn, st in zip(p["convs"], self.bns, state["convs"]):
+            # explicit (1,1) padding = torch Conv2d(k=3, stride=2, pad=1):
+            # stride-2 SAME would sample a grid offset by one on even sizes,
+            # breaking imported-checkpoint parity
             x = lax.conv_general_dilated(
-                x, cp["w"], window_strides=(2, 2), padding="SAME",
+                x, cp["w"], window_strides=(2, 2), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + cp["b"]
             x, ns = bn(cp["bn"], st, x, train)  # reduces (B, T, F) per ch
             new_state["convs"].append(ns)

@@ -368,6 +368,62 @@ def convert_speaker_encoder_state_dict(sd: dict, params: dict) -> tuple[dict, di
     return p, report
 
 
+def _convert_gst(m: _Matcher, gp: dict, gs: dict) -> None:
+    """Reference gst_layer (layers/gst_layers.py): ReferenceEncoder Conv2d +
+    BN stack + GRU summary, StyleTokenLayer tokens + W_query/W_key/W_value.
+    The reference has NO output projection (its GST embedding width must
+    equal the encoder width), so our out_proj becomes identity — exact when
+    gst_embedding_dim == encoder width, which the reference requires anyway.
+    Its reference-encoder GRU width is gst_embedding_dim // 2 (= our fixed
+    128 at the default 256); other dims surface as shape mismatches."""
+    for i, conv in enumerate(gp["ref"]["convs"]):
+        w = np.asarray(m.pop(rf"gst(_layer)?\.encoder\.convs\.{i}\.weight"))
+        conv["w"] = np.ascontiguousarray(
+            np.transpose(w, (2, 3, 1, 0)))  # [out,in,kh,kw] -> [kh,kw,in,out]
+        b = m.pop(rf"gst(_layer)?\.encoder\.convs\.{i}\.bias", required=False)
+        conv["b"] = (_id(b) if b is not None
+                     else np.zeros((w.shape[0],), np.float32))
+        conv["bn"]["scale"] = _id(
+            m.pop(rf"gst(_layer)?\.encoder\.bns\.{i}\.weight"))
+        conv["bn"]["bias"] = _id(
+            m.pop(rf"gst(_layer)?\.encoder\.bns\.{i}\.bias"))
+        gs["ref"]["convs"][i]["mean"] = _id(
+            m.pop(rf"gst(_layer)?\.encoder\.bns\.{i}\.running_mean"))
+        gs["ref"]["convs"][i]["var"] = _id(
+            m.pop(rf"gst(_layer)?\.encoder\.bns\.{i}\.running_var"))
+    # GRU input features: the reference flattens the conv stack [C, F]
+    # channel-major, ours [F, C] frequency-major — permute weight_ih rows
+    # (identity when the frequency axis has collapsed to F == 1)
+    wx = np.asarray(m.pop(r"gst(_layer)?\.encoder\.recurrence\.weight_ih_l0"))
+    C = gp["ref"]["convs"][-1]["w"].shape[-1]
+    F = wx.shape[1] // C
+    perm = np.arange(C * F).reshape(C, F).T.reshape(-1)
+    gp["ref"]["gru"]["wx"] = _t(wx)[perm]
+    gp["ref"]["gru"]["wh"] = _t(
+        m.pop(r"gst(_layer)?\.encoder\.recurrence\.weight_hh_l0"))
+    gp["ref"]["gru"]["bx"] = _id(
+        m.pop(r"gst(_layer)?\.encoder\.recurrence\.bias_ih_l0"))
+    gp["ref"]["gru"]["bh"] = _id(
+        m.pop(r"gst(_layer)?\.encoder\.recurrence\.bias_hh_l0"))
+    gp["style"]["tokens"] = _id(
+        m.pop(r"gst(_layer)?\.style_token_layer\.style_tokens"))
+    gp["style"]["q"]["w"] = _t(m.pop(
+        r"gst(_layer)?\.style_token_layer\.attention\.W_query\.weight"))
+    gp["style"]["k"]["w"] = _t(m.pop(
+        r"gst(_layer)?\.style_token_layer\.attention\.W_key\.weight"))
+    gp["style"]["v"]["w"] = _t(m.pop(
+        r"gst(_layer)?\.style_token_layer\.attention\.W_value\.weight"))
+    E = np.shape(gp["proj"]["w"])
+    if E[0] == E[1]:
+        gp["proj"]["w"] = np.eye(E[0], dtype=np.float32)
+        if "b" in gp["proj"]:
+            gp["proj"]["b"] = np.zeros((E[1],), np.float32)
+    # else: the model was built with gst_embedding_dim != encoder width — a
+    # configuration the reference cannot express (it sums the style into the
+    # encoder outputs directly); the projection keeps its init values and
+    # needs fine-tuning
+
+
 def convert_tacotron2_state_dict(sd: dict, variables: dict) -> tuple[dict, dict]:
     """Fill a fresh Tacotron2 ``variables`` pytree (from ``model.init``) with
     the reference state_dict's weights.
@@ -440,6 +496,9 @@ def convert_tacotron2_state_dict(sd: dict, variables: dict) -> tuple[dict, dict]
         se = m.pop(r"speaker_embedding\.weight", required=False)
         if se is not None:
             p["speaker_embedding"]["table"] = _id(se)
+    if "gst" in p and any(k.startswith(("gst", "gst_layer"))
+                          for k in m.sd):
+        _convert_gst(m, p["gst"], s["gst"])
 
     # shape validation: any converted leaf whose shape disagrees with the
     # model's template (e.g. a fork with a different symbol set) reverts to
