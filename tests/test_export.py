@@ -265,10 +265,10 @@ def test_server_from_artifact_dir(tiny, tmp_path):
     from your_voice_tts_tpu.infer.server import make_server
     from your_voice_tts_tpu.text import symbols
 
-    _, _, cfg, ap = tiny
+    _, _, base_cfg, ap = tiny
     # the served frontend emits real symbol-table ids, so the model's
     # embedding must cover the whole table (num_chars is manifest-checked)
-    model = Tacotron2(len(symbols), cfg.model, n_mels=N_MELS)
+    model = Tacotron2(len(symbols), base_cfg.model, n_mels=N_MELS)
     variables = model.init(jax.random.PRNGKey(0))
 
     class Data:
@@ -278,7 +278,12 @@ def test_server_from_artifact_dir(tiny, tmp_path):
         enable_eos_bos_chars = False
         cmudict_path = None
 
-    cfg.data = Data()
+    class Cfg:  # own copy — never mutate the module-scoped fixture
+        model = base_cfg.model
+        audio = base_cfg.audio
+        data = Data()
+
+    cfg = Cfg()
     out = str(tmp_path / "exported")
     export_serving(model, variables, cfg, ap, out, batch_sizes=(1,),
                    text_buckets=(32,), platforms=("cpu",))

@@ -659,22 +659,26 @@ class TorchPWGAN(tnn.Module):
         return x
 
 
-def test_pwgan_import_forward_parity():
+@pytest.mark.parametrize("aux_window", [2, 0])
+def test_pwgan_import_forward_parity(aux_window):
     """Reference PWGAN generator -> convert (weight_norm folds, diagonal
-    upsample maps, aux context conv) -> same audio for the same noise."""
+    upsample maps, aux context conv) -> same audio for the same noise.
+    aux_window=0 exercises the exact fold of the reference's kernel-1
+    conv_in into the first upsample conv (our model has no aux conv
+    then)."""
     from your_voice_tts_tpu.utils.torch_import import (
         convert_pwgan_state_dict, strip_module_prefix)
     from your_voice_tts_tpu.vocoder.models.pwgan import ParallelWaveganGenerator
 
     torch.manual_seed(8)
-    trep = TorchPWGAN().eval()
+    trep = TorchPWGAN(aux_window=aux_window).eval()
     sd = {k: v.detach().numpy()
           for k, v in strip_module_prefix(trep.state_dict()).items()}
 
     model = ParallelWaveganGenerator(
         n_mels=20, num_layers=6, stacks=2, residual_ch=8, gate_ch=16,
         skip_ch=8, kernel_size=3, upsample_factors=(4, 4, 4),
-        aux_context_window=2)
+        aux_context_window=aux_window)
     params = model.init(jax.random.PRNGKey(0))
     params, report = convert_pwgan_state_dict(sd, params)
     assert report["unused_source_keys"] == [], report["unused_source_keys"]

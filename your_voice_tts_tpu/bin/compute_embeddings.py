@@ -42,22 +42,13 @@ def main(argv: list[str] | None = None) -> None:
     # imported reference encoders record their architecture in the meta
     # (bin/import_checkpoint --kind speaker_encoder); honor it so the
     # template matches before load_checkpoint
-    enc_kw = {}
     if args.checkpoint:
-        from ..speaker_encoder.model import arch_from_checkpoint
-        from ..train.checkpoint import read_meta
-        enc_kw = read_meta(args.checkpoint).get("speaker_encoder") or \
-            arch_from_checkpoint(args.checkpoint)
-    model = SpeakerEncoder(input_dim=enc_kw.get("input_dim",
-                                                cfg.audio.num_mels),
-                           proj_dim=enc_kw.get("proj_dim", 256),
-                           lstm_dim=enc_kw.get("lstm_dim", 768),
-                           num_layers=enc_kw.get("num_layers", 3),
-                           recur_on_proj=enc_kw.get("recur_on_proj", True))
-    params = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint:
-        params, _, _, _ = load_checkpoint(args.checkpoint, params=params,
-                                          model_state={}, opt_state=None)
+        from ..speaker_encoder.model import load_encoder
+        model, params = load_encoder(args.checkpoint,
+                                     default_input_dim=cfg.audio.num_mels)
+    else:
+        model = SpeakerEncoder(input_dim=cfg.audio.num_mels)
+        params = model.init(jax.random.PRNGKey(0))
 
     items = get_formatter(args.formatter)(args.data_path, args.meta_file)
     mapping: dict = {}

@@ -65,25 +65,13 @@ def main(argv: list[str] | None = None) -> None:
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
 
     if args.speaker_encoder_checkpoint:
-        import jax
-
         from ..infer.export import export_speaker_encoder
-        from ..speaker_encoder.model import SpeakerEncoder
-        from ..train.checkpoint import load_checkpoint, read_meta
+        from ..speaker_encoder.model import load_encoder
 
-        from ..speaker_encoder.model import arch_from_checkpoint
-
-        enc_kw = read_meta(args.speaker_encoder_checkpoint) \
-            .get("speaker_encoder") or \
-            arch_from_checkpoint(args.speaker_encoder_checkpoint)
-        input_dim = enc_kw["input_dim"]
-        enc = SpeakerEncoder(**enc_kw)
-        eparams = enc.init(jax.random.PRNGKey(0))
-        eparams, _, _, _ = load_checkpoint(args.speaker_encoder_checkpoint,
-                                           params=eparams, model_state={},
-                                           opt_state=None)
+        enc, eparams = load_encoder(args.speaker_encoder_checkpoint,
+                                    default_input_dim=synth.cfg.audio.num_mels)
         se = export_speaker_encoder(enc, eparams, args.out,
-                                    input_dim=input_dim,
+                                    input_dim=enc.layers[0].in_dim,
                                     num_frames=args.se_num_frames,
                                     platforms=tuple(args.platforms))
         print(f"exported speaker encoder ({len(se['entries'])} artifact(s))")

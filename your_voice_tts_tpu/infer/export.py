@@ -197,7 +197,10 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "platforms": list(platforms),
         "sample_rate": cfg.audio.sample_rate,
         "hop_length": cfg.audio.hop_length,
-        "r": cfg.model.r,
+        # the ACTIVE reduction factor — checkpoint meta may have set a
+        # different r than the config (gradual training / imports), and the
+        # traced program decoded with the active one
+        "r": getattr(model, "r", cfg.model.r),
         "max_decoder_steps": steps,
         "waveform": waveform,
         "samples_per_frame": upsample,
@@ -205,7 +208,10 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "inputs": "text ids [B, T] int32 (zero-padded), lengths [B] int32"
                   + {"id": ", speaker ids [B] int32",
                      "dvector": f", d-vectors [B, {d_dim}] float32"}.get(
-                         speaker_mode, ""),
+                         speaker_mode, "")
+                  + (f", style mel [B, {style_frames}, "
+                     f"{cfg.audio.num_mels}] float32"
+                     if style_frames is not None else ""),
         "outputs": ("wav [B, steps*r*samples_per_frame] float32, "
                     "mel_lengths [B] int32"),
     }
@@ -393,17 +399,28 @@ class ExportedSynthesizer:
                 f"d-vector of dim {spec['dim']} required, got {vec.shape}")
         return {"d_vectors": np.tile(vec, (B, 1))}
 
-    def tts_to_wav_bytes(self, text: str, speaker=None, seed: int = 0) -> bytes:
+    def tts_to_wav_bytes(self, text: str, speaker=None, seed: int = 0,
+                         style_mel=None) -> bytes:
         """text -> WAV container bytes, Synthesizer.tts_to_wav_bytes shape —
         lets the HTTP server serve straight from an artifact directory.
         `speaker` may be a name from the manifest's speaker table, an id, or
-        a d-vector, per the artifact's speaker_input."""
+        a d-vector, per the artifact's speaker_input. For GST artifacts,
+        `style_mel` [F, n_mels] selects the style; without one a neutral
+        all-zeros reference is used so the endpoint stays servable."""
         import io
         import wave
 
+        kw = self._speaker_args(speaker, 1)
+        style_spec = self.manifest.get("style_input")
+        if style_spec is not None:
+            if style_mel is None:
+                style_mel = np.zeros(
+                    (style_spec["frames"], style_spec["num_mels"]),
+                    np.float32)
+            kw["style_mel"] = np.asarray(style_mel, np.float32)[None]
         ids = self.text_to_ids(text)[None]
         wav, mel_lens = self(ids, np.array([ids.shape[1]], np.int32),
-                             seed=seed, **self._speaker_args(speaker, 1))
+                             seed=seed, **kw)
         spf = self.manifest.get("samples_per_frame",
                                 self.manifest["hop_length"])
         w = wav[0][: max(int(mel_lens[0]), 1) * spf]

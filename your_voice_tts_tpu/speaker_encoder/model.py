@@ -128,3 +128,29 @@ def arch_from_checkpoint(path: str) -> dict:
             "num_layers": len(layers),
             "recur_on_proj": (wh[0] == proj_dim if proj_dim != lstm_dim
                               else True)}
+
+
+def load_encoder(checkpoint: str, default_input_dim: int = 80):
+    """Build a SpeakerEncoder matching a checkpoint and load it.
+
+    Architecture resolution: checkpoint meta record (imported reference
+    encoders) -> shape inference (self-trained) -> constructor defaults
+    with `default_input_dim`. Returns (encoder, params). Shared by
+    bin/compute_embeddings and bin/export_serving so the two CLIs cannot
+    drift."""
+    import jax
+
+    from ..train.checkpoint import load_checkpoint, read_meta
+
+    enc_kw = read_meta(checkpoint).get("speaker_encoder") or \
+        arch_from_checkpoint(checkpoint)
+    enc = SpeakerEncoder(
+        input_dim=enc_kw.get("input_dim", default_input_dim),
+        proj_dim=enc_kw.get("proj_dim", 256),
+        lstm_dim=enc_kw.get("lstm_dim", 768),
+        num_layers=enc_kw.get("num_layers", 3),
+        recur_on_proj=enc_kw.get("recur_on_proj", True))
+    params = enc.init(jax.random.PRNGKey(0))
+    params, _, _, _ = load_checkpoint(checkpoint, params=params,
+                                      model_state={}, opt_state=None)
+    return enc, params

@@ -269,9 +269,24 @@ def convert_pwgan_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
     w, b = pop_conv(r"last_conv_layers\.3")
     p["out2"]["w"], p["out2"]["b"] = _conv(w), _id(b)
 
-    if "aux_conv" in p:
+    aux_fold = None  # k=1 conv_in folded into the first upsample conv below
+    if any("upsample_net.conv_in" in k for k in m.sd):
         w, _ = pop_conv(r"upsample_net\.conv_in", bias=False)
-        p["aux_conv"]["w"] = _conv(w)
+        if "aux_conv" in p:
+            p["aux_conv"]["w"] = _conv(w)
+        elif np.shape(w)[-1] == 1:
+            # aux_context_window=0: a dense 1x1 channel map commutes with
+            # nearest-neighbor stretch, so it composes exactly into the
+            # first upsample conv (done after that conv is filled)
+            aux_fold = np.asarray(w)[:, :, 0]  # [out, in]
+        else:
+            raise ValueError(
+                "the source checkpoint has a trained aux context conv "
+                f"(upsample_net.conv_in, kernel {np.shape(w)[-1]}) but the "
+                "target model was built with aux_context_window=0 — set "
+                f"pwgan.aux_context_window={(np.shape(w)[-1] - 1) // 2} in "
+                "the vocoder config; importing without it would silently "
+                "drop the mel-conditioning context and produce wrong audio")
 
     conv_keys = sorted(
         (k for k in m.sd if re.fullmatch(
@@ -290,6 +305,9 @@ def convert_pwgan_state_dict(sd: dict, params: dict) -> tuple[dict, dict]:
         M = np.shape(upd["w"])[1]
         eye = np.eye(M, dtype=np.float32)
         upd["w"] = (w2d.reshape(K, 1, 1) * eye[None]).astype(np.float32)
+    if aux_fold is not None:
+        p["up"][0]["w"] = np.einsum(
+            "ji,kjo->kio", aux_fold, p["up"][0]["w"]).astype(np.float32)
 
     report = {"mapped": len(m.used), "unused_source_keys": m.unused(),
               "shape_mismatches": []}
