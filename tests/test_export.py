@@ -80,6 +80,24 @@ def test_export_multiplatform_cpu_tpu(tiny, tmp_path):
     assert wav.shape[0] == 1 and np.isfinite(wav).all()
 
 
+def test_export_pallas_tpu_artifact_lowers(tiny, tmp_path):
+    """use_pallas=True serializes the Mosaic decode + Griffin-Lim kernels
+    into a TPU-only artifact from this CPU-only host (execution needs a
+    TPU; this gates lowering, serialization, manifest, and the platform
+    guard)."""
+    model, variables, cfg, ap = tiny
+    out = str(tmp_path / "exported_pallas")
+    with pytest.raises(ValueError, match="TPU-only"):
+        export_serving(model, variables, cfg, ap, out, platforms=("cpu",),
+                       use_pallas=True)
+    manifest = export_serving(model, variables, cfg, ap, out,
+                              batch_sizes=(1,), text_buckets=(16,),
+                              platforms=("tpu",), use_pallas=True)
+    assert manifest["pallas"] is True and manifest["platforms"] == ["tpu"]
+    served = ExportedSynthesizer(out)  # deserializes fine on any host
+    assert served.shapes() == [(1, 16)]
+
+
 def test_export_with_melgan_vocoder(tiny, tmp_path):
     """A MelGAN generator baked into the artifact replaces Griffin-Lim:
     output length is frames x upsample product and matches the live jitted

@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--style_frames", type=int, default=None,
                    help="GST models: add a style-reference mel input of "
                         "this many frames to the artifact")
+    p.add_argument("--pallas", action="store_true",
+                   help="bake the Pallas kernel fast paths in (decode + "
+                        "Griffin-Lim); implies --platforms tpu")
     args = p.parse_args(argv)
 
     from ..infer.export import export_serving
@@ -59,9 +62,10 @@ def main(argv: list[str] | None = None) -> None:
         synth.model, synth.variables, synth.cfg, synth.ap, args.out,
         batch_sizes=tuple(args.batch), text_buckets=tuple(args.text_bucket),
         max_decoder_steps=args.max_decoder_steps,
-        platforms=tuple(args.platforms), vocoder=synth.vocoder,
+        platforms=("tpu",) if args.pallas else tuple(args.platforms),
+        vocoder=synth.vocoder,
         speaker_mode=speaker_mode, d_dim=d_dim, speakers=speakers,
-        style_frames=args.style_frames)
+        style_frames=args.style_frames, use_pallas=args.pallas)
     print(f"exported {len(manifest['entries'])} artifact(s) to {args.out}")
 
     if args.speaker_encoder_checkpoint:

@@ -15,10 +15,12 @@ source to unpickle and rebuild; SURVEY.md §3.3's synthesize.py path re-runs
 Python per utterance. Here `bin/export_serving` emits artifacts and
 `load_serving()` (or any StableHLO runner) executes them.
 
-The exported program uses the XLA scan decode path (portable across
-platforms); the Pallas kernel route stays a runtime optimization for live
-serving. Multi-platform export (cpu+tpu) is supported by jax.export — lower
-once on any host, run on either device kind.
+By default the exported program uses the XLA scan decode path (portable
+across platforms); multi-platform export (cpu+tpu) is supported by
+jax.export — lower once on any host, run on either device kind. With
+use_pallas=True the artifact instead bakes in the Mosaic fast paths (the
+weights-in-VMEM decode kernel + whole-loop Griffin-Lim kernel) — TPU-only,
+serving at the live kernel route's speed, still exportable from any host.
 """
 
 from __future__ import annotations
@@ -32,7 +34,8 @@ MANIFEST_NAME = "manifest.json"
 
 
 def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
-                    vocoder=None, speaker_mode=None, style_frames=None):
+                    vocoder=None, speaker_mode=None, style_frames=None,
+                    use_pallas=False):
     """Build the pure e2e fn (text [B, T] i32, lengths [B] i32, [spk,]
     [style,] key) -> (wav [B, L] f32, mel_lengths [B] i32). Weights are
     closed over, so export bakes them into the artifact.
@@ -49,6 +52,13 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
     style_frames: for GST models, adds a style-reference input
     [B, style_frames, n_mels] (a fixed-length mel window of the style
     audio; ExportedSynthesizer tiles/truncates host-side).
+
+    use_pallas=True bakes the Pallas (Mosaic) fast paths into the artifact
+    — the weights-in-VMEM decode kernel and the whole-loop Griffin-Lim
+    kernel — producing a TPU-only artifact that serves at the live kernel
+    route's speed. Mosaic lowering happens host-side, so these artifacts
+    export from any machine. Default False keeps the artifact portable
+    (pure StableHLO, runs on cpu and tpu).
 
     Tacotron1's linear head is inverted with inv_spectrogram_batch (no mel
     pinv); neural vocoders require a mel model."""
@@ -76,7 +86,7 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
         return model.inference(variables, text, lengths, rng=None,
                                max_decoder_steps=max_decoder_steps,
                                compute_dtype=compute_dtype,
-                               use_pallas=False, **kw)
+                               use_pallas=use_pallas, **kw)
 
     if vocoder is not None:
         if is_linear:
@@ -102,7 +112,7 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
             clip=acfg.clip_norm, power=acfg.power,
             gl_iters=acfg.griffin_lim_iters,
             gl_momentum=acfg.griffin_lim_momentum,
-            signal_norm=acfg.signal_norm, use_pallas=False)
+            signal_norm=acfg.signal_norm, use_pallas=use_pallas)
         if is_linear:
             lstats = getattr(ap, "linear_stats", None)
 
@@ -145,7 +155,8 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
                    batch_sizes=(1,), text_buckets=(128,),
                    max_decoder_steps=None, platforms=("cpu", "tpu"),
                    vocoder=None, speaker_mode=None, d_dim=None,
-                   speakers=None, style_frames=None) -> dict:
+                   speakers=None, style_frames=None,
+                   use_pallas=False) -> dict:
     """Export one artifact per (batch, text-bucket) shape into out_dir and
     write a manifest. Returns the manifest dict. With a vocoder
     (VocoderSynthesizer), its generator replaces Griffin-Lim in the
@@ -153,16 +164,21 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
     required for "dvector"); `speakers` (name -> id or name -> d-vector
     list) is recorded in the manifest so named speakers serve from the
     artifact directory alone. style_frames adds a GST style-reference mel
-    input [B, style_frames, n_mels]."""
+    input [B, style_frames, n_mels]. use_pallas=True bakes the Mosaic
+    kernel fast paths in — TPU-only artifacts (platforms must be
+    ("tpu",)); see make_serving_fn."""
     import jax
     from jax import export as jexport
 
     serve = make_serving_fn(model, variables, cfg, ap,
                             max_decoder_steps=max_decoder_steps,
                             vocoder=vocoder, speaker_mode=speaker_mode,
-                            style_frames=style_frames)
+                            style_frames=style_frames, use_pallas=use_pallas)
     if speaker_mode == "dvector" and not d_dim:
         raise ValueError("speaker_mode='dvector' needs d_dim")
+    if use_pallas and tuple(platforms) != ("tpu",):
+        raise ValueError(
+            "Pallas-kernel artifacts are TPU-only: pass platforms=('tpu',)")
     os.makedirs(out_dir, exist_ok=True)
     steps = max_decoder_steps or cfg.model.max_decoder_steps
     entries = []
@@ -204,6 +220,7 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
         "max_decoder_steps": steps,
         "waveform": waveform,
         "samples_per_frame": upsample,
+        "pallas": bool(use_pallas),
         "key_dtype": "uint32[2] (jax PRNG key data for stochastic phase)",
         "inputs": "text ids [B, T] int32 (zero-padded), lengths [B] int32"
                   + {"id": ", speaker ids [B] int32",
