@@ -754,6 +754,34 @@ def verify_gates(quick: bool = False) -> dict:
     gates["taco1_tiled_kernel_rel_err"] = {"value": round(rel9, 4),
                                            "limit": 0.08, "ok": rel9 <= 0.08}
 
+    # -- gate 10: AOT serving artifact reproduces the live program ------------
+    # (round-3 export subsystem: lower + serialize + reload through
+    # jax.export ON THIS BACKEND and compare the artifact's audio against
+    # the live jitted serve fn — text ids in, waveform out)
+    import tempfile
+
+    from your_voice_tts_tpu.infer.export import (ExportedSynthesizer,
+                                                 export_serving,
+                                                 make_serving_fn)
+
+    acfg10 = dataclasses.replace(acfg, griffin_lim_iters=8)
+    cfg10 = Config(audio=acfg10, model=mcfg5)
+    ap10 = AudioProcessor(acfg10)
+    with tempfile.TemporaryDirectory() as td:
+        export_serving(model5, var5, cfg10, ap10, td,
+                       batch_sizes=(int(text.shape[0]),),
+                       text_buckets=(int(text.shape[1]),),
+                       platforms=(jax.default_backend(),))
+        served = ExportedSynthesizer(td)
+        live = jax.jit(make_serving_fn(model5, var5, cfg10, ap10))
+        wav_live, len_live = live(text, lens, jax.random.PRNGKey(0))
+        wav_exp, len_exp = served(np.asarray(text), np.asarray(lens), seed=0)
+    d10 = float(np.abs(np.asarray(wav_live) - wav_exp).max())
+    ok10 = d10 <= 1e-4 and bool(
+        (np.asarray(len_live) == len_exp).all())
+    gates["export_artifact_maxdiff"] = {"value": round(d10, 6),
+                                       "limit": 1e-4, "ok": ok10}
+
     return gates
 
 
