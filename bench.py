@@ -294,7 +294,9 @@ def quality_extras(quick: bool = False) -> dict:
                                   jnp.asarray([len(seq)], jnp.int32))
             n = int(out["mel_lengths"][0]) or out["postnet_outputs"].shape[1]
             pred = np.asarray(out["postnet_outputs"][0, :n])
-            mcds.append(mel_cepstral_distortion(pred, gt_mel, cfg=cfg.audio))
+            mcds.append(mel_cepstral_distortion(
+                pred, gt_mel, cfg=cfg.audio,
+                stats=getattr(ap, "mel_stats", None)))
             # stop timing in r-group steps vs ground-truth length
             stops = np.asarray(out["stop_probs"][0])
             target_steps = -(-gt_mel.shape[0] // model.r)

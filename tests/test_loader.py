@@ -201,3 +201,64 @@ def test_words_cycle_corpus_fixed_shapes(tmp_path):
     # fixed duration per group (no jitter), longer for more words
     assert frames[0] == frames[2] and frames[1] == frames[3]
     assert frames[1] > frames[0]
+
+
+def test_phoneme_disk_cache(tmp_path, monkeypatch):
+    """With cache_dir + use_phonemes, phonemizations persist to disk and a
+    second dataset construction reuses them without calling G2P."""
+    import dataclasses
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.data.dataset import TTSDataset
+    from your_voice_tts_tpu.data.formatters import synthetic
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_items=4, sr=8000)
+    cfg = load_config("configs/smoke_synthetic.json")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, use_phonemes=True,
+                                      min_seq_len=1))
+    ap = AudioProcessor(cfg.audio)
+    items = synthetic(corpus)
+    cache = str(tmp_path / "cache")
+
+    ds1 = TTSDataset(items, cfg, ap, cache_dir=cache)
+    ph_files = list((tmp_path / "cache" / "phonemes").glob("*.npy"))
+    assert len(ph_files) == 4
+
+    import your_voice_tts_tpu.data.dataset as dsmod
+
+    def boom(*a, **k):
+        raise AssertionError("G2P recomputed despite a warm phoneme cache")
+
+    monkeypatch.setattr(dsmod, "phoneme_to_sequence", boom)
+    ds2 = TTSDataset(items, cfg, ap, cache_dir=cache)
+    assert [e["seq"].tolist() for e in ds2.entries] == \
+        [e["seq"].tolist() for e in ds1.entries]
+
+
+def test_unknown_speaker_raises(tmp_path):
+    """An externally-passed speaker mapping missing a corpus speaker must
+    raise, not alias the utterances onto speaker id 0."""
+    import dataclasses
+
+    import pytest
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.data.dataset import TTSDataset
+    from your_voice_tts_tpu.data.formatters import synthetic
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_items=6, sr=8000, n_speakers=2)
+    cfg = load_config("configs/smoke_synthetic.json")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, min_seq_len=1))
+    ap = AudioProcessor(cfg.audio)
+    ds = TTSDataset(synthetic(corpus), cfg, ap,
+                    speakers={"SYN00": 0})  # SYN01 missing
+    with pytest.raises(KeyError, match="missing from the speaker mapping"):
+        next(iter(ds.batches(batch_size=2, r=2)))

@@ -98,3 +98,20 @@ def test_trained_multispeaker_cloning_selective():
     assert "cloning_error" not in c, c
     assert c["cloning_mean_margin"] > 0.1, c
     assert c["cloning_selective_frac"] >= 0.75, c
+
+
+def test_denormalize_mel_with_stats():
+    """Mean/std-normalized mels (cfg.stats_path training) invert through
+    the stats, not the range-norm formula (regression: z-scores were fed
+    to the range inverse and every dB was garbage)."""
+    from your_voice_tts_tpu.config import AudioConfig
+    from your_voice_tts_tpu.utils.quality import denormalize_mel
+
+    cfg = AudioConfig()
+    rng = np.random.default_rng(0)
+    db = rng.uniform(-80.0, 0.0, (7, 20)) - cfg.ref_level_db  # dB minus ref
+    mean = db.mean(0)
+    std = db.std(0) + 0.1
+    z = (db - mean) / std
+    back = denormalize_mel(z, cfg, stats=(mean, std))
+    np.testing.assert_allclose(back, db + cfg.ref_level_db, atol=1e-9)

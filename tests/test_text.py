@@ -232,3 +232,41 @@ def test_morphological_derivation():
     assert derive("cities", look) == "S IH1 T IY0 Z"
     # not derivable
     assert derive("zyxwv", look) is None
+
+
+def test_cmudict_contractions_and_possessives():
+    """Apostrophes stay inside tokens: possessives hit the 'S derivation,
+    whole-word contractions can match the dictionary, and surrounding
+    quote-apostrophes are peeled off as punctuation (regression: the old
+    tokenizer split on ' and pronounced fragments)."""
+    from your_voice_tts_tpu.text import CMUDictBackend, bundled_cmudict_path
+
+    b = CMUDictBackend(bundled_cmudict_path())
+    dog = b.phonemize("dog")
+    dogs_poss = b.phonemize("dog's")
+    assert dogs_poss.startswith(dog) and dogs_poss != dog  # DOG + Z
+    assert "'" not in dogs_poss
+    quoted = b.phonemize("'hello'")
+    assert quoted == "'" + b.phonemize("hello") + "'"
+
+
+def test_make_symbols_honors_punctuations():
+    from your_voice_tts_tpu.text.symbols import make_symbols
+
+    table = make_symbols("abc", punctuations="!?")
+    assert "!" in table and "?" in table and "a" in table
+    assert len(table) == 3 + 3 + 2  # pad/eos/bos + chars + punct
+
+
+def test_g2p_backend_pinning():
+    """prefer= forces a recorded backend class even when a 'better' one is
+    available (checkpoint meta -> inference pinning)."""
+    from your_voice_tts_tpu.text import (CMUDictBackend, RuleG2PBackend,
+                                         default_g2p_backend)
+
+    assert isinstance(default_g2p_backend(prefer="RuleG2PBackend"),
+                      RuleG2PBackend)
+    assert isinstance(default_g2p_backend(prefer="CMUDictBackend"),
+                      CMUDictBackend)
+    # unknown name falls through to auto with a warning, never crashes
+    assert default_g2p_backend(prefer="NoSuchBackend") is not None

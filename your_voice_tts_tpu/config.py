@@ -163,6 +163,11 @@ class DataConfig:
     batch_group_size: int = 0
     use_phonemes: bool = False
     phoneme_language: str = "en-us"
+    # pin the G2P backend class name ("EspeakBackend"/"CMUDictBackend"/
+    # "RuleG2PBackend"); None = auto (espeak -> cmudict -> rule). Set from
+    # checkpoint meta at load time so a host with different tooling cannot
+    # silently swap the phoneme stream under a trained model.
+    g2p_backend: str | None = None
     phoneme_cache_path: str | None = None
     # offline dictionary G2P (no espeak). None -> the bundled
     # assets/cmudict_core.txt lexicon (text.bundled_cmudict_path)

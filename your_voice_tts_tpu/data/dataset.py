@@ -56,15 +56,43 @@ class TTSDataset:
             from ..text import default_g2p_backend
 
             g2p = default_g2p_backend(cfg.data.phoneme_language,
-                                      cfg.data.cmudict_path)
+                                      cfg.data.cmudict_path,
+                                      prefer=cfg.data.g2p_backend)
         self.g2p_backend_name = type(g2p).__name__ if g2p else None
+        # phoneme disk cache (reference phoneme_cache_path): sequences keyed
+        # by text + every setting that changes the mapping, so a backend or
+        # cleaner change invalidates naturally
+        ph_cache = None
+        if cache_dir and cfg.data.use_phonemes:
+            ph_cache = os.path.join(cache_dir, "phonemes")
+            os.makedirs(ph_cache, exist_ok=True)
+
+        def _phoneme_seq(text):
+            if ph_cache is None:
+                return phoneme_to_sequence(
+                    text, cfg.data.text_cleaner,
+                    language=cfg.data.phoneme_language,
+                    enable_eos_bos=cfg.data.enable_eos_bos_chars,
+                    backend=g2p)
+            key = hashlib.sha1(repr(
+                (text, self.g2p_backend_name, cfg.data.phoneme_language,
+                 cfg.data.enable_eos_bos_chars, cfg.data.text_cleaner)
+            ).encode()).hexdigest()
+            fn = os.path.join(ph_cache, key + ".npy")
+            if os.path.exists(fn):
+                return np.load(fn)
+            seq = phoneme_to_sequence(
+                text, cfg.data.text_cleaner,
+                language=cfg.data.phoneme_language,
+                enable_eos_bos=cfg.data.enable_eos_bos_chars,
+                backend=g2p)
+            np.save(fn, seq)
+            return seq
+
         self.entries = []
         for text, wav_path, speaker in items:
             if cfg.data.use_phonemes:
-                seq = phoneme_to_sequence(
-                    text, language=cfg.data.phoneme_language,
-                    enable_eos_bos=cfg.data.enable_eos_bos_chars,
-                    backend=g2p)
+                seq = _phoneme_seq(text)
             else:
                 seq = text_to_sequence(text, cfg.data.text_cleaner)
             if not (cfg.data.min_seq_len <= len(seq) <= cfg.data.max_seq_len):
@@ -206,7 +234,12 @@ class TTSDataset:
             text_len[i] = L
             mel[i, :M] = e["mel"]
             mel_len[i] = M
-            spk[i] = self.speakers.get(e["speaker"], 0)
+            if e["speaker"] not in self.speakers:
+                raise KeyError(
+                    f"speaker {e['speaker']!r} missing from the speaker "
+                    "mapping — refusing to alias it onto id 0 (rebuild the "
+                    "mapping to include every corpus speaker)")
+            spk[i] = self.speakers[e["speaker"]]
         t_r = t_mel // r
         dec_steps = (mel_len + r - 1) // r
         stop_targets = (np.arange(t_r)[None, :] >= (dec_steps - 1)[:, None]

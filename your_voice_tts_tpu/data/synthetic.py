@@ -53,7 +53,8 @@ def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
                           words_cycle: tuple | None = None) -> str:
     """Create metadata.csv + wavs/ under `path`; returns `path`.
 
-    min_words/max_words bound the sentence-length distribution — a model
+    min_words (inclusive) / max_words (EXCLUSIVE, numpy integers
+    convention) bound the sentence-length distribution — a model
     meant to stop correctly on long test sentences must see comparably long
     training clips (bench uses max_words=15).
 

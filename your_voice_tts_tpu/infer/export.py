@@ -254,6 +254,7 @@ def export_serving(model, variables, cfg, ap, out_dir: str, *,
             "phoneme_language": dcfg.phoneme_language,
             "enable_eos_bos": dcfg.enable_eos_bos_chars,
             "cmudict_path": dcfg.cmudict_path,
+            "g2p_backend": getattr(dcfg, "g2p_backend", None),
         }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1)
@@ -370,9 +371,11 @@ class ExportedSynthesizer:
 
             backend = default_g2p_backend(
                 tcfg.get("phoneme_language", "en-us"),
-                tcfg.get("cmudict_path"))
+                tcfg.get("cmudict_path"),
+                prefer=tcfg.get("g2p_backend"))
             seq = phoneme_to_sequence(
-                text, language=tcfg.get("phoneme_language", "en-us"),
+                text, tcfg.get("text_cleaner", "phoneme_cleaners"),
+                language=tcfg.get("phoneme_language", "en-us"),
                 enable_eos_bos=tcfg.get("enable_eos_bos", False),
                 backend=backend)
         else:

@@ -28,8 +28,10 @@ def text_to_seq(text: str, cfg: Config) -> np.ndarray:
         from ..text import default_g2p_backend
 
         backend = default_g2p_backend(cfg.data.phoneme_language,
-                                      cfg.data.cmudict_path)
-        return phoneme_to_sequence(text, language=cfg.data.phoneme_language,
+                                      cfg.data.cmudict_path,
+                                      prefer=cfg.data.g2p_backend)
+        return phoneme_to_sequence(text, cfg.data.text_cleaner,
+                                   language=cfg.data.phoneme_language,
                                    enable_eos_bos=cfg.data.enable_eos_bos_chars,
                                    backend=backend)
     return text_to_sequence(text, cfg.data.text_cleaner)

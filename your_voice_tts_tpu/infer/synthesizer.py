@@ -67,6 +67,14 @@ class Synthesizer:
                 checkpoint, params=self.variables["params"],
                 model_state=self.variables["state"], opt_state=None)
             self.variables = {"params": params, "state": state}
+            if meta.get("g2p_backend") and self.cfg.data.use_phonemes and \
+                    self.cfg.data.g2p_backend != meta["g2p_backend"]:
+                # pin inference to the phoneme stream the model trained on
+                # (default_g2p_backend honors cfg.data.g2p_backend)
+                import dataclasses
+                self.cfg = dataclasses.replace(
+                    self.cfg, data=dataclasses.replace(
+                        self.cfg.data, g2p_backend=meta["g2p_backend"]))
             if "r" in meta:
                 self.model.set_r(meta["r"])
 

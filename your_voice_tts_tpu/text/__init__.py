@@ -115,7 +115,11 @@ class EspeakBackend(G2PBackend):
             [self._bin, "-q", "--ipa=3", "-v", self.language, text],
             capture_output=True, text=True, check=True,
         ).stdout
-        return out.strip().replace("_", " ")
+        # --ipa=3 separates phonemes WITHIN a word with "_"; strip the
+        # separator entirely (a space here would read as the space symbol
+        # and erase word boundaries — every other backend emits spaces only
+        # between words)
+        return out.strip().replace("_", "")
 
 
 class CacheBackend(G2PBackend):
@@ -211,24 +215,36 @@ class CMUDictBackend(G2PBackend):
 
     def phonemize(self, text: str) -> str:
         out: list[str] = []
-        for tok in re.split(r"(\s+|[!'(),\-.:;?])", text):
+        # apostrophes stay inside tokens so contractions/possessives hit
+        # the dictionary whole (DON'T, DOG'S) and the morphological 'S
+        # derivation can fire; surrounding quote-apostrophes are peeled off
+        for raw in re.split(r"(\s+|[!(),\-.:;?])", text):
+            if not raw:
+                continue
+            if raw.isspace() or raw in _PUNCT_KEEP:
+                out.append(raw)
+                continue
+            tok = raw.strip("'")
             if not tok:
+                out.append(raw)
                 continue
-            if tok.isspace() or tok in _PUNCT_KEEP:
-                out.append(tok)
-                continue
+            lead = (len(raw) - len(raw.lstrip("'")))
+            out.append("'" * lead)
+            trail = (len(raw) - len(raw.rstrip("'")))
             self.word_count += 1
             prons = self.dict.lookup(tok)
             if prons:
                 out.append(self._to_ipa(prons[0]))
-                continue
-            derived = self._derive(tok, self.dict.lookup)
-            if derived:
-                self.derived_count += 1
-                out.append(self._to_ipa(derived))
             else:
-                self.oov_count += 1
-                out.append(self._fallback.phonemize(tok))
+                derived = self._derive(tok, self.dict.lookup)
+                if derived:
+                    self.derived_count += 1
+                    out.append(self._to_ipa(derived))
+                else:
+                    self.oov_count += 1
+                    out.append(self._fallback.phonemize(tok))
+            if trail:
+                out.append("'" * trail)
         return "".join(out)
 
 
@@ -245,11 +261,37 @@ def bundled_cmudict_path() -> str | None:
 
 
 def default_g2p_backend(language: str = "en-us",
-                        cmudict_path: str | None = None) -> G2PBackend:
+                        cmudict_path: str | None = None,
+                        prefer: str | None = None) -> G2PBackend:
     """espeak-ng when present (the reference's engine), else CMUDict — the
     configured lexicon or the bundled assets/cmudict_core.txt — else the
     rule fallback WITH a loud warning, because a checkpoint trained on
-    espeak phonemes gets a different symbol stream from the fallback."""
+    espeak phonemes gets a different symbol stream from the fallback.
+
+    prefer: a backend class name recorded at training time (checkpoint
+    meta -> cfg.data.g2p_backend). When set, that backend is built even if
+    a "better" one is available; if it cannot be built, fall through the
+    auto chain with a LOUD warning — the phoneme stream will differ from
+    the one the model was trained on."""
+    if prefer == "RuleG2PBackend":
+        return RuleG2PBackend()
+    if prefer == "CMUDictBackend":
+        path = cmudict_path or bundled_cmudict_path()
+        if path:
+            try:
+                return CMUDictBackend(path)
+            except OSError as e:
+                _log.warning("pinned CMUDictBackend unusable (%s); phoneme "
+                             "stream will DIFFER from training", e)
+    elif prefer == "EspeakBackend":
+        try:
+            return EspeakBackend(language)
+        except RuntimeError:
+            _log.warning("pinned EspeakBackend unavailable (no espeak "
+                         "binary); phoneme stream will DIFFER from training")
+    elif prefer is not None:
+        _log.warning("unknown pinned G2P backend %r; using auto selection",
+                     prefer)
     try:
         return EspeakBackend(language)
     except RuntimeError:

@@ -48,5 +48,9 @@ bos = _bos
 
 def make_symbols(characters: str, punctuations: str = _punctuations,
                  pad: str = _pad, eos: str = _eos, bos: str = _bos) -> list[str]:
-    """Build a custom grapheme table (reference supports per-config characters)."""
-    return [pad, eos, bos] + list(characters)
+    """Build a custom grapheme table (reference supports per-config
+    characters). Punctuation not already in `characters` is appended — a
+    dropped punctuations argument would silently delete those characters
+    from every input sequence."""
+    extra = [p for p in punctuations if p not in characters]
+    return [pad, eos, bos] + list(characters) + extra

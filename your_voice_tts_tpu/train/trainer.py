@@ -371,7 +371,8 @@ class Trainer:
         figures, audios = {}, {}
         for i, res in enumerate(results):
             figures[f"{i}-alignment"] = plot_alignment(res["alignment"])
-            figures[f"{i}-spectrogram"] = plot_spectrogram(res["mel_postnet_spec"])
+            figures[f"{i}-spectrogram"] = plot_spectrogram(
+                res["mel_postnet_spec"], time_major=False)  # [F, T] layout
             if "wav" in res:
                 audios[f"{i}-audio"] = np.asarray(res["wav"])
         self.tb.tb_eval_figures(global_step, figures)

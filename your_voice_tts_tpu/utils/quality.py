@@ -25,12 +25,19 @@ _LN10 = float(np.log(10.0))
 MCD_CONST = 10.0 / _LN10 * float(np.sqrt(2.0))
 
 
-def denormalize_mel(mel_norm: np.ndarray, cfg) -> np.ndarray:
-    """Invert the range normalization back to dB (mirror of
-    ops/dsp.denormalize_spec for host numpy; cfg: AudioConfig)."""
+def denormalize_mel(mel_norm: np.ndarray, cfg, stats=None) -> np.ndarray:
+    """Invert the normalization back to dB (mirror of
+    ops/dsp.denormalize_spec for host numpy; cfg: AudioConfig).
+
+    stats: (mean, std) per-bin arrays when the model was trained with
+    cfg.stats_path mean/std scaling — without them a z-scored mel would be
+    run through the range-norm inverse and every dB is garbage."""
     S = np.asarray(mel_norm, np.float64)
     if not cfg.signal_norm:
         return S
+    if stats is not None:
+        mean, std = (np.asarray(a, np.float64) for a in stats)
+        return S * std + mean + cfg.ref_level_db
     if cfg.symmetric_norm:
         if cfg.clip_norm:
             S = np.clip(S, -cfg.max_norm, cfg.max_norm)
@@ -84,12 +91,14 @@ def _dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def mel_cepstral_distortion(mel_pred: np.ndarray, mel_ref: np.ndarray,
                             cfg=None, n_coef: int = 13,
-                            use_dtw: bool = True) -> float:
+                            use_dtw: bool = True, stats=None) -> float:
     """MCD (dB) between two [T, n_mels] mels (normalized if cfg given —
-    they are denormalized to dB first). Coefficient 0 (energy) excluded."""
+    they are denormalized to dB first; pass `stats` (mean, std) for
+    models trained with cfg.stats_path scaling). Coefficient 0 (energy)
+    excluded."""
     if cfg is not None:
-        mel_pred = denormalize_mel(mel_pred, cfg)
-        mel_ref = denormalize_mel(mel_ref, cfg)
+        mel_pred = denormalize_mel(mel_pred, cfg, stats=stats)
+        mel_ref = denormalize_mel(mel_ref, cfg, stats=stats)
     # dB -> ln-amplitude cepstra (MCD convention): c = DCT(ln |S|)
     c_pred = _dct2(np.asarray(mel_pred, np.float64) * _LN10 / 20.0, n_coef)
     c_ref = _dct2(np.asarray(mel_ref, np.float64) * _LN10 / 20.0, n_coef)

@@ -25,10 +25,17 @@ def plot_alignment(alignment: np.ndarray, title: str | None = None):
     return fig
 
 
-def plot_spectrogram(spectrogram: np.ndarray, title: str | None = None):
-    """spectrogram: [T, F] or [F, T] (auto-oriented: time on x)."""
+def plot_spectrogram(spectrogram: np.ndarray, title: str | None = None,
+                     time_major: bool | None = None):
+    """spectrogram: [T, F] or [F, T]; time is drawn on x.
+
+    time_major: pass True ([T, F]) or False ([F, T]) when known — the
+    shape heuristic used otherwise misorients clips with fewer frames than
+    channels (e.g. sub-second utterances)."""
     s = np.asarray(spectrogram)
-    if s.shape[0] < s.shape[1]:
+    transpose = (not time_major) if time_major is not None \
+        else s.shape[0] < s.shape[1]
+    if transpose:
         s = s.T
     fig, ax = plt.subplots(figsize=(10, 4))
     im = ax.imshow(s.T, aspect="auto", origin="lower", interpolation="none")
