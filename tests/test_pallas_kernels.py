@@ -670,7 +670,7 @@ def test_taco1_decode_kernel_matches_scan():
     params, state = variables["params"], variables["state"]
     text = jax.random.randint(jax.random.PRNGKey(1), (4, 12), 1, TACO_CHARS)
     text_len = jnp.array([12, 10, 8, 7])
-    enc_out, _, _ = model._encode(params, state, text, None, False,
+    enc_out, _, _, _ = model._encode(params, state, text, None, False,
                                   None, None, None)
     ref = model.decoder.inference(params["decoder"], state["decoder"],
                                   enc_out, text_len, None, 20)
@@ -701,7 +701,7 @@ def test_taco1_kernel_bn_prenet_matches_scan():
         bn_s["mean"] = 0.3 * jax.random.normal(ks[i + 2], bn_s["mean"].shape)
     text = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 1, TACO_CHARS)
     text_len = jnp.array([12, 10])
-    enc_out, _, _ = model._encode(params, state, text, None, False,
+    enc_out, _, _, _ = model._encode(params, state, text, None, False,
                                   None, None, None)
     ref = model.decoder.inference(params["decoder"], state["decoder"],
                                   enc_out, text_len, None, 12)
@@ -729,7 +729,7 @@ def test_taco1_decode_kernel_tiled_matches_scan():
     params, state = variables["params"], variables["state"]
     text = jax.random.randint(jax.random.PRNGKey(1), (3, 140), 1, TACO_CHARS)
     text_len = jnp.array([140, 90, 40])
-    enc_out, _, _ = model._encode(params, state, text, None, False,
+    enc_out, _, _, _ = model._encode(params, state, text, None, False,
                                   None, None, None)
     ref = model.decoder.inference(params["decoder"], state["decoder"],
                                   enc_out, text_len, None, 20)
@@ -816,7 +816,7 @@ def test_wavernn_mulaw_sampling_matches_softmax():
     probs /= probs.sum()
     tiled = jnp.asarray(np.tile(logits_row, (N_DRAWS, 1)))
     x = np.asarray(_sample_mulaw(tiled, jnp.int32(31337), bits=4,
-                                 greedy=False))
+                                 greedy=False)[1])
     # invert the mu-law decode back to the class index
     mu = float(2 ** 4 - 1)
     f = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)

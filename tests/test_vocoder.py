@@ -306,3 +306,25 @@ def test_vocoder_trainers_shard_over_mesh(corpus_items):
     assert np.isfinite(m["loss"])
     leaf = jax.tree_util.tree_leaves(wrnn.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_mulaw_generation_feedback_uses_training_encoding():
+    """Regression: the mu-law generate loop must feed the next RNN step the
+    LINEAR class scaling it trained on (label_to_float), while emitting the
+    mu-law-DECODED sample — feeding the decoded value back conditions the
+    net on inputs it never saw in training."""
+    from your_voice_tts_tpu.vocoder.models.wavernn import (decode_mulaw,
+                                                           label_to_float)
+
+    w = SMALL_WAVERNN
+    model = WaveRNN(20, 8, w.rnn_dims, w.fc_dims, w.compute_dims,
+                    w.res_out_dims, w.num_res_blocks, w.pad,
+                    w.upsample_factors, "mulaw")
+    cls = 200  # asymmetric class so the two encodings differ clearly
+    logits = jnp.full((3, 256), -10.0).at[:, cls].set(10.0)
+    x_next, sample = model._sample_output(logits, KEY, greedy=True)
+    np.testing.assert_allclose(
+        x_next, float(label_to_float(jnp.int32(cls), 8)), atol=1e-6)
+    np.testing.assert_allclose(
+        sample, float(decode_mulaw(jnp.int32(cls), 8)), atol=1e-6)
+    assert abs(float(x_next[0]) - float(sample[0])) > 0.05

@@ -40,6 +40,15 @@ def xavier_uniform(key, shape, gain: float = 1.0, dtype=jnp.float32):
     return jnp.asarray(_host_rng(key).uniform(-a, a, shape), dtype)
 
 
+def cast_f32_to_bf16(tree):
+    """Mixed-precision helper: cast every f32 leaf to bf16, leave the rest
+    (int tables, counters) untouched. ONE definition shared by all trainers
+    so the casting rule cannot drift between them."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree)
+
+
 class Dense:
     """y = x @ W + b, xavier-uniform init (reference common_layers.Linear)."""
 
@@ -84,10 +93,15 @@ class Conv1d:
     def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
                  stride: int = 1, padding: str | int = "same",
                  use_bias: bool = True, init_gain: str = "relu",
-                 dilation: int = 1, pad_mode: str = "zeros"):
+                 dilation: int = 1, pad_mode: str = "zeros",
+                 groups: int = 1):
         self.in_dim, self.out_dim, self.k = in_dim, out_dim, kernel_size
         self.stride, self.dilation = stride, dilation
         self.use_bias = use_bias
+        assert in_dim % groups == 0 and out_dim % groups == 0, (in_dim,
+                                                                out_dim,
+                                                                groups)
+        self.groups = groups
         self.gain = _GAINS[init_gain]
         # pad_mode="reflect" mirrors the input instead of zero-filling
         # (torch ReflectionPad1d + valid conv — the MelGAN family's choice)
@@ -103,7 +117,9 @@ class Conv1d:
             self.pad = tuple(padding)
 
     def init(self, key) -> Params:
-        p = {"w": xavier_uniform(key, (self.k, self.in_dim, self.out_dim), self.gain)}
+        p = {"w": xavier_uniform(
+            key, (self.k, self.in_dim // self.groups, self.out_dim),
+            self.gain)}
         if self.use_bias:
             p["b"] = jnp.zeros((self.out_dim,))
         return p
@@ -117,6 +133,7 @@ class Conv1d:
             x, p["w"], window_strides=(self.stride,), padding=pad,
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
         )
         return y + p["b"] if self.use_bias else y
 

@@ -83,6 +83,9 @@ def _uniform(shape, key, salt: int):
 
 
 def _sample_mulaw(logits, key, bits: int, greedy: bool):
+    """Returns (x_next, sample): the next-step RNN input uses the LINEAR
+    class scaling the net trained on (label_to_float); only the emitted
+    audio is mu-law decoded — wavernn.py _sample_output parity."""
     mu = float(2 ** bits - 1)
     log1p_mu = float(np.log1p(mu))
     if greedy:
@@ -90,12 +93,12 @@ def _sample_mulaw(logits, key, bits: int, greedy: bool):
     else:
         g = -jnp.log(-jnp.log(_uniform(logits.shape, key, 0)))  # Gumbel
         cls = jnp.argmax(logits + g, axis=-1)                   # [B]
-    # mu-law decode to the next float sample (exp(x)-1: expm1 has no
+    # mu-law decode of the OUTPUT sample (exp(x)-1: expm1 has no
     # Mosaic lowering; x in [0, log1p(mu)] so precision loss is nil). The
     # clip guards f32 rounding at the extreme classes (exp(log1p(mu)) can
     # land a hair above mu+1).
     f = 2.0 * cls.astype(F32) / mu - 1.0
-    return jnp.clip(
+    return f, jnp.clip(
         jnp.sign(f) * (jnp.exp(jnp.abs(f) * log1p_mu) - 1.0) / mu, -1.0, 1.0)
 
 
@@ -200,15 +203,15 @@ def _kernel(seed_ref, cond_ref,
         logits = jnp.dot(f2, fc3_w[...], preferred_element_type=F32) + fc3_b[...]
 
         if mode == "mulaw":
-            sample = _sample_mulaw(logits, key, bits, greedy)
+            x_next, sample = _sample_mulaw(logits, key, bits, greedy)
         elif mode == "mol":
-            sample = _sample_mol(logits, key, num_mixtures, greedy)
+            x_next = sample = _sample_mol(logits, key, num_mixtures, greedy)
         else:
-            sample = _sample_gauss(logits, key, greedy)
+            x_next = sample = _sample_gauss(logits, key, greedy)
 
         h1_ref[...] = h1
         h2_ref[...] = h2
-        x_ref[...] = sample[:, None]
+        x_ref[...] = x_next[:, None]
         out_ref[t] = sample
         return 0
 

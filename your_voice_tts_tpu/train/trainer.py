@@ -152,9 +152,7 @@ class Trainer:
             # running stats) stays f32 — BatchNorm1d computes statistics in
             # f32 regardless of activation dtype. Losses are f32: every float
             # output is cast back up before the criterion.
-            cast_down = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, t)
+            from ..nn.core import cast_f32_to_bf16 as cast_down
             params = cast_down(params)
             mel_in = mel_in.astype(jnp.bfloat16)
             if spk_emb is not None:
@@ -243,6 +241,7 @@ class Trainer:
         rng = jax.random.PRNGKey(42)
         global_step = int(self.state.step)
         last_metrics: dict = {}
+        epoch, r = 0, self.model.r  # defined even when epochs == 0
         for epoch in range(cfg.training.epochs):
             self.console.print_epoch_start(epoch, cfg.training.epochs)
             r, bs = gradual_schedule(global_step, cfg.training.gradual_training,
@@ -326,7 +325,9 @@ class Trainer:
         # means (VERDICT r2 weak #7)
         for batch in self.eval_data.batches(self.cfg.training.eval_batch_size, r,
                                             shuffle=False):
-            real_b = batch["text"].shape[0]
+            # collate pads every batch to a FIXED batch dim, so shape[0] is
+            # constant — n_real carries the pre-padding row count
+            real_b = int(batch["n_real"])
             batch = sync_batch_shapes(batch, r)
             batch = pad_batch_to_devices(batch, self.n_devices)
             batch = shard_batch(batch, self.mesh)

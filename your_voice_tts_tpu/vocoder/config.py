@@ -66,11 +66,12 @@ class VocoderTrainingConfig:
     print_step: int = 25
     save_step: int = 10_000
     # bf16 compute / f32 master weights. Safe default for WaveRNN (its NLL
-    # always evaluates in f32 — see models/wavernn.py loss); the GAN trainer
-    # honors it too but ships opt-in=False there is no separate flag — LSGAN
-    # + multi-res STFT losses stay f32 regardless, only the conv forwards
-    # drop to bf16.
+    # always evaluates in f32 — see models/wavernn.py loss).
     mixed_precision: bool = True
+    # GAN (MelGAN/PWGAN) mixed precision is OPT-IN: adversarial dynamics are
+    # sensitive to the conv forwards' precision and the reference recipe is
+    # f32. LSGAN + multi-res STFT losses stay f32 regardless either way.
+    gan_mixed_precision: bool = False
 
 
 @dataclass(frozen=True)

@@ -101,7 +101,7 @@ class MelganGenerator:
 class MelganDiscriminator:
     """One scale: strided conv stack -> (score, feature maps)."""
 
-    LAYERS = [  # (out_mult, kernel, stride, groups-ish via width)
+    LAYERS = [  # (out_mult, kernel, stride)
         (1, 15, 1), (4, 41, 4), (16, 41, 4), (64, 41, 4),
         (64, 5, 1),
     ]
@@ -111,8 +111,12 @@ class MelganDiscriminator:
         in_ch = 1
         for mult, k, s in self.LAYERS:
             out_ch = min(base_channels * mult, 1024)
+            # reference downsampling convs are GROUPED (groups = in//4):
+            # dense convs would inflate discriminator params/FLOPs ~4x and
+            # change the adversarial dynamics vs the reference recipe
+            groups = max(1, in_ch // 4) if s > 1 else 1
             self.convs.append(Conv1d(in_ch, out_ch, k, stride=s, padding=k // 2,
-                                     init_gain="relu"))
+                                     init_gain="relu", groups=groups))
             in_ch = out_ch
         self.conv_out = Conv1d(in_ch, 1, 3, padding=1, init_gain="linear")
 

@@ -15,11 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ...nn.core import Conv1d, Params
-
-
-def _stretch(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    B, T, C = x.shape
-    return jnp.broadcast_to(x[:, :, None, :], (B, T, factor, C)).reshape(B, T * factor, C)
+from .wavernn import _stretch  # one nearest-neighbor upsample definition
 
 
 class PWGANResBlock:

@@ -196,19 +196,27 @@ class WaveRNN:
         return h1, h2, self.fc3(p["fc3"], x)
 
     def _sample_output(self, logits, key, greedy: bool = False):
-        """Draw the next float sample in [-1,1] from the head output, by mode
-        (greedy: argmax class / most-probable-mixture mean / Gaussian mean)."""
+        """Draw from the head output, by mode (greedy: argmax class /
+        most-probable-mixture mean / Gaussian mean).
+
+        Returns (x_next, sample): x_next is the next-step RNN input in the
+        TRAINING encoding — for mu-law that is the LINEAR class scaling
+        (label_to_float), matching loss() and the reference generate loop,
+        which mu-law-decodes only the emitted audio; feeding the decoded
+        value back conditions the net on inputs it never trained on."""
         if self.mode == "mulaw":
             if greedy:
                 cls = jnp.argmax(logits, axis=-1)
             else:
                 cls = jax.random.categorical(key, logits, axis=-1)
-            return decode_mulaw(cls, self.bits)
+            return label_to_float(cls, self.bits), decode_mulaw(cls, self.bits)
         from .distribs import (sample_from_discretized_mix_logistic,
                                sample_from_gaussian)
         if self.mode == "mol":
-            return sample_from_discretized_mix_logistic(logits, key, greedy)
-        return sample_from_gaussian(logits, key, greedy)
+            s = sample_from_discretized_mix_logistic(logits, key, greedy)
+        else:
+            s = sample_from_gaussian(logits, key, greedy)
+        return s, s
 
     def loss(self, p: Params, mels, audio, compute_dtype=None):
         """Teacher-forced NLL by I/O mode. audio: [B, L] float in [-1,1].
@@ -278,8 +286,8 @@ class WaveRNN:
             h1, h2, logits = self._core_step(p, h1, h2, x_prev, m_t,
                                              a1t, a2t, a3t, a4t)
             k, sub = jax.random.split(k)
-            x = self._sample_output(logits, sub, greedy)[..., None]
-            return (h1, h2, x, k), x[..., 0]
+            x_next, sample = self._sample_output(logits, sub, greedy)
+            return (h1, h2, x_next[..., None], k), sample
 
         seq = tuple(jnp.swapaxes(a, 0, 1) for a in (cond, a1, a2, a3, a4))
         _, samples = lax.scan(step, (h1, h2, x0, key), seq)

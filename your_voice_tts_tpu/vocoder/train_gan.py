@@ -106,11 +106,13 @@ class GANTrainer:
             optax.clip_by_global_norm(cfg.training.grad_clip),
             optax.adam(cfg.training.lr_disc, b1=0.5, b2=0.9))
         # GAN losses are unmasked means, so phantom padding rows would skew
-        # them — shard over the largest device count that divides the batch
-        import math
-        self.mesh = make_mesh(math.gcd(cfg.training.batch_size,
-                                       len(jax.devices())))
+        # them — instead the GLOBAL batch rounds UP to a multiple of the
+        # device count and the mesh spans every device (a gcd-trimmed mesh
+        # leaves the other processes' devices unaddressable multi-host)
+        self.mesh = make_mesh()
         self.n_devices = self.mesh.devices.size
+        self.global_batch = -(-cfg.training.batch_size //
+                              self.n_devices) * self.n_devices
         rep = replicate(self.mesh)
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         g_params = jax.device_put(self.generator.init(k1), rep)
@@ -130,12 +132,9 @@ class GANTrainer:
 
     def _build_steps(self, use_disc: bool):
         cfg = self.cfg.training
-        mp = cfg.mixed_precision
+        mp = cfg.gan_mixed_precision
 
-        def cast_down(t):
-            return jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, t)
+        from ..nn.core import cast_f32_to_bf16 as cast_down
 
         def g_loss_fn(g_params, d_params, mel, audio, key):
             # mixed precision: conv forwards (generator + discriminator) in
@@ -214,7 +213,11 @@ class GANTrainer:
 
     def fit(self, max_steps: int) -> dict:
         cfg = self.cfg.training
-        rng = np.random.default_rng(0)
+        # per-process seed: in a multi-host run every process must sample
+        # DIFFERENT clips (shard_batch assembles the global batch from the
+        # local slices — identical seeds would train on duplicates)
+        rng = np.random.default_rng(1 + jax.process_index())
+        local_batch = self.global_batch // jax.process_count()
         last: dict = {}
         steps_built_with_disc = None
         for _ in range(max_steps):
@@ -223,15 +226,18 @@ class GANTrainer:
             if steps_built_with_disc != use_disc:
                 self._g_step, self._d_step = self._build_steps(use_disc)
                 steps_built_with_disc = use_disc
-            mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            mel, audio = self.dataset.sample_batch(local_batch, rng)
             sharded = shard_batch({"mel": mel, "audio": audio}, self.mesh)
             mel_s, audio_s = sharded["mel"], sharded["audio"]
-            key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+            # independent draws: the discriminator must not score the exact
+            # generator noise just used for the generator update
+            k_g, k_d = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(2 ** 31))))
             t0 = time.time()
-            self.state, parts = self._g_step(self.state, mel_s, audio_s, key)
+            self.state, parts = self._g_step(self.state, mel_s, audio_s, k_g)
             if use_disc:
                 self.state, d_parts = self._d_step(self.state, mel_s, audio_s,
-                                                   key)
+                                                   k_d)
                 parts = {**parts, **d_parts}
             # one host transfer for all metrics (see train/trainer.py note)
             last = {k: float(v) for k, v in jax.device_get(parts).items()}
@@ -239,7 +245,8 @@ class GANTrainer:
             if self.verbose and (step + 1) % cfg.print_step == 0:
                 msg = " | ".join(f"{k}: {v:.4f}" for k, v in last.items())
                 print(f"   --> GAN STEP {step + 1} | {msg}", flush=True)
-            if self.output_path and (step + 1) % cfg.save_step == 0:
+            if self.output_path and (step + 1) % cfg.save_step == 0 \
+                    and jax.process_index() == 0:  # rank-0 checkpointing
                 self.save(os.path.join(self.output_path,
                                        f"vocoder_checkpoint_{step + 1}.npz"))
         return last

@@ -48,12 +48,13 @@ class WaveRNNTrainer:
             optax.adam(cfg.training.lr_gen))
         # DP like the TTS trainer: params/opt replicated, batch sharded on
         # the data axis, XLA inserts the gradient all-reduce (SURVEY.md SS2.3)
-        # shard over the largest device count that divides the batch (the
-        # NLL is an unmasked mean; no phantom-row padding)
-        import math
-        self.mesh = make_mesh(math.gcd(cfg.training.batch_size,
-                                       len(jax.devices())))
+        # the NLL is an unmasked mean (no phantom-row padding) — the
+        # GLOBAL batch rounds UP to a multiple of the device count and the
+        # mesh spans every device (multi-host safe; see train_gan.py)
+        self.mesh = make_mesh()
         self.n_devices = self.mesh.devices.size
+        self.global_batch = -(-cfg.training.batch_size //
+                              self.n_devices) * self.n_devices
         rep = replicate(self.mesh)
         params = jax.device_put(self.model.init(jax.random.PRNGKey(0)), rep)
         self.state = WaveRNNTrainState(
@@ -72,10 +73,10 @@ class WaveRNNTrainer:
             # bf16 forward against f32 master weights, NLL always f32.
             dtype = None
             if mp:
+                from ..nn.core import cast_f32_to_bf16
+
                 dtype = jnp.bfloat16
-                params = jax.tree_util.tree_map(
-                    lambda a: a.astype(dtype)
-                    if a.dtype == jnp.float32 else a, params)
+                params = cast_f32_to_bf16(params)
                 mel = mel.astype(dtype)
             return self.model.loss(params, mel, audio, compute_dtype=dtype)
 
@@ -91,10 +92,12 @@ class WaveRNNTrainer:
 
     def fit(self, max_steps: int) -> dict:
         cfg = self.cfg.training
-        rng = np.random.default_rng(0)
+        # per-process seed + local batch slice (see train_gan.py fit)
+        rng = np.random.default_rng(1 + jax.process_index())
+        local_batch = self.global_batch // jax.process_count()
         last: dict = {}
         for _ in range(max_steps):
-            mel, audio = self.dataset.sample_batch(cfg.batch_size, rng)
+            mel, audio = self.dataset.sample_batch(local_batch, rng)
             sharded = shard_batch({"mel": mel, "audio": audio}, self.mesh)
             t0 = time.time()
             self.state, loss = self._step_fn(self.state, sharded["mel"],
@@ -104,7 +107,8 @@ class WaveRNNTrainer:
             if self.verbose and step % cfg.print_step == 0:
                 print(f"   --> WAVERNN STEP {step} | loss: {last['loss']:.4f} "
                       f"| step_time: {last['step_time']:.3f}", flush=True)
-            if self.output_path and step % cfg.save_step == 0:
+            if self.output_path and step % cfg.save_step == 0 \
+                    and jax.process_index() == 0:  # rank-0 checkpointing
                 self.save(os.path.join(self.output_path,
                                        f"wavernn_checkpoint_{step}.npz"))
         return last
