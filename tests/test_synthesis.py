@@ -108,6 +108,8 @@ def test_server_index(server):
     with urllib.request.urlopen(server + "/") as r:
         body = r.read().decode()
     assert r.status == 200 and "api/tts" in body
+    # regression: format-escaped braces served raw made the CSS invalid
+    assert "{{" not in body and "}}" not in body
 
 
 def test_server_tts_endpoint(server, tmp_path):
@@ -222,3 +224,23 @@ def test_synthesis_batch_mesh_matches_unsharded(cfg, ap):
         L = max(int(lens_ref[i]), model.r)
         np.testing.assert_allclose(a["mel_postnet_spec"],
                                    mels_ref[i, :L].T, atol=1e-4)
+
+
+def test_speaker_resolution_numeric_and_unknown(cfg, model_and_vars,
+                                                tmp_path):
+    """Numeric speaker strings (HTTP query args) resolve as ids; unknown
+    names raise with the known list (regression: '2' silently became
+    speaker 0, unknown names KeyError'd deep in d-vector lookup)."""
+    import json as jsonmod
+
+    spk_json = tmp_path / "speakers.json"
+    spk_json.write_text(jsonmod.dumps({"alice": 0, "bob": 1}))
+    # no checkpoint: resolution logic is what's under test (a random-init
+    # 2-speaker model synthesizes fine)
+    synth = Synthesizer(cfg, None, speakers_json=str(spk_json))
+    wav = synth.tts("hi there", speaker="1")  # numeric string -> id 1
+    assert wav.ndim == 1 and len(wav) > 0
+    with pytest.raises(ValueError, match="unknown speaker"):
+        synth.tts("hi", speaker="carol")
+    with pytest.raises(ValueError, match="out of range"):
+        synth.tts("hi", speaker=7)

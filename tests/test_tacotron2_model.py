@@ -309,3 +309,47 @@ def test_bf16_incremental_and_truncated_paths(model, variables):
                                         max_decoder_steps=8,
                                         stream_state=stream)
     assert bool(jnp.isfinite(out2["postnet_outputs"]).all())
+
+
+def test_factory_r_init_covers_gradual_schedule_tacotron1():
+    """setup_model must size BOTH models' projections for the largest r in
+    the gradual-training schedule (regression: the Tacotron1 branch dropped
+    r_init, so set_r(schedule r) raised at training start)."""
+    import dataclasses
+
+    from your_voice_tts_tpu.config import AudioConfig, Config, TrainingConfig
+    from your_voice_tts_tpu.models import setup_model
+
+    for name in ("Tacotron2", "Tacotron"):
+        cfg = Config(
+            audio=AudioConfig(num_mels=N_MELS, fft_size=256, sample_rate=8000,
+                              hop_length=64, win_length=256, mel_fmax=None),
+            model=dataclasses.replace(SMALL, model=name),
+            training=TrainingConfig(gradual_training=[[0, 7, 8],
+                                                      [100, 5, 8]]))
+        m = setup_model(30, 0, cfg)
+        m.set_r(7)  # must not raise
+        assert m.r_init >= 7
+
+
+def test_inference_scan_freezes_stream_after_stop():
+    """After a sample fires its stop token, the scan carry (the resumable
+    stream state) must stay frozen at the stop point instead of evolving on
+    zeroed inputs (regression: inference_truncated chunk 2 started from
+    corrupted state)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, prenet_dropout=False, stop_threshold=0.0)
+    model = Tacotron2(NUM_CHARS, cfg, n_mels=N_MELS)
+    variables = model.init(jax.random.PRNGKey(0))
+    p, state = variables["params"]["decoder"], variables["state"]["decoder"]
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 6, SMALL.encoder_dim))
+    lens = jnp.array([6, 5])
+    dec = model.decoder
+    carry0 = dec.init_inference_carry(2, enc, None)
+    # stop_threshold=0 -> every row is done after step 1
+    carry1, _ = dec.inference_scan(p, state, enc, lens, carry0, 1, cfg.r)
+    carryN, _ = dec.inference_scan(p, state, enc, lens, carry0, 6, cfg.r)
+    for a, b in zip(jax.tree_util.tree_leaves(carry1[:2]),
+                    jax.tree_util.tree_leaves(carryN[:2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -15,21 +15,21 @@ from .synthesizer import Synthesizer
 
 _INDEX_HTML = """<!DOCTYPE html>
 <html><head><title>your-voice TTS (TPU)</title><style>
-body {{ font-family: sans-serif; margin: 3em auto; max-width: 40em; }}
-input {{ width: 100%; padding: .5em; font-size: 1em; }}
-button {{ margin-top: .75em; padding: .5em 1.5em; }}
+body { font-family: sans-serif; margin: 3em auto; max-width: 40em; }
+input { width: 100%; padding: .5em; font-size: 1em; }
+button { margin-top: .75em; padding: .5em 1.5em; }
 </style></head><body>
 <h2>your-voice TTS &mdash; TPU-native</h2>
 <input id="text" placeholder="Type a sentence..." value="Hello, this is a test.">
 <button onclick="speak()">Speak</button>
 <p><audio id="audio" controls></audio></p>
 <script>
-function speak() {{
+function speak() {
   const t = document.getElementById('text').value;
   const a = document.getElementById('audio');
   a.src = '/api/tts?text=' + encodeURIComponent(t);
   a.play();
-}}
+}
 </script></body></html>"""
 
 

@@ -108,7 +108,10 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
         res = {"text": text, "mel_postnet_spec": spec,
                "alignment": aligns[i], "stop_tokens": stops[i]}
         if vocoder is not None and not is_linear:
-            res["wav"] = vocoder(spec)
+            wav = np.asarray(vocoder(spec))
+            if trim_silence:
+                wav = wav[: ap.find_endpoint(wav)]
+            res["wav"] = wav
         elif use_griffin_lim or (vocoder is not None and is_linear):
             # Tacotron(1) emits a linear spectrogram: invert it directly
             wav = (ap.inv_spectrogram(spec) if is_linear
@@ -138,16 +141,20 @@ def _mesh_inference(mesh, model, variables, text_arr, lengths, *,
     B0 = text_arr.shape[0]
     Bp = ((B0 + n - 1) // n) * n
 
-    def padb(a, fill=0):
+    def padb(a):
         if a is None:
             return None
         a = np.asarray(a)
         if Bp == B0:
             return a
-        pad = [(0, Bp - B0)] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, pad, constant_values=fill)
+        # dummy rows REPLICATE row 0 instead of padding zeros: a zero-text
+        # row may never fire its stop token, and the decode (kernel early
+        # exit included) runs until EVERY row stops — zero rows would force
+        # the whole lockstep program to max_decoder_steps
+        reps = np.repeat(a[:1], Bp - B0, axis=0)
+        return np.concatenate([a, reps], axis=0)
 
-    text_arr, lengths = padb(text_arr), padb(lengths, 1)
+    text_arr, lengths = padb(text_arr), padb(lengths)
     opt = {"speaker_ids": padb(speaker_ids),
            "speaker_embeddings": padb(d_vectors),
            "style_mel": padb(style_mel)}

@@ -92,8 +92,21 @@ class Synthesizer:
         sentences = split_into_sentences(text) or [text]
         speaker_ids = d_vectors = None
         if speaker is not None and self.speaker_ids:
-            sid = (self.speaker_ids.get(speaker, 0)
-                   if isinstance(speaker, str) else int(speaker))
+            if isinstance(speaker, str) and speaker not in self.speaker_ids:
+                try:  # HTTP query strings arrive as text: "2" means id 2
+                    speaker = int(speaker)
+                except ValueError:
+                    raise ValueError(
+                        f"unknown speaker {speaker!r}; known: "
+                        f"{sorted(self.speaker_ids)}") from None
+            if isinstance(speaker, str):
+                sid = self.speaker_ids[speaker]
+            else:
+                sid = int(speaker)
+                if not 0 <= sid < len(self.speaker_ids):
+                    raise ValueError(
+                        f"speaker id {sid} out of range "
+                        f"0..{len(self.speaker_ids) - 1}")
             if self.speaker_embeddings:
                 name = speaker if isinstance(speaker, str) else \
                     sorted(self.speaker_embeddings)[sid]

@@ -40,5 +40,6 @@ def setup_model(num_chars: int, num_speakers: int, cfg: Config,
             speaker_embedding_dim=speaker_embedding_dim,
             use_gst=cfg.speakers.use_gst,
             gst_cfg=cfg.speakers.gst,
+            r_init=r_init,
         )
     raise ValueError(f"unknown model {name!r}")

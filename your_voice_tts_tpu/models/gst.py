@@ -50,7 +50,8 @@ class ReferenceEncoder:
     def init_state(self) -> Params:
         return {"convs": [bn.init_state() for bn in self.bns]}
 
-    def __call__(self, p: Params, state: Params, mel, train: bool = False):
+    def __call__(self, p: Params, state: Params, mel, train: bool = False,
+                 style_len=None):
         """mel: [B, T, n_mels] -> ([B, out_dim] style summary, new state).
 
         Real BatchNorm with running stats (torch parity): batch statistics
@@ -73,6 +74,17 @@ class ReferenceEncoder:
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
         out = gru(self.gru_cell, p["gru"], x)
+        if style_len is not None:
+            # summarize at the last REAL frame: each stride-2 conv maps
+            # length L -> (L+1)//2 (explicit (1,1) padding), so a padded
+            # batch row's style is not read off pure-padding timesteps.
+            # (The reference always takes the last step — strictly worse
+            # under padding; parity holds whenever style_len is omitted.)
+            L = style_len
+            for _ in self.CHANNELS:
+                L = (L + 1) // 2
+            idx = jnp.clip(L - 1, 0, out.shape[1] - 1)
+            return out[jnp.arange(B), idx], new_state
         return out[:, -1, :], new_state
 
 
@@ -135,6 +147,6 @@ class GST:
     def __call__(self, p: Params, state: Params, style_mel, style_len=None,
                  train: bool = False):
         ref, ref_state = self.ref_encoder(p["ref"], state["ref"], style_mel,
-                                          train)
+                                          train, style_len=style_len)
         style = self.style_layer(p["style"], ref)
         return self.out_proj(p["proj"], style), {"ref": ref_state}

@@ -382,16 +382,22 @@ class Tacotron:
         return {"params": params, "state": state}
 
     def _encode(self, params, state, text, rng, train, speaker_ids,
-                speaker_embeddings, style_mel):
+                speaker_embeddings, style_mel, style_len=None):
         x = self.embedding(params["embedding"], text)
         x, pre_state = self.enc_prenet(params["enc_prenet"], state["enc_prenet"],
                                        x, rng, train)
         enc_out, cbhg_state = self.encoder_cbhg(params["encoder_cbhg"],
                                                 state["encoder_cbhg"], x, train)
         gst_state = state.get("gst", {}) if self.use_gst else {}
+        if self.use_gst and style_mel is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "GST model conditioned WITHOUT a style reference: the GST "
+                "branch is skipped — pass style_wav/style_mel")
         if self.use_gst and style_mel is not None:
             style, gst_state = self.gst(params["gst"], state["gst"],
-                                        style_mel, train=train)
+                                        style_mel, style_len=style_len,
+                                        train=train)
             enc_out = enc_out + style[:, None, :]
         if self.num_speakers > 0:
             B, T = enc_out.shape[:2]
@@ -415,7 +421,7 @@ class Tacotron:
             k_enc = k_dec = None
         enc_out, pre_state, cbhg_state, gst_state = self._encode(
             params, state, text, k_enc, train, speaker_ids, speaker_embeddings,
-            style_mel=mels)
+            style_mel=mels, style_len=mel_lengths)
         dec_out, aligns, stops, dec_state = self.decoder.forward(
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
             k_dec, train, r=r)

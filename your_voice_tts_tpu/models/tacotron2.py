@@ -400,14 +400,27 @@ class Decoder:
             tmp, (dec_out, align, stop_logit) = self._step(
                 p, inner4 + (k_step,), prenet_out, inputs, processed_inputs,
                 mask, train=False, inference=True)
-            inner4 = tmp[:4]
             stop_prob = jax.nn.sigmoid(stop_logit)
             # mask outputs of finished samples; count steps while running
             active = jnp.logical_not(done)
+
+            def _freeze(new, old):
+                # finished rows keep their pre-stop state: the carry is the
+                # resumable stream handed to inference_truncated's next
+                # chunk, and letting it evolve on zeroed inputs post-stop
+                # corrupts it (the Pallas route freezes at early exit too)
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                    new, old)
+
+            inner4 = _freeze(tmp[:4], inner4)
             dec_out = dec_out[:, : self.n_mels * r] * active[:, None].astype(dec_out.dtype)
             steps_done = steps_done + active.astype(jnp.int32)
             done = jnp.logical_or(done, stop_prob > thresh)
-            new_frame = dec_out[:, self.n_mels * (r - 1):]  # last frame of group
+            new_frame = jnp.where(active[:, None],
+                                  dec_out[:, self.n_mels * (r - 1):],
+                                  prev_frame)  # last frame of group / frozen
             return (inner4, new_frame, done, steps_done, rng_), \
                 (dec_out, align, stop_prob)
 
@@ -471,6 +484,8 @@ class Tacotron2:
             "decoder": self.decoder.init_state(),
             "postnet": self.postnet.init_state(),
         }
+        if self.cfg.bidirectional_decoder:
+            state["decoder_backward"] = self.decoder_backward.init_state()
         if self.use_gst:
             state["gst"] = self.gst.init_state()
         return {"params": params, "state": state}
@@ -482,6 +497,12 @@ class Tacotron2:
         (enc_out, gst_state) — gst_state is {} for non-GST models."""
         B, T = enc_out.shape[:2]
         gst_state = state.get("gst", {}) if self.use_gst else {}
+        if self.use_gst and style_mel is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "GST model conditioned WITHOUT a style reference: the GST "
+                "branch is skipped and the decoder sees encoder outputs it "
+                "never saw un-shifted in training — pass style_wav/style_mel")
         if self.use_gst and style_mel is not None:
             style, gst_state = self.gst(params["gst"], state["gst"],
                                         style_mel, style_len, train)  # [B, E]
@@ -521,7 +542,7 @@ class Tacotron2:
                                           x, text_lengths, k_enc, train)
         enc_out, gst_state = self._condition(
             params, state, enc_out, speaker_ids, speaker_embeddings,
-            style_mel=mels, style_len=None, train=train)
+            style_mel=mels, style_len=mel_lengths, train=train)
         dec_out, aligns, stops, dec_state = self.decoder.forward(
             params["decoder"], state["decoder"], enc_out, text_lengths, mels,
             k_dec, train, r=r)
@@ -548,11 +569,12 @@ class Tacotron2:
             k_bwd = None
             if rng is not None:
                 _, k_bwd = jax.random.split(rng)
-            dec_b, aligns_b, _, _ = self.decoder_backward.forward(
-                params["decoder_backward"], state["decoder"], enc_out,
-                text_lengths, mels_rev, k_bwd, train, r=r)
+            dec_b, aligns_b, _, bwd_state = self.decoder_backward.forward(
+                params["decoder_backward"], state["decoder_backward"],
+                enc_out, text_lengths, mels_rev, k_bwd, train, r=r)
             out["decoder_backward_outputs"] = jnp.flip(dec_b, axis=1)
             out["alignments_backward"] = aligns_b
+            out["state"]["decoder_backward"] = bwd_state
         return out
 
 
