@@ -185,11 +185,23 @@ class AudioProcessor:
         S = np.asarray(S, dtype=np.float32).T  # -> time-major
         t = S.shape[0]
         tb = self._frame_bucket(t)
-        if self.cfg.signal_norm:
-            pad_val = -self.cfg.max_norm if self.cfg.symmetric_norm else 0.0
+        stats = self.mel_stats if kind == "inv_mel" else self.linear_stats
+        if self.cfg.signal_norm and stats is not None:
+            # stats normalization: pad with NORMALIZED silence per bin —
+            # a 0.0 pad would denormalize to the corpus MEAN dB (average
+            # speech energy) and Griffin-Lim's overlap-add would mix those
+            # energetic phantom frames into the clip tail
+            mean, std = stats
+            pad_row = ((self.cfg.min_level_db - mean) /
+                       np.maximum(std, 1e-8)).astype(np.float32)
+            buf = np.broadcast_to(pad_row, (tb, S.shape[1])).copy()
         else:
-            pad_val = self.cfg.min_level_db
-        buf = np.full((tb, S.shape[1]), pad_val, dtype=np.float32)
+            if self.cfg.signal_norm:
+                pad_val = (-self.cfg.max_norm if self.cfg.symmetric_norm
+                           else 0.0)
+            else:
+                pad_val = self.cfg.min_level_db
+            buf = np.full((tb, S.shape[1]), pad_val, dtype=np.float32)
         buf[:t] = S
         self._gl_key, sub = jax.random.split(self._gl_key)
         y = self._get_jit(kind, tb)(jnp.asarray(buf), sub)
@@ -231,12 +243,18 @@ class AudioProcessor:
 
         target_sr = sr or self.sample_rate
         from . import native
+        x = None
         if native.available():
-            x, file_sr = native.decode(path)
-            if file_sr != target_sr:
-                g = gcd(file_sr, target_sr)
-                x = native.resample_poly(x, target_sr // g, file_sr // g)
-        else:
+            try:
+                x, file_sr = native.decode(path)
+                if file_sr != target_sr:
+                    g = gcd(file_sr, target_sr)
+                    x = native.resample_poly(x, target_sr // g, file_sr // g)
+            except native.NativeWavError:
+                x = None  # fall through: the stdlib reader handles some
+                # files the strict native parser rejects (e.g. truncated
+                # PCM16 with a short final read)
+        if x is None:
             with wave.open(path, "rb") as f:
                 n_ch = f.getnchannels()
                 width = f.getsampwidth()

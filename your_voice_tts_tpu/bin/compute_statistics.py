@@ -30,11 +30,14 @@ def compute_statistics(cfg, items, include_linear: bool = True) -> dict:
     mel_sum = mel_sq = lin_sum = lin_sq = 0.0
     for item in items:
         wav = ap.load_wav(item[1])
-        mel = ap.melspectrogram(wav)            # [n_mels, T] dB-ref
+        # accumulate in float64: millions of frames of ~1e3-magnitude
+        # dB-squared values overflow float32's representable step and the
+        # E[x^2]-E[x]^2 variance is cancellation-prone
+        mel = np.asarray(ap.melspectrogram(wav), np.float64)  # [n_mels, T]
         mel_sum = mel_sum + mel.sum(axis=1)
         mel_sq = mel_sq + (mel ** 2).sum(axis=1)
         if include_linear:
-            lin = ap.spectrogram(wav)
+            lin = np.asarray(ap.spectrogram(wav), np.float64)
             lin_sum = lin_sum + lin.sum(axis=1)
             lin_sq = lin_sq + (lin ** 2).sum(axis=1)
         n += mel.shape[1]

@@ -51,6 +51,7 @@ def audit(cfg) -> dict:
     report = {"rows": len(rows), "train_rows": len(items),
               "eval_rows": len(eval_items)}
     problems: list[str] = []
+    warnings: list[str] = []  # benign (auto-handled) — never fail the audit
     durations, text_lens = [], []
     speakers: dict[str, int] = {}
     sr_expected = cfg.audio.sample_rate
@@ -69,7 +70,7 @@ def audit(cfg) -> dict:
             if bits not in (8, 16, 24, 32, 64):
                 problems.append(f"{wav_path}: sample width {bits} bits")
             if sr != sr_expected:
-                problems.append(f"{wav_path}: {sr} Hz != config "
+                warnings.append(f"{wav_path}: {sr} Hz != config "
                                 f"{sr_expected} Hz (will be resampled)")
             if n == 0:
                 problems.append(f"{wav_path}: zero frames")
@@ -94,6 +95,7 @@ def audit(cfg) -> dict:
     report["speakers"] = len(speakers)
     report["per_speaker_min"] = min(speakers.values()) if speakers else 0
     report["problems"] = problems
+    report["warnings"] = warnings
     return report
 
 

@@ -53,12 +53,15 @@ def _build() -> str | None:
         if (os.path.exists(_LIB_PATH)
                 and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
             return None
+        # per-pid temp name: concurrent builders (multi-process launch on
+        # a shared filesystem) must not os.replace a half-written .so
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-               _SRC, "-o", _LIB_PATH + ".tmp"]
+               _SRC, "-o", tmp]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if proc.returncode != 0:
             return f"g++ failed: {proc.stderr[-500:]}"
-        os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+        os.replace(tmp, _LIB_PATH)
         return None
     except FileNotFoundError:
         return "g++ not found"
@@ -74,7 +77,14 @@ def _load():
         _build_error = _build()
         if _build_error is not None:
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            # a corrupt .so (e.g. lost a concurrent-build race on older
+            # revisions) must disable the native path, not crash callers
+            # whose contract is available() -> False
+            _build_error = f"CDLL failed: {e}"
+            return None
         i64, i32 = ctypes.c_int64, ctypes.c_int32
         fp = ctypes.POINTER(ctypes.c_float)
         lib.yv_wav_info.restype = i64

@@ -69,6 +69,7 @@ int64_t parse_header(FILE* f, WavInfo* info) {
     if (memcmp(ch, "fmt ", 4) == 0) {
       std::vector<uint8_t> body(sz);
       if (fread(body.data(), 1, sz, f) != sz) return YV_ERR_FMT;
+      if (sz & 1) fseek(f, 1, SEEK_CUR);  // RIFF pads odd chunks by one byte
       if (sz < 16) return YV_ERR_FMT;
       info->fmt = rd_u16(&body[0]);
       info->channels = rd_u16(&body[2]);
@@ -371,7 +372,10 @@ int64_t yv_wav_decode_batch(const char** paths, int32_t n_paths,
           rc = resample_poly_into(tmp.data(), rc, (int)(target_sr / g),
                                   (int)(sr / g), row, max_samples);
         } else if (rc >= 0) {
-          memcpy(row, tmp.data(), (size_t)rc * sizeof(float));
+          // guard: a file grown between the Python-side probe (which sized
+          // max_samples) and this decode must not overflow the dense row
+          if (rc > max_samples) rc = YV_ERR_SPACE;
+          else memcpy(row, tmp.data(), (size_t)rc * sizeof(float));
         }
       } else {
         rc = yv_wav_decode(paths[i], row, max_samples, &sr);
