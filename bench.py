@@ -635,8 +635,18 @@ def verify_gates(quick: bool = False) -> dict:
                                       "pallas": bool(use_pallas)}
 
     # -- gate 3: WaveRNN kernel vs XLA scan, greedy, on device ---------------
+    # (off-TPU the kernel runs in Pallas interpret mode, like gates 5-9,
+    # so the whole verify suite is executable on any backend)
+    import contextlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
     from your_voice_tts_tpu.ops.pallas.wavernn_gen import wavernn_generate_pallas
     from your_voice_tts_tpu.vocoder.models.wavernn import WaveRNN
+
+    def interp():
+        return (pltpu.force_tpu_interpret_mode()
+                if jax.default_backend() != "tpu" else contextlib.nullcontext())
 
     wr = WaveRNN(n_mels=20, bits=8, rnn_dims=64, fc_dims=64, compute_dims=32,
                  res_out_dims=32, num_res_blocks=2, pad=2,
@@ -644,8 +654,10 @@ def verify_gates(quick: bool = False) -> dict:
     pwr = wr.init(jax.random.PRNGKey(0))
     mel = jnp.asarray(rng.standard_normal((24, 20)), jnp.float32)
     cond, aux = wr.upsample(pwr["upsample"], mel[None])
-    out_k = np.asarray(wavernn_generate_pallas(pwr, cond, aux, seed=0, bits=8,
-                                               chunk=128, greedy=True))
+    with interp():
+        out_k = np.asarray(wavernn_generate_pallas(pwr, cond, aux, seed=0,
+                                                   bits=8, chunk=128,
+                                                   greedy=True))
     out_s = np.asarray(wr.generate_fold(pwr, cond, aux, jax.random.PRNGKey(2),
                                         greedy=True))
     # greedy argmax can flip on device-specific rounding and diverge after;
@@ -676,20 +688,13 @@ def verify_gates(quick: bool = False) -> dict:
     # -- gate 5: Pallas decode kernel vs XLA scan, on device ------------------
     # dropout off so the two paths are deterministic and comparable; the
     # kernel computes in bf16, so gate at the bf16 parity budget
-    import contextlib
     import dataclasses
-
-    from jax.experimental.pallas import tpu as pltpu
 
     mcfg5 = dataclasses.replace(mcfg, prenet_dropout=False)
     model5 = setup_model(len(symbols), 0, Config(audio=acfg, model=mcfg5))
     var5 = model5.init(jax.random.PRNGKey(0))
     scan = np.asarray(model5.inference(var5, text, lens,
                                        use_pallas=False)["postnet_outputs"])
-    def interp():
-        return (pltpu.force_tpu_interpret_mode()
-                if jax.default_backend() != "tpu" else contextlib.nullcontext())
-
     with interp():
         pal = np.asarray(model5.inference(var5, text, lens,
                                           use_pallas=True)["postnet_outputs"])
