@@ -188,3 +188,21 @@ def test_phoneme_path_train_and_synth(smoke_cfg, tmp_path):
                      "state": trainer.state.model_state},
                     "hello world", cfg, trainer.ap, use_griffin_lim=False)
     assert np.isfinite(np.asarray(res["mel_postnet_spec"])).all()
+
+
+def test_gst_model_trains_and_carries_state(smoke_cfg):
+    """A GST config trains end-to-end: the style branch conditions on the
+    teacher mels, its BatchNorm running stats live in model state and
+    actually move during training (coverage for the GST state threading —
+    forward returns state['gst'] and the trainer carries it)."""
+    cfg = dataclasses.replace(
+        smoke_cfg,
+        speakers=dataclasses.replace(smoke_cfg.speakers, use_gst=True),
+        training=dataclasses.replace(smoke_cfg.training, epochs=1))
+    trainer = Trainer(cfg, output_path=None, verbose=False)
+    st0 = trainer.state.model_state["gst"]["ref"]["convs"][0]
+    assert float(np.abs(np.asarray(st0["mean"])).max()) == 0.0
+    metrics = trainer.fit(max_steps=2)
+    assert np.isfinite(metrics["loss"])
+    st1 = trainer.state.model_state["gst"]["ref"]["convs"][0]
+    assert float(np.abs(np.asarray(st1["mean"])).max()) > 0.0
