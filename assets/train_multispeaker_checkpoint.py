@@ -58,8 +58,17 @@ def train_speaker_encoder(corpus, ap, steps=400):
     from your_voice_tts_tpu.speaker_encoder.model import SpeakerEncoder
     from your_voice_tts_tpu.speaker_encoder.train import SpeakerEncoderTrainer
 
+    def gl_roundtrip(wav):
+        # register a Griffin-Lim-roundtripped view of every clip as the
+        # same speaker: the artifact-only cloning loop re-embeds mels
+        # extracted from SYNTHESIZED (GL) audio, and an encoder trained
+        # only on direct mels confuses speakers through that channel
+        mel = ap.melspectrogram(wav)
+        return [np.asarray(ap.inv_melspectrogram(mel), np.float32)]
+
     items = synthetic(corpus)
-    ds = SpeakerEncoderDataset(items, ap, num_frames=SE_FRAMES)
+    ds = SpeakerEncoderDataset(items, ap, num_frames=SE_FRAMES,
+                               augment_wav_fn=gl_roundtrip)
     enc = SpeakerEncoder(input_dim=20, proj_dim=SPK_DIM, lstm_dim=128,
                          num_layers=2)
     tr = SpeakerEncoderTrainer(enc, ds, lr=3e-4, num_speakers_per_batch=4,

@@ -88,6 +88,19 @@ class Prenet:
         return x, new_state
 
 
+def pallas_prenet(prenet, cfg, p: Params, state: Params | None):
+    """(possibly-folded decoder params, in-kernel dropout flag) for the
+    weights-in-VMEM decode kernels — one definition for both decoders. BN
+    prenets fold their running-stats affine into the Linears
+    (fold_bn_prenet) and never apply dropout."""
+    if prenet.prenet_type == "bn":
+        assert state is not None, \
+            "BN-prenet kernel decode needs the decoder state (running stats)"
+        return {**p, "prenet": fold_bn_prenet(p["prenet"],
+                                              state["prenet"])}, False
+    return p, cfg.prenet_dropout and prenet.dropout_enabled
+
+
 def fold_bn_prenet(p: Params, s: Params, eps: float = 1e-5) -> Params:
     """Fold an inference-mode BN prenet into plain Linear+bias params.
 

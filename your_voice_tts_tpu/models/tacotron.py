@@ -256,14 +256,8 @@ class TacotronDecoder:
         B = inputs.shape[0]
         mask = sequence_mask(input_lengths, inputs.shape[1])
         processed = self.attention.preprocess_inputs(p["attention"], inputs)
-        if self.prenet.prenet_type == "bn":
-            assert state is not None, \
-                "BN-prenet kernel decode needs the decoder state (running stats)"
-            p = {**p, "prenet": fold_bn_prenet(p["prenet"], state["prenet"])}
-            prenet_dropout = False
-        else:
-            prenet_dropout = (self.cfg.prenet_dropout
-                              and self.prenet.dropout_enabled)
+        from .common import pallas_prenet
+        p, prenet_dropout = pallas_prenet(self.prenet, self.cfg, p, state)
         out, aligns, stops, steps_done = tacotron1_decode_pallas(
             p, inputs, processed, mask, n_mels=self.n_mels, r=r,
             memory_size=self.memory_size, max_steps=max_steps,

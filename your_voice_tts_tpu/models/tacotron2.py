@@ -262,15 +262,8 @@ class Decoder:
         }
 
     def _pallas_prenet(self, p: Params, state: Params | None):
-        """(possibly-folded decoder params, in-kernel dropout flag) for the
-        decode kernel: BN prenets fold their running-stats affine into the
-        Linears (models/common.fold_bn_prenet) and never apply dropout."""
-        if self.prenet.prenet_type == "bn":
-            assert state is not None, \
-                "BN-prenet kernel decode needs the decoder state (running stats)"
-            return {**p, "prenet": fold_bn_prenet(p["prenet"],
-                                                  state["prenet"])}, False
-        return p, self.cfg.prenet_dropout and self.prenet.dropout_enabled
+        from .common import pallas_prenet
+        return pallas_prenet(self.prenet, self.cfg, p, state)
 
     def inference_pallas(self, p: Params, inputs, input_lengths, max_steps: int,
                          r: int | None = None, seed: int = 0,
