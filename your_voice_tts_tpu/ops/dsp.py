@@ -268,6 +268,35 @@ def _dft_matrices(n_fft: int):
             iC.astype(_np.float32), iS.astype(_np.float32))
 
 
+def _banded_ola(xw, window: jnp.ndarray, n_fft: int, hop: int):
+    """Shared banded overlap-add core of the frame-domain GL projection:
+    K shifted adds (pure VPU, no scatter/gather) + the interior OLA
+    window-square normalization (constant in t, periodic within the frame).
+    ONE definition for the f32 FFT path and the bf16 matmul path — see also
+    ops/pallas/griffin_lim.ola_wsum_inv for the in-kernel constant."""
+    K = -(-n_fft // hop) - 1
+    acc = xw
+    for k in range(1, K + 1):
+        s = k * hop
+        # neighbor t+k contributes its first N-s samples to our last N-s
+        # slots; neighbor t-k its last N-s samples to our first N-s slots
+        fwd = jnp.pad(xw[..., k:, : n_fft - s],
+                      [(0, 0)] * (xw.ndim - 2) + [(0, k), (s, 0)])
+        bwd = jnp.pad(xw[..., :-k, s:],
+                      [(0, 0)] * (xw.ndim - 2) + [(k, 0), (0, s)])
+        acc = acc + fwd + bwd
+    wsum = jnp.zeros((n_fft,))
+    for k in range(-K, K + 1):
+        s = k * hop
+        if s > 0:
+            wsum = wsum.at[s:].add(window[: n_fft - s] ** 2)
+        elif s < 0:
+            wsum = wsum.at[: n_fft + s].add(window[-s:] ** 2)
+        else:
+            wsum = wsum + window ** 2
+    return acc / jnp.maximum(wsum, 1e-11)
+
+
 def _gl_project_frames_matmul(Fr, Fi, window, n_fft: int, hop: int,
                               dtype=jnp.bfloat16):
     """Real-arithmetic variant of `_gl_project_frames`: the rFFT/irFFT pair
@@ -283,23 +312,7 @@ def _gl_project_frames_matmul(Fr, Fi, window, n_fft: int, hop: int,
         return jnp.dot(a.astype(dtype), b, preferred_element_type=jnp.float32)
 
     xw = (dot(Fr, iC) - dot(Fi, iS)) * window
-    K_b = -(-n_fft // hop) - 1
-    acc = xw
-    for k in range(1, K_b + 1):
-        s = k * hop
-        fwd = jnp.pad(xw[..., k:, : n_fft - s], [(0, 0)] * (xw.ndim - 2) + [(0, k), (s, 0)])
-        bwd = jnp.pad(xw[..., :-k, s:], [(0, 0)] * (xw.ndim - 2) + [(k, 0), (0, s)])
-        acc = acc + fwd + bwd
-    wsum = jnp.zeros((n_fft,))
-    for k in range(-K_b, K_b + 1):
-        s = k * hop
-        if s > 0:
-            wsum = wsum.at[s:].add(window[: n_fft - s] ** 2)
-        elif s < 0:
-            wsum = wsum.at[: n_fft + s].add(window[-s:] ** 2)
-        else:
-            wsum = wsum + window ** 2
-    g = (acc / jnp.maximum(wsum, 1e-11)) * window
+    g = _banded_ola(xw, window, n_fft, hop) * window
     Gr = dot(g, C)
     Gi = -dot(g, S)
     return Gr, Gi
@@ -322,24 +335,7 @@ def _gl_project_frames(F: jnp.ndarray, window: jnp.ndarray, n_fft: int,
     iterative phase-recovery loop.
     """
     xw = jnp.fft.irfft(F, n=n_fft, axis=-1) * window          # [.., T, N]
-    K = -(-n_fft // hop) - 1
-    acc = xw
-    for k in range(1, K + 1):
-        s = k * hop
-        # neighbor t+k contributes its first N-s samples to our last N-s slots
-        fwd = jnp.pad(xw[..., k:, : n_fft - s], [(0, 0)] * (xw.ndim - 2) + [(0, k), (s, 0)])
-        # neighbor t-k contributes its last N-s samples to our first N-s slots
-        bwd = jnp.pad(xw[..., :-k, s:], [(0, 0)] * (xw.ndim - 2) + [(k, 0), (0, s)])
-        acc = acc + fwd + bwd
-    # interior OLA window-square normalization (constant in t, periodic in i)
-    wsum = jnp.zeros((n_fft,))
-    for k in range(-K, K + 1):
-        s = k * hop
-        if s >= 0:
-            wsum = wsum.at[s:].add(window[: n_fft - s] ** 2) if s > 0 else wsum + window ** 2
-        else:
-            wsum = wsum.at[: n_fft + s].add(window[-s:] ** 2)
-    g = acc / jnp.maximum(wsum, 1e-11)
+    g = _banded_ola(xw, window, n_fft, hop)
     return jnp.fft.rfft(g * window, axis=-1)
 
 
