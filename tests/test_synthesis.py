@@ -5,6 +5,7 @@ import dataclasses
 import json
 import os
 import threading
+import urllib.parse
 import urllib.request
 import wave as wavemod
 
@@ -86,7 +87,10 @@ def test_synthesizer_with_checkpoint(cfg, model_and_vars, ap, tmp_path):
 
 
 @pytest.fixture(scope="module")
-def server(cfg, model_and_vars, tmp_path_factory):
+def server_env(cfg, model_and_vars, tmp_path_factory):
+    """(url, server, synthesizer) for socket tests; the synthesizer is
+    exposed so the micro-batching test can boot its own server with a wide
+    collation window without slowing the single-request tests here."""
     model, variables = model_and_vars
     tmp = tmp_path_factory.mktemp("srv")
     ckpt = str(tmp / "model.npz")
@@ -100,8 +104,14 @@ def server(cfg, model_and_vars, tmp_path_factory):
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{port}"
+    yield f"http://127.0.0.1:{port}", srv, synth
     srv.shutdown()
+    srv.batcher.close()
+
+
+@pytest.fixture(scope="module")
+def server(server_env):
+    return server_env[0]
 
 
 def test_server_index(server):
@@ -139,6 +149,52 @@ def test_server_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(server + "/nope")
     assert ei.value.code == 404
+
+
+def test_server_coalesces_concurrent_requests(server_env):
+    """Concurrent HTTP requests must ride ONE batched device call
+    (infer/batching.MicroBatcher + Synthesizer.tts_many), not serialize
+    into batch-1 synthesis like the reference's Flask server."""
+    from your_voice_tts_tpu.infer.server import make_server
+
+    _, _, synth = server_env
+    # wide collation window so the burst below coalesces deterministically
+    srv = make_server(synth, host="127.0.0.1", port=0,
+                      max_batch=8, max_delay_ms=400.0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        texts = ["first voice line", "a second one", "third request",
+                 "and the fourth"]
+        blobs = [None] * len(texts)
+        errors = [None] * len(texts)
+
+        def fetch(k):
+            q = urllib.parse.quote(texts[k])
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/api/tts?text={q}",
+                        timeout=120) as r:
+                    blobs[k] = (r.status, r.headers["Content-Type"], r.read())
+            except Exception as e:  # noqa: BLE001 — recorded for assertions
+                errors[k] = e
+
+        threads = [threading.Thread(target=fetch, args=(k,))
+                   for k in range(len(texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert errors == [None] * len(texts)
+        for status, ctype, blob in blobs:
+            assert status == 200 and ctype == "audio/wav"
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        # the burst shared device batches instead of running one-by-one
+        assert max(srv.batcher.batch_sizes) > 1
+        assert len(srv.batcher.batch_sizes) < len(texts)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
 
 
 def test_synthesizer_streaming_yields_chunks(cfg, model_and_vars, tmp_path):

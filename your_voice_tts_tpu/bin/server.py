@@ -21,6 +21,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--speakers_json", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5002)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="dynamic micro-batching: max concurrent requests "
+                        "coalesced into one device batch (1 disables)")
+    p.add_argument("--max_delay_ms", type=float, default=25.0,
+                   help="how long to hold the first request for batchmates")
     args = p.parse_args(argv)
 
     from ..infer.server import make_server
@@ -38,7 +43,9 @@ def main(argv: list[str] | None = None) -> None:
                             vocoder_config=args.vocoder_config,
                             vocoder_checkpoint=args.vocoder_checkpoint,
                             speakers_json=args.speakers_json)
-    server = make_server(synth, args.host, args.port)
+    server = make_server(synth, args.host, args.port,
+                         max_batch=args.max_batch,
+                         max_delay_ms=args.max_delay_ms)
     print(f" > Serving on http://{args.host}:{args.port}  (GET /api/tts?text=...)")
     server.serve_forever()
 

@@ -1,16 +1,22 @@
 """HTTP synthesis server (reference server/server.py Flask app; SURVEY.md
 SS3.4). Same routes — GET / (demo page) and GET /api/tts?text=... streaming
 audio/wav — implemented on stdlib http.server (Flask is not available in the
-build environment; the handler is a thin shim either way)."""
+build environment; the handler is a thin shim either way).
+
+Unlike the reference (one Flask request at a time -> batch-1 synthesis),
+concurrent requests here are coalesced by a `MicroBatcher` into ONE batched
+device call (`Synthesizer.tts_many`): decode cost on TPU is nearly flat in
+batch, so N simultaneous users pay ~1 request of latency plus the collation
+window instead of N sequential decodes."""
 
 from __future__ import annotations
 
 import html
 import json
-import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from .batching import MicroBatcher
 from .synthesizer import Synthesizer
 
 _INDEX_HTML = """<!DOCTYPE html>
@@ -35,7 +41,7 @@ function speak() {
 
 class TTSHandler(BaseHTTPRequestHandler):
     synthesizer: Synthesizer = None  # set by make_server
-    lock: threading.Lock = None
+    batcher: MicroBatcher = None
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -61,8 +67,7 @@ class TTSHandler(BaseHTTPRequestHandler):
                 return
             speaker = (qs.get("speaker_id") or [None])[0]
             try:
-                with self.lock:
-                    wav = self.synthesizer.tts_to_wav_bytes(text, speaker=speaker)
+                wav = self.batcher.submit((text, speaker))
             except Exception as e:  # surface errors as JSON, keep serving
                 self._send(500, "application/json",
                            json.dumps({"error": html.escape(str(e))}).encode())
@@ -72,8 +77,55 @@ class TTSHandler(BaseHTTPRequestHandler):
         self._send(404, "application/json", b'{"error": "not found"}')
 
 
+def _batch_fn(synthesizer):
+    """(text, speaker) items -> WAV bytes, batched where the synthesizer
+    supports it (`tts_many`); per-item fallback otherwise (e.g. the
+    AOT `ExportedSynthesizer`, which serves fixed shape buckets).
+
+    Returns an Exception object in an item's slot for per-request errors
+    (bad speaker name, one failed item) so one bad request 500s alone
+    instead of poisoning every request sharing its micro-batch."""
+    def run(items: list) -> list:
+        if not hasattr(synthesizer, "tts_many"):
+            out = []
+            for t, s in items:
+                try:
+                    out.append(synthesizer.tts_to_wav_bytes(t, speaker=s))
+                except Exception as e:  # noqa: BLE001 — isolate per item
+                    out.append(e)
+            return out
+        out: list = [None] * len(items)
+        ok: list[int] = []
+        for k, (_, speaker) in enumerate(items):
+            try:  # reject bad speakers per-request, before the shared batch
+                synthesizer._resolve_speaker(speaker)
+                ok.append(k)
+            except Exception as e:  # noqa: BLE001
+                out[k] = e
+        if ok:
+            try:
+                wavs = synthesizer.tts_many([items[k][0] for k in ok],
+                                            [items[k][1] for k in ok])
+                for k, w in zip(ok, wavs):
+                    out[k] = synthesizer.encode_wav_bytes(w)
+            except Exception as e:  # noqa: BLE001 — batch-wide failure
+                for k in ok:
+                    out[k] = e
+        return out
+    return run
+
+
 def make_server(synthesizer: Synthesizer, host: str = "0.0.0.0",
-                port: int = 5002) -> ThreadingHTTPServer:
+                port: int = 5002, max_batch: int = 8,
+                max_delay_ms: float = 25.0) -> ThreadingHTTPServer:
+    """ThreadingHTTPServer whose /api/tts requests coalesce through a
+    MicroBatcher (device work runs on its single collator thread — the
+    batcher replaces the old per-request lock). `max_batch=1` disables
+    coalescing but keeps the serialization."""
+    batcher = MicroBatcher(_batch_fn(synthesizer), max_batch=max_batch,
+                           max_delay_ms=max_delay_ms)
     handler = type("BoundTTSHandler", (TTSHandler,), {
-        "synthesizer": synthesizer, "lock": threading.Lock()})
-    return ThreadingHTTPServer((host, port), handler)
+        "synthesizer": synthesizer, "batcher": batcher})
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.batcher = batcher  # so owners can close() it on shutdown
+    return srv

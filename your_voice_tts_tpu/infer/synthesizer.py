@@ -86,50 +86,103 @@ class Synthesizer:
 
     # --- synthesis -------------------------------------------------------
 
+    def _resolve_speaker(self, speaker):
+        """speaker (name | id | numeric string | None) -> ("none", None) |
+        ("id", int) | ("dvec", np.ndarray). Validation mirrors the
+        reference's speaker-mapping lookup (utils/speakers.py)."""
+        if speaker is None or not self.speaker_ids:
+            return "none", None
+        if isinstance(speaker, str) and speaker not in self.speaker_ids:
+            try:  # HTTP query strings arrive as text: "2" means id 2
+                speaker = int(speaker)
+            except ValueError:
+                raise ValueError(
+                    f"unknown speaker {speaker!r}; known: "
+                    f"{sorted(self.speaker_ids)}") from None
+        if isinstance(speaker, str):
+            sid = self.speaker_ids[speaker]
+        else:
+            sid = int(speaker)
+            if not 0 <= sid < len(self.speaker_ids):
+                raise ValueError(
+                    f"speaker id {sid} out of range "
+                    f"0..{len(self.speaker_ids) - 1}")
+        if self.speaker_embeddings:
+            name = speaker if isinstance(speaker, str) else \
+                sorted(self.speaker_embeddings)[sid]
+            return "dvec", np.asarray(self.speaker_embeddings[name],
+                                      np.float32)
+        return "id", sid
+
     def tts(self, text: str, speaker: str | int | None = None,
             style_wav: np.ndarray | None = None) -> np.ndarray:
         """Full text -> waveform (numpy float32)."""
-        sentences = split_into_sentences(text) or [text]
-        speaker_ids = d_vectors = None
-        if speaker is not None and self.speaker_ids:
-            if isinstance(speaker, str) and speaker not in self.speaker_ids:
-                try:  # HTTP query strings arrive as text: "2" means id 2
-                    speaker = int(speaker)
-                except ValueError:
-                    raise ValueError(
-                        f"unknown speaker {speaker!r}; known: "
-                        f"{sorted(self.speaker_ids)}") from None
-            if isinstance(speaker, str):
-                sid = self.speaker_ids[speaker]
-            else:
-                sid = int(speaker)
-                if not 0 <= sid < len(self.speaker_ids):
-                    raise ValueError(
-                        f"speaker id {sid} out of range "
-                        f"0..{len(self.speaker_ids) - 1}")
-            if self.speaker_embeddings:
-                name = speaker if isinstance(speaker, str) else \
-                    sorted(self.speaker_embeddings)[sid]
-                d_vectors = np.tile(self.speaker_embeddings[name],
-                                    (len(sentences), 1))
-            else:
-                speaker_ids = np.full((len(sentences),), sid, np.int32)
+        return self.tts_many([text], [speaker], style_wav=style_wav)[0]
 
+    def tts_many(self, texts: list[str], speakers: list | None = None,
+                 style_wav: np.ndarray | None = None) -> list[np.ndarray]:
+        """Synthesize several independent requests in ONE device batch.
+
+        All sentences from all requests ride a single `synthesis_batch`
+        call (per speaker-conditioning mode), then regroup per request —
+        the device-side half of dynamic micro-batched serving
+        (infer/batching.py). N concurrent requests cost ~1 batched decode
+        instead of N sequential batch-1 decodes."""
         import jax
-        self._rng, sub = jax.random.split(self._rng)
+
+        if speakers is None:
+            speakers = [None] * len(texts)
+        if len(speakers) != len(texts):
+            raise ValueError(
+                f"{len(texts)} texts but {len(speakers)} speakers")
+        # flatten request sentences; group rows by conditioning mode (a
+        # single program input cannot mix id-conditioned and unconditioned
+        # rows) — deployments are homogeneous, so normally 1 group = 1 call
+        sent_of_req: list[list[int]] = []   # request -> flat sentence idxs
+        flat: list[str] = []
+        modes: list[tuple[str, object]] = []
+        for text, speaker in zip(texts, speakers):
+            mode = self._resolve_speaker(speaker)
+            sentences = split_into_sentences(text) or [text]
+            idxs = []
+            for s in sentences:
+                idxs.append(len(flat))
+                flat.append(s)
+                modes.append(mode)
+            sent_of_req.append(idxs)
+
         vocoder_fn = self.vocoder.mel_to_wav if self.vocoder else None
-        results = synthesis_batch(
-            self.model, self.variables, sentences, self.cfg, self.ap,
-            speaker_ids=speaker_ids, d_vectors=d_vectors, style_wav=style_wav,
-            use_griffin_lim=self.vocoder is None, vocoder=vocoder_fn, rng=sub,
-            trim_silence=True)
+        wavs: list[np.ndarray | None] = [None] * len(flat)
+        for mode in ("none", "id", "dvec"):
+            rows = [i for i in range(len(flat)) if modes[i][0] == mode]
+            if not rows:
+                continue
+            speaker_ids = d_vectors = None
+            if mode == "id":
+                speaker_ids = np.asarray([modes[i][1] for i in rows],
+                                         np.int32)
+            elif mode == "dvec":
+                d_vectors = np.stack([modes[i][1] for i in rows])
+            self._rng, sub = jax.random.split(self._rng)
+            results = synthesis_batch(
+                self.model, self.variables, [flat[i] for i in rows],
+                self.cfg, self.ap, speaker_ids=speaker_ids,
+                d_vectors=d_vectors, style_wav=style_wav,
+                use_griffin_lim=self.vocoder is None, vocoder=vocoder_fn,
+                rng=sub, trim_silence=True)
+            for i, res in zip(rows, results):
+                wavs[i] = np.asarray(res["wav"], np.float32)
+
         silence = np.zeros(int(0.25 * self.ap.sample_rate), np.float32)
-        pieces = []
-        for i, r in enumerate(results):
-            pieces.append(np.asarray(r["wav"], np.float32))
-            if i != len(results) - 1:
-                pieces.append(silence)
-        return np.concatenate(pieces) if pieces else silence
+        out = []
+        for idxs in sent_of_req:
+            pieces = []
+            for j, i in enumerate(idxs):
+                pieces.append(wavs[i])
+                if j != len(idxs) - 1:
+                    pieces.append(silence)
+            out.append(np.concatenate(pieces) if pieces else silence)
+        return out
 
     def tts_streaming(self, text: str, chunk_chars: int = 120):
         """Generator: yield waveform chunks as they are decoded, with decoder
@@ -170,9 +223,8 @@ class Synthesizer:
                 wav = np.asarray(self.ap.inv_melspectrogram(mel.T))
             yield wav.astype(np.float32)
 
-    def tts_to_wav_bytes(self, text: str, **kw) -> bytes:
-        """WAV container bytes for HTTP streaming (reference server flow)."""
-        wav = self.tts(text, **kw)
+    def encode_wav_bytes(self, wav: np.ndarray) -> bytes:
+        """float waveform -> 16-bit WAV container bytes."""
         norm = wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))
         buf = io.BytesIO()
         with wave.open(buf, "wb") as f:
@@ -181,3 +233,7 @@ class Synthesizer:
             f.setframerate(self.ap.sample_rate)
             f.writeframes(norm.astype(np.int16).tobytes())
         return buf.getvalue()
+
+    def tts_to_wav_bytes(self, text: str, **kw) -> bytes:
+        """WAV container bytes for HTTP streaming (reference server flow)."""
+        return self.encode_wav_bytes(self.tts(text, **kw))
