@@ -206,6 +206,56 @@ def test_export_dvector_speaker_input(tiny, tmp_path):
     assert blob[:4] == b"RIFF"
 
 
+def test_exported_tts_many_matches_single(tiny, tmp_path):
+    """tts_many — the artifact half of dynamic micro-batched serving —
+    must return per-request wavs identical to one-at-a-time decodes, with
+    mixed named speakers conditioning per-row in one program call, and
+    per-request speaker errors raised before any device work."""
+    from your_voice_tts_tpu.text import symbols
+
+    _, _, cfg, ap = tiny
+    model = Tacotron2(len(symbols), cfg.model, n_mels=N_MELS, num_speakers=4,
+                      speaker_embedding_dim=8)
+    variables = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(9)
+    table = {f"spk{i}": rng.standard_normal(8).tolist() for i in range(2)}
+    out = str(tmp_path / "exported_many")
+    export_serving(model, variables, cfg, ap, out, batch_sizes=(1, 4),
+                   text_buckets=(16,), platforms=("cpu",),
+                   speaker_mode="dvector", d_dim=8, speakers=table)
+    served = ExportedSynthesizer(out)
+
+    texts = ["hello there", "ab", "a longer line"]
+    speakers = ["spk0", "spk1", "spk0"]
+    wavs = served.tts_many(texts, speakers, seed=0)
+    assert len(wavs) == 3
+    # batch-invariant serving: same request, completely different
+    # batchmates, same shape bucket -> bit-identical audio (per-row-
+    # independent decode + shared GL phase init + per-row tail masking)
+    other = served.tts_many([texts[0], "other words", "x"],
+                            ["spk0", "spk1", "spk1"], seed=0)
+    np.testing.assert_array_equal(wavs[0], other[0])
+    # across bucket shapes (B=1 vs B=4 programs) XLA numerics differ at
+    # ~1e-6 and Griffin-Lim's fixed-point iteration amplifies that, so
+    # parity there is spectral-level, not bit-level
+    for text, spk, wav in zip(texts, speakers, wavs):
+        solo = served.tts_many([text], [spk], seed=0)[0]
+        assert wav.shape == solo.shape
+        rel = np.linalg.norm(wav - solo) / max(np.linalg.norm(solo), 1e-6)
+        assert rel < 0.2, rel
+    # speakers condition per-row: same text, different voices differ
+    same = served.tts_many(["ab", "ab"], ["spk0", "spk1"], seed=0)
+    assert np.abs(same[0] - same[1]).max() > 1e-6
+    # errors are per-request and precede device work
+    with pytest.raises(ValueError, match="unknown speaker"):
+        served._resolve_speaker("nope")
+    with pytest.raises(ValueError, match="speakers"):
+        served.tts_many(texts, ["spk0"])
+    # wav-bytes path rides the same code
+    blob = served.tts_to_wav_bytes(texts[0], speaker="spk1")
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+
 def test_export_gst_style_input(tiny, tmp_path):
     """A GST artifact takes a style-reference mel input: conditioning
     reaches the output, short references tile into the exported window,

@@ -112,7 +112,12 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
             clip=acfg.clip_norm, power=acfg.power,
             gl_iters=acfg.griffin_lim_iters,
             gl_momentum=acfg.griffin_lim_momentum,
-            signal_norm=acfg.signal_norm, use_pallas=use_pallas)
+            signal_norm=acfg.signal_norm, use_pallas=use_pallas,
+            # every other inference stage is row-independent, so a shared
+            # GL phase init makes each served request's audio a pure
+            # function of (its inputs, seed) — identical bytes regardless
+            # of which batchmates the micro-batcher packed alongside it
+            batch_invariant=True)
         if is_linear:
             lstats = getattr(ap, "linear_stats", None)
 
@@ -129,24 +134,53 @@ def make_serving_fn(model, variables, cfg, ap, *, max_decoder_steps=None,
                     stats=None if mstats is None else tuple(
                         jnp.asarray(s) for s in mstats), **gl_kw)
 
+    # per-row tail mask: frames past a row's own stop (mel_lengths) are
+    # replaced by NORMALIZED silence before the waveform stage. The decode
+    # runs until EVERY row stops, so without this a row's post-stop frames
+    # are computed garbage whose extent depends on its batchmates — GL's
+    # overlap-add (and a vocoder's receptive field) would bleed it backward
+    # into real audio, and the same request would render differently under
+    # different micro-batch compositions. Fill values mirror
+    # AudioProcessor._inverse's padding (normalized-silence-per-bin under
+    # stats normalization).
+    fill_stats = getattr(ap, "linear_stats" if is_linear else "mel_stats",
+                         None)
+    if acfg.signal_norm and fill_stats is not None:
+        mean, std = fill_stats
+        fill_row = ((acfg.min_level_db - np.asarray(mean)) /
+                    np.maximum(np.asarray(std), 1e-8)).astype(np.float32)
+    elif acfg.signal_norm:
+        fill_row = np.float32(-acfg.max_norm if acfg.symmetric_norm else 0.0)
+    else:
+        fill_row = np.float32(acfg.min_level_db)
+
+    def mask_tail(spec, mel_lengths):
+        mask = jnp.arange(spec.shape[1])[None, :, None] < \
+            mel_lengths[:, None, None]
+        return jnp.where(mask, spec, jnp.asarray(fill_row, spec.dtype))
+
     has_spk = speaker_mode is not None
     has_style = style_frames is not None
     if has_spk and has_style:
         def serve(text, lengths, spk, style, key):
             out = infer(text, lengths, spk, style)
-            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+            spec = mask_tail(out["postnet_outputs"], out["mel_lengths"])
+            return wav_fn(spec, key), out["mel_lengths"]
     elif has_spk:
         def serve(text, lengths, spk, key):
             out = infer(text, lengths, spk, None)
-            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+            spec = mask_tail(out["postnet_outputs"], out["mel_lengths"])
+            return wav_fn(spec, key), out["mel_lengths"]
     elif has_style:
         def serve(text, lengths, style, key):
             out = infer(text, lengths, None, style)
-            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+            spec = mask_tail(out["postnet_outputs"], out["mel_lengths"])
+            return wav_fn(spec, key), out["mel_lengths"]
     else:
         def serve(text, lengths, key):
             out = infer(text, lengths, None, None)
-            return wav_fn(out["postnet_outputs"], key), out["mel_lengths"]
+            spec = mask_tail(out["postnet_outputs"], out["mel_lengths"])
+            return wav_fn(spec, key), out["mel_lengths"]
 
     return serve
 
@@ -392,16 +426,19 @@ class ExportedSynthesizer:
                 "with a different symbol table than this frontend")
         return ids
 
-    def _speaker_args(self, speaker, B: int):
-        """Resolve a speaker request against the manifest into kwargs for
-        __call__ (speaker_ids or d_vectors, broadcast to batch B)."""
+    def _resolve_speaker(self, speaker):
+        """Validate ONE request's speaker against the manifest. Returns the
+        per-row conditioning value — an int id or a d-vector [D] — or None
+        for single-voice artifacts. Raising here (unknown name, wrong dims)
+        is per-request, so under micro-batched serving a bad speaker 500s
+        alone instead of poisoning its batchmates."""
         spec = self.manifest.get("speaker_input")
         if spec is None:
             if speaker is not None:
                 raise ValueError(
                     "this artifact closes over one voice; export with "
                     "speaker_mode to serve multiple speakers")
-            return {}
+            return None
         table = self.manifest.get("speakers") or {}
         if isinstance(speaker, str) and speaker in table:
             speaker = table[speaker]
@@ -412,12 +449,86 @@ class ExportedSynthesizer:
                     "speaker table; pass one explicitly")
             speaker = next(iter(table.values()))
         if spec["kind"] == "id":
-            return {"speaker_ids": np.full((B,), int(speaker), np.int32)}
+            try:  # HTTP query strings arrive as text: "2" means id 2
+                return int(speaker)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"unknown speaker {speaker!r}; known: "
+                    f"{sorted(table)}") from None
+        if isinstance(speaker, str):  # dvector artifacts need a table hit
+            raise ValueError(
+                f"unknown speaker {speaker!r}; known: {sorted(table)}")
         vec = np.asarray(speaker, np.float32)
         if vec.shape != (spec["dim"],):
             raise ValueError(
                 f"d-vector of dim {spec['dim']} required, got {vec.shape}")
-        return {"d_vectors": np.tile(vec, (B, 1))}
+        return vec
+
+    def _speaker_args(self, speaker, B: int):
+        """Resolve a speaker request against the manifest into kwargs for
+        __call__ (speaker_ids or d_vectors, broadcast to batch B)."""
+        v = self._resolve_speaker(speaker)
+        if v is None:
+            return {}
+        if self.manifest["speaker_input"]["kind"] == "id":
+            return {"speaker_ids": np.full((B,), v, np.int32)}
+        return {"d_vectors": np.tile(v, (B, 1))}
+
+    def tts_many(self, texts: list, speakers: list | None = None,
+                 seed: int = 0, style_mel=None) -> list:
+        """Several independent requests through ONE exported program call
+        (bucket-padded) — the device-side half of the HTTP server's dynamic
+        micro-batching (infer/batching.py), artifact flavor. `speakers` may
+        mix names/ids/d-vectors per request (conditioning is per-row).
+        Returns one trimmed float32 waveform per request."""
+        if speakers is None:
+            speakers = [None] * len(texts)
+        if len(speakers) != len(texts):
+            raise ValueError(
+                f"{len(texts)} texts but {len(speakers)} speakers")
+        resolved = [self._resolve_speaker(s) for s in speakers]
+        seqs = [self.text_to_ids(t) for t in texts]
+        B, T = len(texts), max((len(s) for s in seqs), default=1) or 1
+        text_ids = np.zeros((B, T), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for k, seq in enumerate(seqs):
+            text_ids[k, : len(seq)] = seq
+            lens[k] = len(seq)
+        kw = {}
+        spec = self.manifest.get("speaker_input")
+        if spec is not None:
+            if spec["kind"] == "id":
+                kw["speaker_ids"] = np.asarray(resolved, np.int32)
+            else:
+                kw["d_vectors"] = np.stack(resolved).astype(np.float32)
+        style_spec = self.manifest.get("style_input")
+        if style_spec is not None:
+            if style_mel is None:  # neutral reference keeps GST servable
+                style_mel = np.zeros(
+                    (B, style_spec["frames"], style_spec["num_mels"]),
+                    np.float32)
+            kw["style_mel"] = np.asarray(style_mel, np.float32)
+        wav, mel_lens = self(text_ids, lens, seed=seed, **kw)
+        spf = self.manifest.get("samples_per_frame",
+                                self.manifest["hop_length"])
+        return [np.asarray(wav[k][: max(int(mel_lens[k]), 1) * spf],
+                           np.float32) for k in range(B)]
+
+    def encode_wav_bytes(self, wav: np.ndarray) -> bytes:
+        """float waveform -> 16-bit WAV container bytes. (Duplicates the
+        Synthesizer encoder on purpose: artifact-only deployments must not
+        import model code through infer.synthesizer.)"""
+        import io
+        import wave
+
+        norm = wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.manifest["sample_rate"])
+            f.writeframes(norm.astype(np.int16).tobytes())
+        return buf.getvalue()
 
     def tts_to_wav_bytes(self, text: str, speaker=None, seed: int = 0,
                          style_mel=None) -> bytes:
@@ -427,31 +538,10 @@ class ExportedSynthesizer:
         a d-vector, per the artifact's speaker_input. For GST artifacts,
         `style_mel` [F, n_mels] selects the style; without one a neutral
         all-zeros reference is used so the endpoint stays servable."""
-        import io
-        import wave
-
-        kw = self._speaker_args(speaker, 1)
-        style_spec = self.manifest.get("style_input")
-        if style_spec is not None:
-            if style_mel is None:
-                style_mel = np.zeros(
-                    (style_spec["frames"], style_spec["num_mels"]),
-                    np.float32)
-            kw["style_mel"] = np.asarray(style_mel, np.float32)[None]
-        ids = self.text_to_ids(text)[None]
-        wav, mel_lens = self(ids, np.array([ids.shape[1]], np.int32),
-                             seed=seed, **kw)
-        spf = self.manifest.get("samples_per_frame",
-                                self.manifest["hop_length"])
-        w = wav[0][: max(int(mel_lens[0]), 1) * spf]
-        norm = w * (32767 / max(0.01, float(np.max(np.abs(w)))))
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as f:
-            f.setnchannels(1)
-            f.setsampwidth(2)
-            f.setframerate(self.manifest["sample_rate"])
-            f.writeframes(norm.astype(np.int16).tobytes())
-        return buf.getvalue()
+        sty = None if style_mel is None else \
+            np.asarray(style_mel, np.float32)[None]
+        wav = self.tts_many([text], [speaker], seed=seed, style_mel=sty)[0]
+        return self.encode_wav_bytes(wav)
 
     def __call__(self, text_ids: np.ndarray, lengths: np.ndarray,
                  seed: int = 0, speaker_ids=None, d_vectors=None,

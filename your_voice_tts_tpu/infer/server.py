@@ -79,8 +79,8 @@ class TTSHandler(BaseHTTPRequestHandler):
 
 def _batch_fn(synthesizer):
     """(text, speaker) items -> WAV bytes, batched where the synthesizer
-    supports it (`tts_many`); per-item fallback otherwise (e.g. the
-    AOT `ExportedSynthesizer`, which serves fixed shape buckets).
+    supports it (`tts_many` — both the live `Synthesizer` and the AOT
+    `ExportedSynthesizer` do); per-item fallback for anything else.
 
     Returns an Exception object in an item's slot for per-request errors
     (bad speaker name, one failed item) so one bad request 500s alone

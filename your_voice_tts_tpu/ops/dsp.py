@@ -341,7 +341,8 @@ def _gl_project_frames(F: jnp.ndarray, window: jnp.ndarray, n_fft: int,
 
 def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
                 hop: int, window: jnp.ndarray, fast: bool = True,
-                momentum: float = 0.0) -> jnp.ndarray:
+                momentum: float = 0.0,
+                init_phase: jnp.ndarray | None = None) -> jnp.ndarray:
     """Phase recovery by iterative STFT projection, fully on-device.
 
     S_mag: time-major magnitudes [n_frames, n_freq]. The reference loops
@@ -357,7 +358,9 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
     """
     n_frames = S_mag.shape[-2]
     out_len = hop * (n_frames - 1)
-    phase = jax.random.uniform(key, S_mag.shape, minval=0.0, maxval=2.0 * jnp.pi)
+    phase = jax.random.uniform(
+        key, S_mag.shape, minval=0.0, maxval=2.0 * jnp.pi) \
+        if init_phase is None else init_phase
     angles = jnp.exp(1j * phase.astype(jnp.float32))
     S_c = S_mag.astype(jnp.complex64)
 
@@ -398,19 +401,33 @@ def griffin_lim(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int, n_fft: int,
 def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
                       n_fft: int, hop: int, window: jnp.ndarray,
                       use_pallas: bool | None = None,
-                      momentum: float = 0.0) -> jnp.ndarray:
+                      momentum: float = 0.0,
+                      batch_invariant: bool = False) -> jnp.ndarray:
     """Batched Griffin-Lim: magnitudes [B, T, n_freq] -> waveforms [B, L].
 
     On TPU the iteration runs as the fused Pallas kernel
     (ops/pallas/griffin_lim.py: DFT matmuls + banded OLA + phase projection
     in one pass, HBM traffic = read F + S_mag, write F' per iteration);
     elsewhere it vmaps the XLA fast path.
+
+    batch_invariant=True draws ONE phase-init pattern [T, n_freq] from `key`
+    shared by every row, instead of per-row draws whose values depend on the
+    batch size and row position. Every other inference stage is already
+    row-independent, so this makes a served request's audio a pure function
+    of (its inputs, seed) — identical bytes no matter which batchmates the
+    serving micro-batcher packed alongside it. Quality is unaffected (rows
+    have different magnitudes; trajectories decorrelate immediately). Costs
+    one extra HBM read of the init phase on the Pallas whole-loop path.
     """
     B, T = S_mag.shape[0], S_mag.shape[1]
     if use_pallas is None:
         # B=1 is latency-bound: the XLA fast path wins (fewer launches);
         # batched magnitudes go through the fused Pallas iteration kernel
         use_pallas = jax.default_backend() == "tpu" and B > 1
+    shared_phase = None
+    if batch_invariant:
+        shared_phase = jax.random.uniform(
+            key, S_mag.shape[1:], minval=0.0, maxval=2.0 * jnp.pi)
     if use_pallas:
         from .pallas.capacity import gl_max_tile
         if T <= gl_max_tile(n_fft):
@@ -422,9 +439,12 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
             from .pallas.griffin_lim import griffin_lim_pallas_full
 
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+            init_phase = None if shared_phase is None else \
+                jnp.broadcast_to(shared_phase[None], S_mag.shape)
             F = griffin_lim_pallas_full(S_mag, seed, n_iters=n_iters,
                                         n_fft=n_fft, hop=hop, window=window,
-                                        momentum=momentum)
+                                        momentum=momentum,
+                                        init_phase=init_phase)
             return jax.vmap(lambda Fb: istft(Fb, n_fft, hop, window))(F)
         from .pallas.griffin_lim import griffin_lim_pallas_batch
 
@@ -432,9 +452,14 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
         # range) runs plain GL — its kernel emits the re-magnituded spectrum,
         # so the FGLA extrapolation term is not recoverable there
         angles = griffin_lim_pallas_batch(S_mag, key, n_iters=n_iters,
-                                          n_fft=n_fft, hop=hop, window=window)
+                                          n_fft=n_fft, hop=hop, window=window,
+                                          init_phase=shared_phase)
         S_c = S_mag.astype(jnp.complex64) * angles
         return jax.vmap(lambda F: istft(F, n_fft, hop, window))(S_c)
+    if batch_invariant:
+        return jax.vmap(lambda s: griffin_lim(
+            s, key, n_iters=n_iters, n_fft=n_fft, hop=hop, window=window,
+            momentum=momentum, init_phase=shared_phase))(S_mag)
     keys = jax.random.split(key, S_mag.shape[0])
     return jax.vmap(lambda s, k: griffin_lim(
         s, k, n_iters=n_iters, n_fft=n_fft, hop=hop, window=window,
@@ -449,14 +474,16 @@ def inv_melspectrogram_batch(mel_norm: jnp.ndarray, key: jax.Array, *,
                              clip: bool, power: float, gl_iters: int,
                              signal_norm: bool = True, stats=None,
                              use_pallas: bool | None = None,
-                             gl_momentum: float = 0.0) -> jnp.ndarray:
+                             gl_momentum: float = 0.0,
+                             batch_invariant: bool = False) -> jnp.ndarray:
     """Batched normalized mel [B, T, n_mels] -> waveforms [B, L]."""
     D = denormalize_spec(mel_norm, min_level_db, max_norm, symmetric, clip,
                          signal_norm, stats)
     S = mel_to_linear(db_to_amp(D + ref_level_db, spec_gain), mel_inv_basis)
     y = griffin_lim_batch(S ** power, key, n_iters=gl_iters, n_fft=n_fft,
                           hop=hop, window=window, use_pallas=use_pallas,
-                          momentum=gl_momentum)
+                          momentum=gl_momentum,
+                          batch_invariant=batch_invariant)
     return inv_preemphasis(y, preemph)
 
 
@@ -468,7 +495,8 @@ def inv_spectrogram_batch(spec_norm: jnp.ndarray, key: jax.Array, *,
                           power: float, gl_iters: int,
                           signal_norm: bool = True, stats=None,
                           use_pallas: bool | None = None,
-                          gl_momentum: float = 0.0) -> jnp.ndarray:
+                          gl_momentum: float = 0.0,
+                          batch_invariant: bool = False) -> jnp.ndarray:
     """Batched normalized linear spec [B, T, n_freq] -> waveforms [B, L]
     (Tacotron1's output head; inv_melspectrogram_batch minus mel pinv)."""
     D = denormalize_spec(spec_norm, min_level_db, max_norm, symmetric, clip,
@@ -476,7 +504,8 @@ def inv_spectrogram_batch(spec_norm: jnp.ndarray, key: jax.Array, *,
     S = db_to_amp(D + ref_level_db, spec_gain)
     y = griffin_lim_batch(S ** power, key, n_iters=gl_iters, n_fft=n_fft,
                           hop=hop, window=window, use_pallas=use_pallas,
-                          momentum=gl_momentum)
+                          momentum=gl_momentum,
+                          batch_invariant=batch_invariant)
     return inv_preemphasis(y, preemph)
 
 

@@ -277,13 +277,18 @@ def griffin_lim_pallas_full(S_mag, seed, *, n_iters: int, n_fft: int,
 
 
 def griffin_lim_pallas_batch(S_mag, key, *, n_iters: int, n_fft: int,
-                             hop: int, window, interpret: bool = False):
+                             hop: int, window, interpret: bool = False,
+                             init_phase=None):
     """Batched Griffin-Lim with the fused iteration kernel.
 
     S_mag: [B, T, K_freq] time-major magnitudes (each utterance one tile).
     Returns angles (complex [B, T, K_freq]) such that the caller's
     istft(S_mag * angles) yields the waveform — matching dsp.griffin_lim's
     fast path semantics.
+
+    init_phase [T, K_freq] (optional): one phase-init pattern shared by
+    every row — the batch-invariant serving mode (see
+    dsp.griffin_lim_batch); None draws per-row phases from `key`.
     """
     B, T, Kf = S_mag.shape
     # Mosaic needs the sublane (frame) tile divisible by 8; zero-magnitude
@@ -293,8 +298,9 @@ def griffin_lim_pallas_batch(S_mag, key, *, n_iters: int, n_fft: int,
     wsi = jnp.asarray(ola_wsum_inv(np.asarray(window), n_fft, hop))
     win = jnp.asarray(window, F32)
     flat_mag = S_pad.reshape(B * Tp, Kf).astype(F32)
-    phase = jax.random.uniform(key, (B, T, Kf), minval=0.0,
-                               maxval=2.0 * jnp.pi)
+    phase = jnp.broadcast_to(init_phase[None], (B, T, Kf)) \
+        if init_phase is not None else \
+        jax.random.uniform(key, (B, T, Kf), minval=0.0, maxval=2.0 * jnp.pi)
     phase = jnp.pad(phase, ((0, 0), (0, Tp - T), (0, 0))).reshape(B * Tp, Kf)
     Fr = flat_mag * jnp.cos(phase)
     Fi = flat_mag * jnp.sin(phase)
