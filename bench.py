@@ -384,6 +384,80 @@ def cloning_extras() -> dict:
     }
 
 
+def serving_extras() -> dict:
+    """Dynamic micro-batched serving vs the reference's one-at-a-time model:
+    N concurrent requests through the HTTP server's real collation path
+    (infer/batching.MicroBatcher + infer/server._batch_fn + tts_many) vs the
+    same N served sequentially batch-1 (what the reference's Flask server
+    does under concurrency)."""
+    import dataclasses
+    import os
+    import threading
+
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.infer.batching import MicroBatcher
+    from your_voice_tts_tpu.infer.server import _batch_fn
+    from your_voice_tts_tpu.infer.synthesizer import Synthesizer
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.path.join(here, "assets", "bench_trained_smoke.npz")
+    cfg = load_config(os.path.join(here, "configs", "smoke_synthetic.json"))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, max_decoder_steps=256))
+    synth = Synthesizer(cfg, ckpt if os.path.exists(ckpt) else None)
+
+    reqs = [
+        "Hi there.", "The quick brown fox jumps over the lazy dog.",
+        "Speech synthesis on tensor processing units is fast.",
+        "A quarter of a century has passed since the first edition.",
+    ] * 4  # 16 concurrent users
+    synth.tts_to_wav_bytes(reqs[0])  # pay compiles outside the timings
+
+    def concurrent_wall() -> tuple[float, float]:
+        batcher = MicroBatcher(_batch_fn(synth), max_batch=len(reqs),
+                               max_delay_ms=25.0)
+        try:
+            errs = []
+
+            def call(t):
+                try:
+                    batcher.submit((t, None), timeout=600)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=call, args=(t,))
+                       for t in reqs]
+            t0 = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(600)
+            wall = time.time() - t0
+            if errs:
+                raise errs[0]
+            mean_b = float(np.mean(batcher.batch_sizes))
+        finally:
+            batcher.close()
+        return wall, mean_b
+
+    concurrent_wall()  # the batched-shape compile
+    wall_c, mean_b = concurrent_wall()
+
+    for t in set(reqs):  # every batch-1 bucket compiles outside the timing
+        synth.tts_to_wav_bytes(t)
+    t0 = time.time()
+    for t in reqs:
+        synth.tts_to_wav_bytes(t)
+    wall_s = time.time() - t0
+
+    return {
+        "serving_concurrent_rps": round(len(reqs) / wall_c, 1),
+        "serving_serial_rps": round(len(reqs) / wall_s, 1),
+        "serving_microbatch_speedup": round(wall_s / wall_c, 2),
+        "serving_mean_batch": round(mean_b, 1),
+    }
+
+
 def capability_matrix_extras() -> dict:
     """One number per remaining BASELINE.json config (the headline + trained
     block already cover configs 1 and 3's metrics at serving time):
@@ -1036,6 +1110,10 @@ def main() -> None:
             result["extra"].update(cloning_extras())
         except Exception as e:
             result["extra"]["cloning_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["extra"].update(serving_extras())
+        except Exception as e:
+            result["extra"]["serving_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 
