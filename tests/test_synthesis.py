@@ -151,6 +151,44 @@ def test_server_unknown_route_404(server):
     assert ei.value.code == 404
 
 
+def test_server_streaming_endpoint(server_env):
+    """stream=1 serves chunked audio/wav: a streaming WAV header chunk,
+    then one PCM chunk per decoded text piece (tts_streaming) — the raw
+    socket framing is asserted so 'streaming' means actual incremental
+    chunks, not one buffered body."""
+    import socket
+
+    url, _, _ = server_env
+    host, port = url.rsplit(":", 1)[0].split("//")[1], int(url.rsplit(":", 1)[1])
+    with socket.create_connection((host, port), timeout=120) as s:
+        s.sendall(b"GET /api/tts?text=One%20sentence.%20And%20another%20one."
+                  b"&stream=1 HTTP/1.1\r\nHost: x\r\n\r\n")
+        s.settimeout(120)
+        raw = b""
+        while not raw.endswith(b"0\r\n\r\n"):
+            got = s.recv(65536)
+            if not got:
+                break
+            raw += got
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n")[0]
+    assert b"Transfer-Encoding: chunked" in head
+    assert b"Content-Length" not in head
+    chunks = []
+    while body and not body.startswith(b"0\r\n"):
+        size_hex, _, body = body.partition(b"\r\n")
+        n = int(size_hex, 16)
+        chunks.append(body[:n])
+        body = body[n + 2:]
+    # chunk 0 is the unknown-length WAV header; then >=2 audio pieces
+    # (the two sentences decode as separate tts_streaming chunks)
+    assert len(chunks) >= 3
+    assert chunks[0][:4] == b"RIFF" and chunks[0][8:12] == b"WAVE"
+    pcm = b"".join(chunks[1:])
+    audio = np.frombuffer(pcm, "<i2")
+    assert len(audio) > 1000 and np.abs(audio).max() > 0
+
+
 def test_server_coalesces_concurrent_requests(server_env):
     """Concurrent HTTP requests must ride ONE batched device call
     (infer/batching.MicroBatcher + Synthesizer.tts_many), not serialize

@@ -7,17 +7,42 @@ Unlike the reference (one Flask request at a time -> batch-1 synthesis),
 concurrent requests here are coalesced by a `MicroBatcher` into ONE batched
 device call (`Synthesizer.tts_many`): decode cost on TPU is nearly flat in
 batch, so N simultaneous users pay ~1 request of latency plus the collation
-window instead of N sequential decodes."""
+window instead of N sequential decodes.
+
+`/api/tts?text=...&stream=1` serves chunked audio through
+`Synthesizer.tts_streaming` (decoder state carried across text chunks via
+inference_truncated): the client hears the first sentence while later ones
+are still decoding — time-to-first-audio is one chunk's decode, not the
+whole utterance's."""
 
 from __future__ import annotations
 
 import html
 import json
+import struct
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
+
 from .batching import MicroBatcher
 from .synthesizer import Synthesizer
+
+
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """A 16-bit mono WAV header with the unknown-length sentinel sizes
+    (0xFFFFFFFF) used by live-streaming WAV emitters; players read PCM
+    until the connection closes."""
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2,
+                        2, 16) +
+            b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def _pcm16(wav: np.ndarray) -> bytes:
+    """float chunk -> 16-bit PCM at fixed gain (per-chunk peak normalization
+    would pump the loudness between chunks of one utterance)."""
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 _INDEX_HTML = """<!DOCTYPE html>
 <html><head><title>your-voice TTS (TPU)</title><style>
@@ -66,6 +91,9 @@ class TTSHandler(BaseHTTPRequestHandler):
                            json.dumps({"error": "missing text parameter"}).encode())
                 return
             speaker = (qs.get("speaker_id") or [None])[0]
+            if (qs.get("stream") or ["0"])[0] not in ("0", ""):
+                self._stream_tts(text, speaker)
+                return
             try:
                 wav = self.batcher.submit((text, speaker))
             except Exception as e:  # surface errors as JSON, keep serving
@@ -75,6 +103,48 @@ class TTSHandler(BaseHTTPRequestHandler):
             self._send(200, "audio/wav", wav)
             return
         self._send(404, "application/json", b'{"error": "not found"}')
+
+    def _stream_tts(self, text: str, speaker) -> None:
+        """Chunked audio/wav from tts_streaming. Streaming bypasses the
+        micro-batcher (it is a latency play, not a throughput one; JAX
+        dispatch from this handler thread is safe alongside the collator)."""
+        gen = getattr(self.synthesizer, "tts_streaming", None)
+        if gen is None:  # e.g. fixed-shape AOT artifacts can't stream
+            self._send(400, "application/json",
+                       b'{"error": "this server cannot stream; '
+                       b'drop stream=1"}')
+            return
+        if speaker is not None:
+            self._send(400, "application/json",
+                       b'{"error": "streaming does not take speaker_id"}')
+            return
+
+        def chunk(b: bytes) -> None:
+            self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+        try:
+            it = gen(text)
+            first = _pcm16(next(it))  # synthesize before the status line so
+            # a synthesis error can still return a clean 500
+        except StopIteration:
+            first = b""
+        except Exception as e:  # noqa: BLE001
+            self._send(500, "application/json",
+                       json.dumps({"error": html.escape(str(e))}).encode())
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            chunk(_wav_stream_header(self.synthesizer.ap.sample_rate))
+            if first:
+                chunk(first)
+            for wav in it:
+                chunk(_pcm16(wav))
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client hung up mid-stream; nothing to salvage
 
 
 def _batch_fn(synthesizer):
