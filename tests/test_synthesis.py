@@ -338,3 +338,23 @@ def test_speaker_resolution_numeric_and_unknown(cfg, model_and_vars,
         synth.tts("hi", speaker="carol")
     with pytest.raises(ValueError, match="out of range"):
         synth.tts("hi", speaker=7)
+
+
+def test_streaming_speaker_conditioning(cfg, tmp_path):
+    """tts_streaming threads the speaker through inference_truncated:
+    different speakers stream different audio; unknown names raise before
+    any chunk is produced (so the HTTP layer can still 500 cleanly)."""
+    import json as jsonmod
+
+    spk_json = tmp_path / "speakers.json"
+    spk_json.write_text(jsonmod.dumps({"alice": 0, "bob": 1}))
+    synth = Synthesizer(cfg, None, speakers_json=str(spk_json))
+    a = np.concatenate(list(synth.tts_streaming("One line. Two lines.",
+                                                speaker="alice")))
+    b = np.concatenate(list(synth.tts_streaming("One line. Two lines.",
+                                                speaker="bob")))
+    assert len(a) > 0 and len(b) > 0
+    n = min(len(a), len(b))
+    assert np.abs(a[:n] - b[:n]).max() > 1e-6  # conditioning reaches audio
+    with pytest.raises(ValueError, match="unknown speaker"):
+        next(synth.tts_streaming("hi", speaker="carol"))

@@ -114,18 +114,14 @@ class TTSHandler(BaseHTTPRequestHandler):
                        b'{"error": "this server cannot stream; '
                        b'drop stream=1"}')
             return
-        if speaker is not None:
-            self._send(400, "application/json",
-                       b'{"error": "streaming does not take speaker_id"}')
-            return
 
         def chunk(b: bytes) -> None:
             self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
 
         try:
-            it = gen(text)
+            it = gen(text, speaker=speaker)
             first = _pcm16(next(it))  # synthesize before the status line so
-            # a synthesis error can still return a clean 500
+            # a bad speaker / synthesis error can still return a clean 500
         except StopIteration:
             first = b""
         except Exception as e:  # noqa: BLE001

@@ -184,22 +184,30 @@ class Synthesizer:
             out.append(np.concatenate(pieces) if pieces else silence)
         return out
 
-    def tts_streaming(self, text: str, chunk_chars: int = 120):
+    def tts_streaming(self, text: str, chunk_chars: int = 120,
+                      speaker: str | int | None = None):
         """Generator: yield waveform chunks as they are decoded, with decoder
         state carried across text chunks via Tacotron2.inference_truncated —
         arbitrarily long text streams with memory bounded by the chunk size
         (reference inference_truncated; SURVEY.md:96).
 
         Chunks are sentence-aligned where possible; sentences longer than
-        chunk_chars are split hard."""
+        chunk_chars are split hard. `speaker` conditions every chunk (same
+        name/id/d-vector semantics as tts)."""
         import jax
         import jax.numpy as jnp
 
         from .synthesis import text_to_seq
 
         if not hasattr(self.model, "inference_truncated"):
-            yield self.tts(text)
+            yield self.tts(text, speaker=speaker)
             return
+        mode, val = self._resolve_speaker(speaker)
+        spk_kw = {}
+        if mode == "id":
+            spk_kw["speaker_ids"] = jnp.asarray([val], jnp.int32)
+        elif mode == "dvec":
+            spk_kw["speaker_embeddings"] = jnp.asarray(val)[None]
         pieces: list[str] = []
         for s in split_into_sentences(text) or [text]:
             while len(s) > chunk_chars:
@@ -212,7 +220,8 @@ class Synthesizer:
             text_ids = jnp.asarray(seq, jnp.int32)[None]
             lengths = jnp.asarray([len(seq)], jnp.int32)
             out, stream = self.model.inference_truncated(
-                self.variables, text_ids, lengths, stream_state=stream)
+                self.variables, text_ids, lengths, stream_state=stream,
+                **spk_kw)
             n = int(out["mel_lengths"][0])
             mel = np.asarray(out["postnet_outputs"][0][:max(n, 1)])
             if self.vocoder is not None:
