@@ -863,6 +863,41 @@ def verify_gates(quick: bool = False) -> dict:
     gates["export_artifact_maxdiff"] = {"value": round(d10, 6),
                                        "limit": 1e-4, "ok": ok10}
 
+    # -- gate 11: Pallas-kernel serving artifact executes on the real TPU -----
+    # (session-4b exported these from a CPU-only host; Mosaic lowering +
+    # serialization were gated there but EXECUTION needs a chip. On TPU this
+    # runs the baked-in decode + Griffin-Lim kernels from the artifact and
+    # compares against the live jitted Pallas route; off-TPU it degrades to
+    # the lowering/serialize/reload check the suite already covers.)
+    if jax.default_backend() == "tpu":
+        with tempfile.TemporaryDirectory() as td:
+            export_serving(model5, var5, cfg10, ap10, td,
+                           batch_sizes=(int(text.shape[0]),),
+                           text_buckets=(int(text.shape[1]),),
+                           platforms=("tpu",), use_pallas=True)
+            served = ExportedSynthesizer(td)
+            live = jax.jit(make_serving_fn(model5, var5, cfg10, ap10,
+                                           use_pallas=True))
+            wav_live, len_live = live(text, lens, jax.random.PRNGKey(0))
+            wav_exp, len_exp = served(np.asarray(text), np.asarray(lens),
+                                      seed=0)
+        d11 = float(np.abs(np.asarray(wav_live) - wav_exp).max())
+        ok11 = d11 <= 1e-4 and bool(
+            (np.asarray(len_live) == len_exp).all())
+        gates["pallas_artifact_maxdiff"] = {"value": round(d11, 6),
+                                            "limit": 1e-4, "ok": ok11}
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            export_serving(model5, var5, cfg10, ap10, td,
+                           batch_sizes=(int(text.shape[0]),),
+                           text_buckets=(int(text.shape[1]),),
+                           platforms=("tpu",), use_pallas=True)
+            shapes = ExportedSynthesizer(td).shapes()
+        okl = shapes == [(int(text.shape[0]), int(text.shape[1]))]
+        gates["pallas_artifact_maxdiff"] = {"value": 0.0, "limit": 1e-4,
+                                            "ok": okl,
+                                            "lowering_only": True}
+
     return gates
 
 
