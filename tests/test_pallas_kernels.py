@@ -143,6 +143,38 @@ def test_gl_full_kernel_matches_iteration_kernel():
     np.testing.assert_allclose(got.imag, ref.imag, atol=3e-3)
 
 
+@pytest.mark.parametrize("momentum", [0.0, 0.99])
+def test_gl_wave_kernel_matches_full_plus_istft(momentum):
+    """The istft-fused wave kernel (default TPU serving path) must equal the
+    spectrogram kernel followed by the exact XLA istft, from the same
+    injected initial phase — including the edge samples, whose exact
+    normalization is re-applied host-side."""
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+    from your_voice_tts_tpu.ops.pallas.griffin_lim import (
+        griffin_lim_pallas_full, griffin_lim_pallas_wave,
+    )
+
+    n_fft, hop, B, T, n_iters = 256, 64, 2, 24, 3
+    Kf = n_fft // 2 + 1
+    wj = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
+    mag = jnp.abs(jax.random.normal(KEY, (B, T, Kf))) + 0.1
+    ph = jax.random.uniform(jax.random.PRNGKey(5), (B, T, Kf)) * 2 * np.pi
+
+    with pltpu.force_tpu_interpret_mode():
+        F = griffin_lim_pallas_full(mag, 0, n_iters=n_iters, n_fft=n_fft,
+                                    hop=hop, window=wj, dtype=jnp.float32,
+                                    init_phase=ph, momentum=momentum)
+        y = griffin_lim_pallas_wave(mag, 0, n_iters=n_iters, n_fft=n_fft,
+                                    hop=hop, window=wj, dtype=jnp.float32,
+                                    init_phase=ph, momentum=momentum)
+    ref = np.asarray(jax.vmap(
+        lambda Fb: dsp.istft(Fb, n_fft, hop, wj))(F))
+    got = np.asarray(y)
+    assert got.shape == (B, hop * (T - 1))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_gl_full_kernel_reconstruction_gate():
     """Quality gate for the default TPU serving path: |STFT(GL(S))| must
     approach S (err/sig <= 0.25) through the use_pallas=True route with the
@@ -189,17 +221,29 @@ def test_gl_batch_routing_by_length(monkeypatch):
         calls.append("iter")
         return jnp.ones(S_mag.shape, jnp.complex64)
 
+    def fake_wave(S_mag, seed, **kw):
+        calls.append("wave")
+        B, T = S_mag.shape[:2]
+        return jnp.zeros((B, kw["hop"] * (T - 1)), jnp.float32)
+
     monkeypatch.setattr(glmod, "griffin_lim_pallas_full", fake_full)
     monkeypatch.setattr(glmod, "griffin_lim_pallas_batch", fake_batch)
+    monkeypatch.setattr(glmod, "griffin_lim_pallas_wave", fake_wave)
     n_fft, hop = 256, 64
     w = jnp.asarray(hann_window(n_fft, n_fft), jnp.float32)
     short = jnp.ones((2, 32, n_fft // 2 + 1))
     long = jnp.ones((2, 1030, n_fft // 2 + 1))
+    # hop 64 is off Mosaic's 128-lane grid -> spectrogram kernel + XLA istft
     dsp.griffin_lim_batch(short, KEY, n_iters=1, n_fft=n_fft, hop=hop,
                           window=w, use_pallas=True)
     dsp.griffin_lim_batch(long, KEY, n_iters=1, n_fft=n_fft, hop=hop,
                           window=w, use_pallas=True)
-    assert calls == ["full", "iter"]
+    # the production config (1024/256: c0 and hop both 128-aligned) routes
+    # to the istft-fused wave kernel
+    w2 = jnp.asarray(hann_window(1024, 1024), jnp.float32)
+    dsp.griffin_lim_batch(jnp.ones((2, 32, 513)), KEY, n_iters=1,
+                          n_fft=1024, hop=256, window=w2, use_pallas=True)
+    assert calls == ["full", "iter", "wave"]
 
 
 @pytest.mark.parametrize("mode,nmix", [("mol", 4), ("gauss", 0)])

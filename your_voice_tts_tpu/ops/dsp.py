@@ -436,11 +436,23 @@ def griffin_lim_batch(S_mag: jnp.ndarray, key: jax.Array, *, n_iters: int,
             # v5e through 1024-frame tiles, reconstruction err/sig 0.175 —
             # which covers the model's entire serving range:
             # max_decoder_steps=500 x r=2 = 1000 frames)
-            from .pallas.griffin_lim import griffin_lim_pallas_full
-
             seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
             init_phase = None if shared_phase is None else \
                 jnp.broadcast_to(shared_phase[None], S_mag.shape)
+            c0 = n_fft // 2 - hop
+            if T >= 2 and c0 >= 0 and c0 % 128 == 0 and hop % 128 == 0:
+                # istft fused in-kernel (saves the whole separate XLA istft
+                # pass — 73.8 ms vs the 162 ms GL kernel at B=384 x T=500 on
+                # v5e). The 128-alignment guard keeps the in-kernel waveform
+                # column slice on Mosaic's lane grid; every standard config
+                # (hop = n_fft/4, hop % 128 == 0) satisfies it
+                from .pallas.griffin_lim import griffin_lim_pallas_wave
+
+                return griffin_lim_pallas_wave(
+                    S_mag, seed, n_iters=n_iters, n_fft=n_fft, hop=hop,
+                    window=window, momentum=momentum, init_phase=init_phase)
+            from .pallas.griffin_lim import griffin_lim_pallas_full
+
             F = griffin_lim_pallas_full(S_mag, seed, n_iters=n_iters,
                                         n_fft=n_fft, hop=hop, window=window,
                                         momentum=momentum,
