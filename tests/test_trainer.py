@@ -198,7 +198,10 @@ def test_gst_model_trains_and_carries_state(smoke_cfg):
     cfg = dataclasses.replace(
         smoke_cfg,
         speakers=dataclasses.replace(smoke_cfg.speakers, use_gst=True),
-        training=dataclasses.replace(smoke_cfg.training, epochs=1))
+        # run_eval=False: the assertions are train-side only, and the eval
+        # step would be a second whole-model compile (~40 s of pure wall)
+        training=dataclasses.replace(smoke_cfg.training, epochs=1,
+                                     run_eval=False))
     trainer = Trainer(cfg, output_path=None, verbose=False)
     st0 = trainer.state.model_state["gst"]["ref"]["convs"][0]
     assert float(np.abs(np.asarray(st0["mean"])).max()) == 0.0

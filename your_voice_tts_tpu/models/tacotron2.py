@@ -137,6 +137,18 @@ class Decoder:
     def init_state(self) -> Params:
         return {"prenet": self.prenet.init_state()}
 
+    # fast_grad: route teacher forcing through the custom-VJP scan core
+    # (models/decoder_grad.py). Instance-level escape hatch for tests/debug.
+    fast_grad = True
+
+    def fast_grad_supported(self) -> bool:
+        from .attention import LocationSensitiveAttention
+        a = self.attention
+        return (self.fast_grad
+                and isinstance(a, LocationSensitiveAttention)
+                and not a.forward_attn and not a.trans_agent
+                and a.norm in ("sigmoid", "softmax"))
+
     # --- one decode step (shared between teacher forcing and inference) -----
 
     def _step(self, p: Params, carry, prenet_out, inputs, processed_inputs,
@@ -218,12 +230,38 @@ class Decoder:
         prenet_out, prenet_state = self.prenet(p["prenet"], state["prenet"],
                                                memories, k_pre, train)
 
-        def step(carry, x_t):
-            return self._step(p, carry, x_t, inputs, processed_inputs, mask, train)
+        if self.fast_grad_supported():
+            # custom-VJP scan core: the backward pass carries no weight
+            # gradients (see models/decoder_grad.py). Projection + stopnet
+            # are hoisted out of the scan — under teacher forcing neither
+            # feeds the recurrence, so whole-sequence matmuls are exact.
+            from .decoder_grad import make_scan_core
+            use_dropout = bool(train and k_scan is not None)
+            core = make_scan_core(self, use_dropout)
+            if k_scan is not None:
+                keys = jax.random.split(k_scan, T_r)
+            else:
+                keys = jnp.zeros((T_r, 2), jnp.uint32)
+            p_core = {"attention_rnn": p["attention_rnn"],
+                      "decoder_rnn": p["decoder_rnn"],
+                      "attention": p["attention"]}
+            dech_t, ctx_t, aligns = core(
+                p_core, jnp.swapaxes(prenet_out, 0, 1), inputs,
+                processed_inputs, mask.astype(jnp.float32), keys)
+            proj_in = jnp.concatenate([dech_t, ctx_t], axis=-1)
+            dec_out = self.linear_projection(p["projection"], proj_in)
+            stop_in = jnp.concatenate([dech_t, dec_out], axis=-1)
+            if self.cfg.separate_stopnet:
+                stop_in = lax.stop_gradient(stop_in)
+            stops = self.stopnet(p["stopnet"], stop_in)[..., 0]    # [T_r, B]
+        else:
+            def step(carry, x_t):
+                return self._step(p, carry, x_t, inputs, processed_inputs,
+                                  mask, train)
 
-        carry0 = self._init_carry(B, inputs.shape[1], k_scan, mels.dtype)
-        _, (dec_out, aligns, stops) = lax.scan(
-            step, carry0, jnp.swapaxes(prenet_out, 0, 1))
+            carry0 = self._init_carry(B, inputs.shape[1], k_scan, mels.dtype)
+            _, (dec_out, aligns, stops) = lax.scan(
+                step, carry0, jnp.swapaxes(prenet_out, 0, 1))
         dec_out = jnp.swapaxes(dec_out, 0, 1)         # [B, T_r, n_mels*r_init]
         outputs = dec_out[..., : self.n_mels * r].reshape(B, T_mel, self.n_mels)
         return outputs, jnp.swapaxes(aligns, 0, 1), jnp.swapaxes(stops, 0, 1), \
