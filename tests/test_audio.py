@@ -299,3 +299,50 @@ def test_fgla_momentum_beats_plain_reference_iters(ap):
     fgla = sc(30, 0.95)
     plain = sc(60, 0.0)
     assert fgla <= plain * 1.05, (fgla, plain)
+
+
+def test_inv_melspectrogram_batch_matches_single(ap):
+    """Length-bucketed batched Griffin-Lim == the single-row inverse: with
+    the same launch key, the batch-invariant phase init draws exactly the
+    per-row path's phase pattern, so a batched row reproduces the single
+    call (serving's GL stage runs through this)."""
+    import jax
+
+    mels = [ap.melspectrogram(speech_like(dur=d)) for d in (0.30, 0.55, 1.1)]
+    ap._gl_key = jax.random.PRNGKey(42)
+    batched = ap.inv_melspectrogram_batch(list(mels))
+    for w, m in zip(batched, mels):
+        assert len(w) == ap.hop_length * (m.shape[1] - 1)
+    # row 0's launch consumed the first subkey of _gl_key, same as a fresh
+    # single-row call from the same key state
+    ap._gl_key = jax.random.PRNGKey(42)
+    ref0 = ap.inv_melspectrogram(mels[0])
+    np.testing.assert_allclose(batched[0], ref0, atol=2e-4)
+
+
+def test_inv_batch_rows_independent_of_batchmates(ap):
+    """A row's audio is a pure function of (its mel, key): alone vs packed
+    with batchmates gives identical bytes (batch-invariant GL + normalized
+    silence padding)."""
+    import jax
+
+    mel_a = ap.melspectrogram(speech_like(dur=0.5))
+    mel_b = ap.melspectrogram(sine_sweep(dur=0.45))
+    mel_c = ap.melspectrogram(white_noise(dur=0.4))
+    ap._gl_key = jax.random.PRNGKey(7)
+    alone = ap.inv_melspectrogram_batch([mel_a])[0]
+    ap._gl_key = jax.random.PRNGKey(7)
+    packed = ap.inv_melspectrogram_batch([mel_a, mel_b, mel_c])[0]
+    np.testing.assert_allclose(alone, packed, atol=1e-5)
+
+
+def test_inv_batch_reconstruction_quality(ap):
+    """Batched inverse reconstructs as well as the per-row path."""
+    y = sine_sweep(dur=1.0)
+    mel = ap.melspectrogram(y)
+    y_rec = ap.inv_melspectrogram_batch([mel])[0]
+    mel_rec = ap.melspectrogram(y_rec.astype(np.float32))
+    t = min(mel.shape[1], mel_rec.shape[1]) - 4
+    err = np.mean((mel[:, 2:t] - mel_rec[:, 2:t]) ** 2)
+    sig = np.mean(mel[:, 2:t] ** 2)
+    assert err < 0.25 * sig, f"batched GL too lossy: err={err}, sig={sig}"

@@ -105,6 +105,19 @@ class AudioProcessor:
                 dsp.inv_spectrogram, power=c.power, gl_iters=c.griffin_lim_iters,
                 gl_momentum=c.griffin_lim_momentum,
                 stats=_stats(self.linear_stats), **common))
+        elif kind == "inv_mel_batch":
+            fn = jax.jit(partial(
+                dsp.inv_melspectrogram_batch,
+                mel_inv_basis=jnp.asarray(self.inv_mel_basis),
+                power=c.power, gl_iters=c.griffin_lim_iters,
+                gl_momentum=c.griffin_lim_momentum, batch_invariant=True,
+                stats=_stats(self.mel_stats), **common))
+        elif kind == "inv_spec_batch":
+            fn = jax.jit(partial(
+                dsp.inv_spectrogram_batch, power=c.power,
+                gl_iters=c.griffin_lim_iters,
+                gl_momentum=c.griffin_lim_momentum, batch_invariant=True,
+                stats=_stats(self.linear_stats), **common))
         else:
             raise KeyError(kind)
         self._jit_cache[key] = fn
@@ -181,32 +194,81 @@ class AudioProcessor:
 
     # --- inverse transforms (Griffin-Lim vocoder) --------------------------
 
+    def _silence_fill(self, kind: str, n_bins: int) -> np.ndarray:
+        """Per-bin NORMALIZED-silence pad row: a 0.0 pad would denormalize
+        to the corpus MEAN dB (average speech energy) and Griffin-Lim's
+        overlap-add would mix those energetic phantom frames into real
+        audio. Mirrored by the export path's tail mask (infer/export.py)."""
+        stats = self.mel_stats if kind == "inv_mel" else self.linear_stats
+        if self.cfg.signal_norm and stats is not None:
+            mean, std = stats
+            return ((self.cfg.min_level_db - mean) /
+                    np.maximum(std, 1e-8)).astype(np.float32)
+        if self.cfg.signal_norm:
+            pad_val = -self.cfg.max_norm if self.cfg.symmetric_norm else 0.0
+        else:
+            pad_val = self.cfg.min_level_db
+        return np.full((n_bins,), pad_val, dtype=np.float32)
+
     def _inverse(self, kind: str, S: np.ndarray) -> np.ndarray:
         S = np.asarray(S, dtype=np.float32).T  # -> time-major
         t = S.shape[0]
         tb = self._frame_bucket(t)
-        stats = self.mel_stats if kind == "inv_mel" else self.linear_stats
-        if self.cfg.signal_norm and stats is not None:
-            # stats normalization: pad with NORMALIZED silence per bin —
-            # a 0.0 pad would denormalize to the corpus MEAN dB (average
-            # speech energy) and Griffin-Lim's overlap-add would mix those
-            # energetic phantom frames into the clip tail
-            mean, std = stats
-            pad_row = ((self.cfg.min_level_db - mean) /
-                       np.maximum(std, 1e-8)).astype(np.float32)
-            buf = np.broadcast_to(pad_row, (tb, S.shape[1])).copy()
-        else:
-            if self.cfg.signal_norm:
-                pad_val = (-self.cfg.max_norm if self.cfg.symmetric_norm
-                           else 0.0)
-            else:
-                pad_val = self.cfg.min_level_db
-            buf = np.full((tb, S.shape[1]), pad_val, dtype=np.float32)
+        buf = np.broadcast_to(self._silence_fill(kind, S.shape[1]),
+                              (tb, S.shape[1])).copy()
         buf[:t] = S
         self._gl_key, sub = jax.random.split(self._gl_key)
         y = self._get_jit(kind, tb)(jnp.asarray(buf), sub)
         out_len = self.hop_length * (t - 1)
         return np.asarray(y)[:out_len]
+
+    # max rows per batched Griffin-Lim launch: bounds both the padded-row
+    # waste of the power-of-2 batch bucket and the kernel's VMEM tile count
+    _INV_BATCH_CAP = 128
+
+    def _inverse_batch(self, kind: str, specs: list[np.ndarray]) -> list[np.ndarray]:
+        """N spectrograms [F, T_i] -> N waveforms in ONE batched Griffin-Lim
+        launch per (frame-bucket, batch-bucket) — the inverse mirror of
+        `melspectrogram_batch`. Per-row dispatch is latency-bound (a batch-1
+        GL launch costs nearly the same wall as a batch-32 one on TPU), so
+        micro-batched serving runs its whole GL stage here. Rows are padded
+        with normalized silence and the phase init is batch-invariant, so a
+        row's audio does not depend on its batchmates."""
+        out: list = [None] * len(specs)
+        if not specs:
+            return out
+        groups: dict[int, list[int]] = {}
+        for i, S in enumerate(specs):
+            groups.setdefault(self._frame_bucket(np.asarray(S).shape[1]),
+                              []).append(i)
+        for tb, idxs in sorted(groups.items()):
+            for lo in range(0, len(idxs), self._INV_BATCH_CAP):
+                chunk = idxs[lo:lo + self._INV_BATCH_CAP]
+                bb = 1 << (len(chunk) - 1).bit_length()
+                n_bins = np.asarray(specs[chunk[0]]).shape[0]
+                buf = np.broadcast_to(self._silence_fill(kind, n_bins),
+                                      (bb, tb, n_bins)).copy()
+                for j, i in enumerate(chunk):
+                    S = np.asarray(specs[i], dtype=np.float32).T
+                    buf[j, : S.shape[0]] = S
+                self._gl_key, sub = jax.random.split(self._gl_key)
+                wavs = np.asarray(
+                    self._get_jit(kind + "_batch", 0)(jnp.asarray(buf), sub))
+                for j, i in enumerate(chunk):
+                    t = np.asarray(specs[i]).shape[1]
+                    out[i] = wavs[j, : self.hop_length * (t - 1)].astype(
+                        np.float32)
+        return out
+
+    def inv_melspectrogram_batch(self, mels: list[np.ndarray]) -> list[np.ndarray]:
+        """N normalized mels [num_mels, T_i] -> N waveforms, length-bucketed
+        batched Griffin-Lim (one device launch per shape bucket)."""
+        return self._inverse_batch("inv_mel", mels)
+
+    def inv_spectrogram_batch(self, specs: list[np.ndarray]) -> list[np.ndarray]:
+        """N normalized linear specs [num_freq, T_i] -> N waveforms
+        (Tacotron1's head), same bucketed batched dispatch."""
+        return self._inverse_batch("inv_spec", specs)
 
     def inv_melspectrogram(self, mel: np.ndarray) -> np.ndarray:
         """normalized mel [num_mels, T] -> waveform (on-device Griffin-Lim)."""

@@ -102,6 +102,8 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
 
     is_linear = getattr(model, "output_type", "mel") == "linear"
     results = []
+    gl_specs: list[np.ndarray] = []   # rows that invert via Griffin-Lim
+    gl_rows: list[int] = []
     for i, text in enumerate(texts):
         L = max(int(mel_lens[i]), model.r)
         spec = mels[i, :L].T                           # reference layout [F, T]
@@ -113,13 +115,21 @@ def synthesis_batch(model, variables, texts: list[str], cfg: Config,
                 wav = wav[: ap.find_endpoint(wav)]
             res["wav"] = wav
         elif use_griffin_lim or (vocoder is not None and is_linear):
-            # Tacotron(1) emits a linear spectrogram: invert it directly
-            wav = (ap.inv_spectrogram(spec) if is_linear
-                   else ap.inv_melspectrogram(spec))
+            # Tacotron(1) emits a linear spectrogram: invert it directly.
+            # Rows are collected and inverted in ONE length-bucketed batched
+            # Griffin-Lim pass below — each row is trimmed to its own stop
+            # first, so post-stop frames cost no GL compute, and a batch-1
+            # launch per row (latency-bound on TPU) is avoided entirely.
+            gl_rows.append(i)
+            gl_specs.append(spec)
+        results.append(res)
+    if gl_rows:
+        wavs = (ap.inv_spectrogram_batch(gl_specs) if is_linear
+                else ap.inv_melspectrogram_batch(gl_specs))
+        for i, wav in zip(gl_rows, wavs):
             if trim_silence:
                 wav = wav[: ap.find_endpoint(wav)]
-            res["wav"] = wav
-        results.append(res)
+            results[i]["wav"] = wav
     return results
 
 
