@@ -189,6 +189,22 @@ def test_server_streaming_endpoint(server_env):
     assert len(audio) > 1000 and np.abs(audio).max() > 0
 
 
+def test_server_streaming_via_standard_client(server):
+    """The streamed response must be consumable by a STANDARD http client.
+    Regression: chunked transfer framing is an HTTP/1.1 feature — under the
+    stdlib default protocol_version ("HTTP/1.0") clients do not de-chunk,
+    so the hex chunk-size lines landed inside the WAV byte stream."""
+    with urllib.request.urlopen(
+            server + "/api/tts?text=One%20sentence.%20And%20more.&stream=1",
+            timeout=120) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()  # http.client de-chunks per the response protocol
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:len(body) - (len(body) - 44) % 2], "<i2")
+    assert len(pcm) > 1000 and np.abs(pcm).max() > 0
+
+
 def test_server_coalesces_concurrent_requests(server_env):
     """Concurrent HTTP requests must ride ONE batched device call
     (infer/batching.MicroBatcher + Synthesizer.tts_many), not serialize

@@ -61,6 +61,16 @@ class AudioProcessor:
                                      np.asarray(stats["linear_std"], np.float32))
         self._jit_cache: dict = {}
         self._gl_key = jax.random.PRNGKey(0)
+        # the HTTP server's streaming handler threads and its micro-batch
+        # collator both reach Griffin-Lim concurrently; guard the key stream
+        # so no two launches ever share a phase-init key
+        import threading
+        self._gl_key_lock = threading.Lock()
+
+    def _next_gl_key(self):
+        with self._gl_key_lock:
+            self._gl_key, sub = jax.random.split(self._gl_key)
+        return sub
 
     # --- shape bucketing -------------------------------------------------
 
@@ -217,7 +227,7 @@ class AudioProcessor:
         buf = np.broadcast_to(self._silence_fill(kind, S.shape[1]),
                               (tb, S.shape[1])).copy()
         buf[:t] = S
-        self._gl_key, sub = jax.random.split(self._gl_key)
+        sub = self._next_gl_key()
         y = self._get_jit(kind, tb)(jnp.asarray(buf), sub)
         out_len = self.hop_length * (t - 1)
         return np.asarray(y)[:out_len]
@@ -251,7 +261,7 @@ class AudioProcessor:
                 for j, i in enumerate(chunk):
                     S = np.asarray(specs[i], dtype=np.float32).T
                     buf[j, : S.shape[0]] = S
-                self._gl_key, sub = jax.random.split(self._gl_key)
+                sub = self._next_gl_key()
                 wavs = np.asarray(
                     self._get_jit(kind + "_batch", 0)(jnp.asarray(buf), sub))
                 for j, i in enumerate(chunk):

@@ -62,6 +62,11 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._queue.put((item, fut))
+        # close() may have drained the queue between the check above and the
+        # put: if the batcher is now closed and nobody claimed the future,
+        # cancel it ourselves instead of blocking forever
+        if self._closed.is_set() and fut.cancel():
+            raise RuntimeError("MicroBatcher is closed")
         return fut.result(timeout=timeout)
 
     def close(self, timeout: float = 5.0) -> None:
@@ -103,6 +108,8 @@ class MicroBatcher:
             items = [it for it, _ in batch]
             futs = [f for _, f in batch]
             self.batch_sizes.append(len(items))
+            if len(self.batch_sizes) > 4096:  # bounded observability buffer
+                del self.batch_sizes[:2048]
             try:
                 results = self._batch_fn(items)
                 if len(results) != len(items):

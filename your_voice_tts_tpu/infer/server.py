@@ -67,6 +67,12 @@ function speak() {
 class TTSHandler(BaseHTTPRequestHandler):
     synthesizer: Synthesizer = None  # set by make_server
     batcher: MicroBatcher = None
+    # chunked transfer framing (`_stream_tts`) is an HTTP/1.1 feature: under
+    # the stdlib default ("HTTP/1.0") real clients would read the chunk-size
+    # lines as BODY bytes — framing garbage spliced into the audio. 1.1 also
+    # enables keep-alive (every non-stream response carries Content-Length).
+    protocol_version = "HTTP/1.1"
+    timeout = 120  # reap keep-alive handler threads whose client went quiet
 
     def log_message(self, fmt, *args):  # quiet
         pass
