@@ -76,6 +76,12 @@ def test_two_process_distributed_training(tmp_path):
     for attempt in (1, 2):
         if all(rc == 0 for rc, _, _ in outs):
             break
+        # backoff before retrying: XLA's gloo KV store has a HARDCODED 30 s
+        # GetKeyValue timeout (no jax/XLA knob as of jax 0.9), so under a
+        # sustained external load spike on this 1-core box every immediate
+        # retry fails the same way — give the box a moment to drain
+        import time
+        time.sleep(15 * attempt)
         outs, results = launch(attempt)
     for rc, out, err in outs:
         assert rc == 0, f"process failed:\n{out}\n{err[-3000:]}"
