@@ -898,6 +898,68 @@ def verify_gates(quick: bool = False) -> dict:
                                             "ok": okl,
                                             "lowering_only": True}
 
+    # -- gate 12: Pallas TRAINING kernels vs the XLA custom-VJP scan ----------
+    # (round-3: the teacher-forced fwd/bwd decode kernels in
+    # ops/pallas/taco2_train.py; full input+weight gradients must track the
+    # scan path within the bf16 parity budget. On TPU this exercises the
+    # real Mosaic lowering of BOTH kernels; off-TPU it runs interpret mode.)
+    from your_voice_tts_tpu.models.common import sequence_mask
+    from your_voice_tts_tpu.models.decoder_grad import make_scan_core
+    from your_voice_tts_tpu.models.tacotron2 import Decoder
+
+    cfg12 = ModelConfig(r=2, prenet_dim=32, attention_rnn_dim=64,
+                        decoder_rnn_dim=64, attention_dim=32,
+                        attention_location_filters=8,
+                        attention_location_kernel_size=15,
+                        attention_norm="sigmoid", separate_stopnet=False)
+    dec12 = Decoder(64, 80, 2, cfg12)
+    p12 = dec12.init(jax.random.PRNGKey(0))
+    p12 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p12)
+    B12, Tm12, Ti12 = 4, 20, 24
+    rng12 = np.random.default_rng(5)
+    mels12 = jnp.asarray(rng12.normal(size=(B12, Tm12, 80)), jnp.bfloat16)
+    enc12 = jnp.asarray(rng12.normal(size=(B12, Ti12, 64)), jnp.bfloat16)
+    lens12 = jnp.asarray([Ti12, Ti12 - 3, Ti12 - 7, 12], jnp.int32)
+    maskf12 = sequence_mask(lens12, Ti12).astype(jnp.float32)
+    proc12 = dec12.attention.preprocess_inputs(p12["attention"], enc12)
+    go12 = jnp.zeros((B12, 1, 80), jnp.bfloat16)
+    pren12, _ = dec12.prenet(p12["prenet"], {},
+                             jnp.concatenate([go12, mels12[:, 1::2][:, :-1]],
+                                             1),
+                             jax.random.PRNGKey(11), True)
+    pren_t12 = jnp.swapaxes(pren12, 0, 1)
+    keys12 = jnp.zeros((Tm12 // 2, 2), jnp.uint32)
+    p_core12 = {"attention_rnn": p12["attention_rnn"],
+                "decoder_rnn": p12["decoder_rnn"],
+                "attention": p12["attention"]}
+
+    def grads12(kernel: bool):
+        dec12.train_kernel = kernel
+        dec12.train_kernel_interpret = (kernel
+                                        and jax.default_backend() != "tpu")
+        core = make_scan_core(dec12, use_dropout=False)
+
+        def loss(p_core, pren_t, enc, proc):
+            dh, cx, al = core(p_core, pren_t, enc, proc, maskf12, keys12)
+            return (jnp.sum(dh.astype(jnp.float32) ** 2)
+                    + 0.7 * jnp.sum(cx.astype(jnp.float32) ** 2)
+                    + 0.3 * jnp.sum(al ** 2))
+
+        return jax.device_get(jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+            p_core12, pren_t12, enc12, proc12))
+
+    g_k = jax.tree_util.tree_leaves(grads12(True))
+    g_s = jax.tree_util.tree_leaves(grads12(False))
+    gs12 = max(float(np.max(np.abs(np.asarray(x, np.float64)))) for x in g_s)
+    rel12 = max(
+        float(np.max(np.abs(np.asarray(a, np.float64)
+                            - np.asarray(b, np.float64)))
+              / max(float(np.max(np.abs(np.asarray(b, np.float64)))),
+                    1e-2 * gs12))
+        for a, b in zip(g_k, g_s))
+    gates["taco2_train_kernel_grad_rel_err"] = {
+        "value": round(rel12, 4), "limit": 0.08, "ok": rel12 <= 0.08}
+
     return gates
 
 

@@ -94,6 +94,71 @@ def _shift(s):
     return jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
 
 
+def _attention_param_grads(attention, p_att, q_t, att_prev_t, cum_prev_t,
+                           processed_inputs, d_e_t, seg: int = 16):
+    """Attention WEIGHT gradients from the per-step energy cotangents d_e_t.
+
+    The energy block's parameter gradients are pure accumulations over steps
+    (they never feed the recurrence), so they are recovered OUTSIDE the
+    reverse scan by jax.vjp over the model's own `_energies` with whole time
+    segments folded into the batch dimension — the same parameterization and
+    numerics as the per-step vjp in the scan path, but MXU-batched. d_e_t is
+    the cotangent of the RAW energies (zero at masked positions — the mask
+    is a stop-gradient there), exactly what the Pallas backward kernel
+    emits. Segmented (`seg` steps per vjp) to bound the [S*B, T, A]
+    tanh-argument intermediate.
+    """
+    Ts, B, H = q_t.shape
+    T_in = att_prev_t.shape[-1]
+    dp_acc = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, F32), p_att)
+    d_pi_acc = jnp.zeros(processed_inputs.shape, F32)
+    for s0 in range(0, Ts, seg):
+        S = min(seg, Ts - s0)
+        q_s = q_t[s0:s0 + S].reshape(S * B, H)
+        att_s = att_prev_t[s0:s0 + S].reshape(S * B, T_in)
+        cum_s = cum_prev_t[s0:s0 + S].reshape(S * B, T_in)
+        d_e_s = d_e_t[s0:s0 + S].reshape(S * B, T_in).astype(F32)
+
+        def efn(pa, pi, att_s=att_s, cum_s=cum_s, q_s=q_s, S=S):
+            st = AttentionState(attention=att_s, attention_cum=cum_s,
+                                alpha=att_s, win_idx=None, mu=None)
+            pi_b = jnp.broadcast_to(pi[None], (S,) + pi.shape).reshape(
+                (S * B,) + pi.shape[1:])
+            return attention._energies(pa, q_s, pi_b, st).astype(F32)
+
+        _, pull = jax.vjp(efn, p_att, processed_inputs)
+        dpa, dpi = pull(d_e_s)
+        dp_acc = jax.tree_util.tree_map(
+            lambda a, b: a + b.astype(F32), dp_acc, dpa)
+        d_pi_acc = d_pi_acc + dpi.astype(F32)
+    return dp_acc, d_pi_acc
+
+
+def _train_kernel_plan(decoder, prenet_t, enc_out, use_dropout: bool):
+    """Route the teacher-forced scan onto the Pallas training kernels
+    (ops/pallas/taco2_train.py) when running on TPU and the working set fits
+    VMEM (ops/pallas/capacity.taco2_train_plan). Returns {"chunk_fwd": n,
+    "chunk_bwd": m, "interpret": bool} or None (XLA scan).
+    `decoder.train_kernel = False` disables; `decoder.train_kernel_interpret
+    = True` forces the kernel in interpret mode on any backend (tests)."""
+    if not getattr(decoder, "train_kernel", True):
+        return None
+    interpret = bool(getattr(decoder, "train_kernel_interpret", False))
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    from ..ops.pallas.capacity import taco2_train_plan
+    T_steps, B, P = prenet_t.shape
+    plan = taco2_train_plan(
+        T=enc_out.shape[1], B=B, E=enc_out.shape[2],
+        A=decoder.attention.query_layer.out_dim,
+        H1=decoder.attention_rnn.hidden, H2=decoder.decoder_rnn.hidden,
+        P=P, dtype_bytes=prenet_t.dtype.itemsize, dropout=use_dropout)
+    if plan is None:
+        return None
+    plan["interpret"] = interpret
+    return plan
+
+
 def make_scan_core(decoder, use_dropout: bool):
     """Return the custom-VJP teacher-forced scan core for `decoder`.
 
@@ -175,7 +240,21 @@ def make_scan_core(decoder, use_dropout: bool):
     core_vjp = jax.custom_vjp(core)
 
     def core_fwd(p_core, prenet_t, enc_out, processed_inputs, maskf, keys):
-        ys = fwd_scan(p_core, prenet_t, enc_out, processed_inputs, maskf, keys)
+        plan = _train_kernel_plan(decoder, prenet_t, enc_out, use_dropout)
+        if plan is not None:
+            from ..ops.pallas.taco2_train import taco2_train_fwd_pallas
+            if use_dropout:
+                m_a_t, m_d_t = _masks(keys, prenet_t.shape[1], prenet_t.dtype)
+            else:
+                m_a_t = m_d_t = None
+            ys = taco2_train_fwd_pallas(
+                p_core, prenet_t, enc_out, processed_inputs, maskf,
+                m_a_t, m_d_t, norm=attention.norm,
+                loc_attn=attention.location_attention,
+                chunk=plan["chunk_fwd"], interpret=plan["interpret"])
+        else:
+            ys = fwd_scan(p_core, prenet_t, enc_out, processed_inputs, maskf,
+                          keys)
         dech_t, ctx_t, align_t, g_a, g_d, c_a, c_d = ys
         res = (p_core, prenet_t, enc_out, processed_inputs, maskf, keys,
                ctx_t, align_t, g_a, g_d, c_a, c_d)
@@ -200,6 +279,71 @@ def make_scan_core(decoder, use_dropout: bool):
         ctx_prev_t = _shift(ctx_t)
         cum_prev_t = _shift(jnp.cumsum(align_t, axis=0))
         att_prev_t = _shift(align_t)
+
+        def _weight_grads(d_g_a_t, d_g_d_t, d_ctx_t, d_prenet_t,
+                          dp_att_acc, d_pi_acc):
+            # ---- weight gradients as single whole-sequence matmuls ----
+            TB = T * B
+            flat = lambda a: a.reshape(TB, a.shape[-1])  # noqa: E731
+
+            def mm(a, b):
+                return jnp.dot(flat(a).T, flat(b), preferred_element_type=F32)
+
+            x_a = jnp.concatenate([prenet_t, ctx_prev_t], axis=-1)
+            h_a_prev = _shift(h_a_pre)
+            x_d = jnp.concatenate([q_t, ctx_t], axis=-1)
+            h_d_prev = _shift(jax.nn.sigmoid(g_d[..., 3 * H_D:])
+                              * jnp.tanh(c_d))
+
+            p_a, p_d = p_core["attention_rnn"], p_core["decoder_rnn"]
+            d_attn_rnn = {"wx": mm(x_a, d_g_a_t).astype(p_a["wx"].dtype),
+                          "wh": mm(h_a_prev, d_g_a_t).astype(p_a["wh"].dtype),
+                          "b": jnp.sum(flat(d_g_a_t).astype(F32),
+                                       0).astype(p_a["b"].dtype)}
+            d_dec_rnn = {"wx": mm(x_d, d_g_d_t).astype(p_d["wx"].dtype),
+                         "wh": mm(h_d_prev, d_g_d_t).astype(p_d["wh"].dtype),
+                         "b": jnp.sum(flat(d_g_d_t).astype(F32),
+                                      0).astype(p_d["b"].dtype)}
+            dp_att_final = jax.tree_util.tree_map(
+                lambda acc, p: acc.astype(p.dtype), dp_att_acc, p_att)
+
+            # d_enc_out: the context path (sum_t align_t (x) d_ctx_t); the
+            # processed-inputs path returns separately and the caller's
+            # autodiff routes it back through attention.inputs_layer.
+            d_enc = jnp.einsum("tbi,tbe->bie", align_t,
+                               d_ctx_t.astype(F32)).astype(enc_out.dtype)
+
+            d_p_core = {"attention_rnn": d_attn_rnn, "decoder_rnn": d_dec_rnn,
+                        "attention": dp_att_final}
+            return (d_p_core, d_prenet_t, d_enc,
+                    d_pi_acc.astype(processed_inputs.dtype),
+                    jnp.zeros_like(maskf), _zero_ct(keys))
+
+        plan = _train_kernel_plan(decoder, prenet_t, enc_out, use_dropout)
+        if plan is not None:
+            from ..ops.pallas.taco2_train import taco2_train_bwd_pallas
+            residuals = {"g_a": g_a, "g_d": g_d, "c_a": c_a, "c_d": c_d,
+                         "c_a_prev": c_a_prev, "c_d_prev": c_d_prev,
+                         "att_prev": att_prev_t, "cum_prev": cum_prev_t}
+            (d_g_a_t, d_g_d_t, d_ctx_t, d_prenet_t,
+             d_e_t) = taco2_train_bwd_pallas(
+                p_core, residuals,
+                (d_dech_t, d_ctx_out_t.astype(dtype), d_align_out_t),
+                enc_out, processed_inputs, maskf,
+                m_a_t if use_dropout else None,
+                m_d_t if use_dropout else None,
+                P=P, norm=attention.norm,
+                loc_attn=attention.location_attention,
+                chunk=plan["chunk_bwd"], interpret=plan["interpret"])
+            # attention WEIGHT grads + d_pinp: one batched vjp over the
+            # model's own _energies with all steps folded into the batch dim
+            # (pure accumulations over steps -> recoverable outside the
+            # recurrence, MXU-batched instead of serial)
+            dp_att_acc, d_pi_acc = _attention_param_grads(
+                attention, p_att, q_t, att_prev_t, cum_prev_t,
+                processed_inputs, d_e_t)
+            return _weight_grads(d_g_a_t, d_g_d_t, d_ctx_t, d_prenet_t,
+                                 dp_att_acc, d_pi_acc)
 
         dp_att_zero = jax.tree_util.tree_map(
             lambda x: jnp.zeros(x.shape, F32), p_att)
@@ -259,42 +403,8 @@ def make_scan_core(decoder, use_dropout: bool):
         carry_out, (d_g_a_t, d_g_d_t, d_ctx_t, d_prenet_t) = lax.scan(
             step, carry0, xs, reverse=True)
         dp_att_acc, d_pi_acc = carry_out[7], carry_out[8]
-
-        # ---- weight gradients as single whole-sequence matmuls ----
-        TB = T * B
-        flat = lambda a: a.reshape(TB, a.shape[-1])  # noqa: E731
-
-        def mm(a, b):
-            return jnp.dot(flat(a).T, flat(b), preferred_element_type=F32)
-
-        x_a = jnp.concatenate([prenet_t, ctx_prev_t], axis=-1)
-        h_a_prev = _shift(h_a_pre)
-        x_d = jnp.concatenate([q_t, ctx_t], axis=-1)
-        h_d_prev = _shift(jax.nn.sigmoid(g_d[..., 3 * H_D:]) * jnp.tanh(c_d))
-
-        p_a, p_d = p_core["attention_rnn"], p_core["decoder_rnn"]
-        d_attn_rnn = {"wx": mm(x_a, d_g_a_t).astype(p_a["wx"].dtype),
-                      "wh": mm(h_a_prev, d_g_a_t).astype(p_a["wh"].dtype),
-                      "b": jnp.sum(flat(d_g_a_t).astype(F32),
-                                   0).astype(p_a["b"].dtype)}
-        d_dec_rnn = {"wx": mm(x_d, d_g_d_t).astype(p_d["wx"].dtype),
-                     "wh": mm(h_d_prev, d_g_d_t).astype(p_d["wh"].dtype),
-                     "b": jnp.sum(flat(d_g_d_t).astype(F32),
-                                  0).astype(p_d["b"].dtype)}
-        dp_att_final = jax.tree_util.tree_map(
-            lambda acc, p: acc.astype(p.dtype), dp_att_acc, p_att)
-
-        # d_enc_out: the context path (sum_t align_t (x) d_ctx_t); the
-        # processed-inputs path returns separately and the caller's autodiff
-        # routes it back through attention.inputs_layer.
-        d_enc = jnp.einsum("tbi,tbe->bie", align_t,
-                           d_ctx_t.astype(F32)).astype(enc_out.dtype)
-
-        d_p_core = {"attention_rnn": d_attn_rnn, "decoder_rnn": d_dec_rnn,
-                    "attention": dp_att_final}
-        return (d_p_core, d_prenet_t, d_enc,
-                d_pi_acc.astype(processed_inputs.dtype),
-                jnp.zeros_like(maskf), _zero_ct(keys))
+        return _weight_grads(d_g_a_t, d_g_d_t, d_ctx_t, d_prenet_t,
+                             dp_att_acc, d_pi_acc)
 
     core_vjp.defvjp(core_fwd, core_bwd)
     core_vjp.plain = core  # autodiff twin of the same forward (grad tests)

@@ -170,6 +170,90 @@ def taco2_kernel_fits(cfg, *, T: int, B: int, E: int, r_init: int,
                        chunk=chunk, device_kind=device_kind) is not None
 
 
+def _taco2_train_common_bytes(*, T: int, B: int, E: int, A: int, H1: int,
+                              H2: int, P: int, d: int) -> int:
+    """Weights + resident inputs shared by the train fwd/bwd kernels.
+    processed_inputs is handed to the kernels in the COMPUTE dtype (the
+    energy tanh re-adds it in f32 either way), so it counts at d bytes."""
+    A = _rup(A, 128)
+    Tl = _rup(T, 128)
+    w = ((P + E) * 4 * H1 + H1 * 4 * H1) * d          # attention LSTM
+    w += ((H1 + E) * 4 * H2 + H2 * 4 * H2) * d        # decoder LSTM
+    w += H1 * A * d + 2 * T * T * A * d + A * 4       # q_w, banded K_loc, v
+    w += (4 * H1 + 4 * H2) * 4                        # biases (fwd only; noise)
+    resident = B * T * E * d + B * T * A * d + B * Tl * 4
+    return w + resident
+
+
+def taco2_train_fwd_bytes(*, T: int, B: int, E: int, A: int, H1: int,
+                          H2: int, P: int, chunk: int, dtype_bytes: int = 2,
+                          dropout: bool = True) -> int:
+    """Working set of the teacher-forced forward kernel
+    (ops/pallas/taco2_train.py taco2_train_fwd_pallas)."""
+    d = dtype_bytes
+    B = _rup(B, 8)
+    Tl = _rup(T, 128)
+    Pl = _rup(P, 128)
+    base = _taco2_train_common_bytes(T=T, B=B, E=E, A=A, H1=H1, H2=H2,
+                                     P=P, d=d)
+    ins = chunk * B * (Pl + (H1 + H2 if dropout else 2 * 128)) * d
+    outs = chunk * B * ((H2 + E + 4 * H1 + 4 * H2 + H1 + H2) * d + Tl * 4)
+    scratch = B * (2 * H1 + 2 * H2 + E) * d + 2 * B * Tl * 4
+    # Mosaic stack: per-step energy-block intermediates live in VMEM too —
+    # tanh_arg [B, T, A] f32 and the location projection [B, T*A] f32
+    # (measured on v5e: omitting these under-counted the bwd kernel by
+    # ~21 MB and it OOM'd at the production shape)
+    interm = 2 * B * T * A * 4
+    return base + 2 * (ins + outs) + scratch + interm
+
+
+def taco2_train_bwd_bytes(*, T: int, B: int, E: int, A: int, H1: int,
+                          H2: int, P: int, chunk: int, dtype_bytes: int = 2,
+                          dropout: bool = True) -> int:
+    """Working set of the reverse-scan backward kernel
+    (ops/pallas/taco2_train.py taco2_train_bwd_pallas)."""
+    d = dtype_bytes
+    B = _rup(B, 8)
+    Tl = _rup(T, 128)
+    Pl = _rup(P, 128)
+    base = _taco2_train_common_bytes(T=T, B=B, E=E, A=A, H1=H1, H2=H2,
+                                     P=P, d=d)
+    ins = chunk * B * ((H2 + E + 4 * H1 + 4 * H2 + 2 * H1 + 2 * H2) * d
+                       + 3 * Tl * 4
+                       + (H1 + H2 if dropout else 2 * 128) * d)
+    outs = chunk * B * ((4 * H1 + 4 * H2 + E + Pl) * d + Tl * 4)
+    scratch = B * (2 * H1 + 2 * H2 + E) * 4 + 2 * B * Tl * 4
+    # Mosaic stack: the backward holds tanh_arg AND d_tanh [B, T, A] f32
+    # plus the location projection / its cotangent ([B, T*A] f32 + dtype)
+    interm = B * T * A * (3 * 4 + d)
+    return base + 2 * (ins + outs) + scratch + interm
+
+
+def taco2_train_plan(*, T: int, B: int, E: int, A: int, H1: int, H2: int,
+                     P: int, dtype_bytes: int = 2, dropout: bool = True,
+                     device_kind: str | None = None) -> dict | None:
+    """Routing decision for the training kernels: the largest time-chunks in
+    {8, 4, 2, 1} whose fwd / bwd working sets fit this device's VMEM, chosen
+    INDEPENDENTLY (the backward's per-step intermediates are ~2x the
+    forward's, so at the production shape fwd=2 / bwd=1 on v5e), or None
+    (-> XLA custom-VJP scan) when either side cannot fit at chunk=1."""
+    limit = kernel_vmem_limit(device_kind)
+    kw = dict(T=T, B=B, E=E, A=A, H1=H1, H2=H2, P=P,
+              dtype_bytes=dtype_bytes, dropout=dropout)
+
+    def pick(bytes_fn):
+        for chunk in (8, 4, 2, 1):
+            if bytes_fn(chunk=chunk, **kw) <= limit:
+                return chunk
+        return None
+
+    c_fwd = pick(taco2_train_fwd_bytes)
+    c_bwd = pick(taco2_train_bwd_bytes)
+    if c_fwd is None or c_bwd is None:
+        return None
+    return {"chunk_fwd": c_fwd, "chunk_bwd": c_bwd}
+
+
 def gl_max_tile(n_fft: int, device_kind: str | None = None,
                 validated_cap: int = 1024) -> int:
     """Largest frame-tile length the whole-loop Griffin-Lim kernel
