@@ -664,7 +664,17 @@ def verify_gates(quick: bool = False) -> dict:
     from your_voice_tts_tpu.ops.filters import hann_window
     from your_voice_tts_tpu.text import symbols
 
-    gates = {}
+    class _ProgressDict(dict):
+        """Gate results land one by one over minutes of remote-TPU compile +
+        dispatch; narrate each to stderr (stdout stays the one JSON line)."""
+
+        def __setitem__(self, key, val):
+            super().__setitem__(key, val)
+            print(f"[verify {len(self)}] {key}: value={val.get('value')} "
+                  f"limit={val.get('limit')} ok={val.get('ok')}",
+                  file=sys.stderr, flush=True)
+
+    gates = _ProgressDict()
     acfg = AudioConfig()
     rng = np.random.default_rng(0)
 
