@@ -59,15 +59,7 @@ def _kernel(fr_ref, fi_ref, mag_ref, iC, iS, C, S, win_ref, wsi_ref,
                   preferred_element_type=F32)
           - jnp.dot(fi_ref[...].astype(dtype), iS[...],
                     preferred_element_type=F32)) * win_ref[...]
-    K = -(-n_fft // hop) - 1
-    acc = xw
-    for k in range(1, K + 1):
-        s = k * hop
-        # frame t+k contributes its leading samples to our trailing slots;
-        # frame t-k its trailing samples to our leading slots (banded OLA)
-        fwd = jnp.pad(xw[k:, : n_fft - s], ((0, k), (s, 0)))
-        bwd = jnp.pad(xw[:-k, s:], ((k, 0), (0, s)))
-        acc = acc + fwd + bwd
+    acc = _banded_ola(xw, n_fft, hop)
     g = acc * wsi_ref[...] * win_ref[...]
     gr = jnp.dot(g.astype(dtype), C[...], preferred_element_type=F32)
     gi = -jnp.dot(g.astype(dtype), S[...], preferred_element_type=F32)
@@ -125,13 +117,28 @@ def _banded_ola(xw, n_fft: int, hop: int):
     neighbor frame's contribution to sample t*hop + n — K = ceil(n_fft/hop)-1
     shifted adds (pure VPU), no scatter. After the full accumulation acc[t, n]
     IS the overlap-added signal at sample t*hop + n (each sample is
-    represented redundantly in every frame that covers it)."""
+    represented redundantly in every frame that covers it).
+
+    Each shifted add is TWO single-axis pads (rows, then lanes) rather than
+    one 2-axis pad: Mosaic folds a sliced-and-2-axis-padded operand into a
+    layout carrying BOTH a sublane and a lane offset, and its dim-0
+    tpu.concatenate then rejects the lane-offset mismatch on the non-concat
+    dimension ("result/input offset mismatch", seen at n_fft=256/hop=64
+    where the lane shift 64 is not a multiple of the 128-lane tile; the
+    1024/256 production shape masked the bug because 256 % 128 == 0).
+    Single-axis pads keep the other dimension's offset at zero in every
+    concat, which Mosaic supports at any shift."""
     K = -(-n_fft // hop) - 1
     acc = xw
     for k in range(1, K + 1):
         s = k * hop
-        acc = acc + jnp.pad(xw[k:, : n_fft - s], ((0, k), (s, 0))) \
-                  + jnp.pad(xw[:-k, s:], ((k, 0), (0, s)))
+        # frame t+k contributes its leading samples to our trailing slots;
+        # frame t-k its trailing samples to our leading slots (banded OLA)
+        fwd_rows = jnp.pad(xw[k:, :], ((0, k), (0, 0)))
+        fwd = jnp.pad(fwd_rows[:, : n_fft - s], ((0, 0), (s, 0)))
+        bwd_rows = jnp.pad(xw[:-k, :], ((k, 0), (0, 0)))
+        bwd = jnp.pad(bwd_rows[:, s:], ((0, 0), (0, s)))
+        acc = acc + fwd + bwd
     return acc
 
 
