@@ -16,12 +16,129 @@ Run: python bench.py [--quick]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
+import re
 import sys
+import threading
 import time
+import traceback
 
 import numpy as np
+
+_ANSI_RE = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
+
+
+def _short_err(e: BaseException, limit: int = 200) -> str:
+    """One short sanitized sentence for the JSON line; the full traceback
+    goes to stderr. Round 3's record was lost because a raw 4.7 KB axon log
+    (ANSI escapes and all) was embedded in an error field, pushing the ONE
+    JSON line past the driver's tail-capture window — error fields must be
+    bounded no matter what the exception carries."""
+    traceback.print_exc(file=sys.stderr)
+    sys.stderr.flush()
+    msg = _ANSI_RE.sub("", f"{type(e).__name__}: {e}")
+    msg = " ".join(msg.split())
+    return msg[:limit]
+
+
+def _note(msg: str) -> None:
+    """Progress narration: stderr only — stdout stays the one JSON line."""
+    print(f"[bench +{time.time() - _T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T_START = time.time()
+
+
+class _Watchdog:
+    """Per-section deadline enforced from a daemon thread.
+
+    The remote-TPU tunnel can wedge INSIDE a compile — the main thread then
+    blocks in a futex wait where neither signals nor exceptions can reach
+    it. The watchdog thread prints a PARTIAL but parseable JSON line (the
+    headline result if it landed, a zero-value error line otherwise, plus
+    per-section status) and hard-exits, so the driver always records
+    something within minutes of a wedge instead of nothing after a silent
+    half hour (VERDICT r3 next #8)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._section: str | None = None
+        self._deadline = 0.0
+        self._t0 = 0.0
+        self._last_beat = 0.0
+        self.status: dict[str, str] = {}
+        self._partial: dict = {
+            "metric": "e2e_synthesis_realtime_factor", "value": 0.0,
+            "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+            "error": "bench killed by watchdog before the headline landed"}
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def set_partial(self, result: dict) -> None:
+        """Adopt `result` (mutated in place by later sections) as the line
+        to emit on a wedge."""
+        with self._lock:
+            self._partial = result
+
+    def begin(self, name: str, budget_s: float) -> None:
+        _note(f"section {name}: start (budget {budget_s:.0f}s)")
+        t0 = time.time()
+        with self._lock:
+            self._section, self._deadline = name, t0 + budget_s
+            self._t0 = self._last_beat = t0
+            self.status[name] = "running"
+
+    def end(self, name: str, ok: bool = True) -> None:
+        self.status[name] = "ok" if ok else "error"
+        with self._lock:
+            self._section = None
+            t0 = self._t0
+        _note(f"section {name}: {self.status[name]} in {time.time() - t0:.0f}s")
+
+    @contextlib.contextmanager
+    def section(self, name: str, budget_s: float):
+        self.begin(name, budget_s)
+        try:
+            yield
+        except BaseException:
+            self.end(name, ok=False)
+            raise
+        else:
+            self.end(name, ok=True)
+
+    def _run(self) -> None:
+        while True:
+            time.sleep(5)
+            with self._lock:
+                sec, dl, t0 = self._section, self._deadline, self._t0
+                partial = self._partial
+            if sec is None:
+                continue
+            now = time.time()
+            if now > dl:
+                extra = partial.setdefault("extra", {})
+                extra[f"{sec}_error"] = (
+                    f"section exceeded its {dl - t0:.0f}s watchdog budget "
+                    "(wedged remote-TPU tunnel?); bench killed")
+                extra["bench_sections"] = dict(self.status)
+                try:
+                    line = json.dumps(partial)
+                except Exception:
+                    line = json.dumps({
+                        "metric": "e2e_synthesis_realtime_factor",
+                        "value": 0.0, "unit": "x_realtime_per_chip",
+                        "vs_baseline": 0.0,
+                        "error": f"watchdog kill in section {sec}"})
+                print(line, flush=True)
+                _note(f"WATCHDOG: section {sec} exceeded {dl - t0:.0f}s; "
+                      "emitted partial line and exiting")
+                os._exit(3)
+            if now - self._last_beat >= 60:
+                self._last_beat = now
+                _note(f"section {sec}: still running "
+                      f"({now - t0:.0f}s of {dl - t0:.0f}s budget)")
 
 
 def _probe_backend(timeout_s: int = 240) -> str | None:
@@ -576,7 +693,7 @@ def capability_matrix_extras() -> dict:
             out["train_step_tflops"] = round(flops / 1e12, 3)
             out["train_step_mfu"] = round(flops / dt / peak, 4)
     except Exception as e:
-        out["mfu_error"] = f"{type(e).__name__}: {e}"
+        out["mfu_error"] = _short_err(e)
 
     # Throughput bucket: the step is recurrence-serialization-bound (200
     # sequential scan steps re-stream the decoder weights each step, so
@@ -668,10 +785,15 @@ def verify_gates(quick: bool = False) -> dict:
         """Gate results land one by one over minutes of remote-TPU compile +
         dispatch; narrate each to stderr (stdout stays the one JSON line)."""
 
+        _n = 0
+
         def __setitem__(self, key, val):
             super().__setitem__(key, val)
-            print(f"[verify {len(self)}] {key}: value={val.get('value')} "
-                  f"limit={val.get('limit')} ok={val.get('ok')}",
+            type(self)._n += 1
+            desc = (f"value={val.get('value')} limit={val.get('limit')} "
+                    f"ok={val.get('ok')}" if isinstance(val, dict)
+                    else repr(val))
+            print(f"[verify {type(self)._n}] {key}: {desc}",
                   file=sys.stderr, flush=True)
 
     gates = _ProgressDict()
@@ -1012,6 +1134,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    watchdog = _Watchdog()
+
     from your_voice_tts_tpu.audio import AudioProcessor
     from your_voice_tts_tpu.config import AudioConfig, Config, ModelConfig
     from your_voice_tts_tpu.models import setup_model
@@ -1084,6 +1208,7 @@ def main() -> None:
         return wav, out["mel_lengths"], jnp.abs(wav).sum()
 
     # compile
+    watchdog.begin("headline", 2400)
     t0 = time.time()
     wav, _, chk = synthesize(variables, text, lens, jax.random.PRNGKey(0))
     float(chk)
@@ -1172,6 +1297,7 @@ def main() -> None:
     p50_scan_ms = batch1_p50(None, use_pallas=False)
     p50_bf16_ms = batch1_p50(jnp.bfloat16, use_pallas=False)
 
+    watchdog.end("headline")
     result = {
         "metric": "batched end-to-end synthesis realtime factor per chip "
                   "(Tacotron2 decode + on-device Griffin-Lim, batch "
@@ -1195,33 +1321,76 @@ def main() -> None:
             **split_extras,
         },
     }
+    watchdog.set_partial(result)
     if not args.no_trained:
         try:
-            result["extra"].update(trained_latency_extras(quick))
+            with watchdog.section("trained_latency", 1500):
+                result["extra"].update(trained_latency_extras(quick))
         except Exception as e:  # never lose the headline number
-            result["extra"]["trained_latency_error"] = f"{type(e).__name__}: {e}"
+            result["extra"]["trained_latency_error"] = _short_err(e)
     if not quick:
         # one number per remaining BASELINE.json config (2/3/4/5)
         try:
-            result["extra"].update(capability_matrix_extras())
+            with watchdog.section("capability_matrix", 1800):
+                result["extra"].update(capability_matrix_extras())
         except Exception as e:
-            result["extra"]["matrix_error"] = f"{type(e).__name__}: {e}"
+            result["extra"]["matrix_error"] = _short_err(e)
     # objective quality gates (MCD / stop F1 / cloning selectivity) on the
     # committed trained checkpoints
     try:
-        result["extra"].update(quality_extras(quick))
+        with watchdog.section("quality", 1200):
+            result["extra"].update(quality_extras(quick))
     except Exception as e:
-        result["extra"]["quality_error"] = f"{type(e).__name__}: {e}"
+        result["extra"]["quality_error"] = _short_err(e)
     if not quick:
         try:
-            result["extra"].update(cloning_extras())
+            with watchdog.section("cloning", 1200):
+                result["extra"].update(cloning_extras())
         except Exception as e:
-            result["extra"]["cloning_error"] = f"{type(e).__name__}: {e}"
+            result["extra"]["cloning_error"] = _short_err(e)
         try:
-            result["extra"].update(serving_extras())
+            with watchdog.section("serving", 1500):
+                result["extra"].update(serving_extras())
         except Exception as e:
-            result["extra"]["serving_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(result))
+            result["extra"]["serving_error"] = _short_err(e)
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Print the ONE JSON line and exit — nonzero when any section errored.
+
+    Last-resort bounds: every string inside the line is sanitized/truncated
+    (an unbounded error string cost round 3 its driver-recorded number) and
+    the full line is capped well under the driver's tail-capture window by
+    dropping the largest extras if ever necessary."""
+    def clamp(v):
+        if isinstance(v, str):
+            s = _ANSI_RE.sub("", v)
+            return s if len(s) <= 200 else s[:200]
+        if isinstance(v, dict):
+            return {k: clamp(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clamp(x) for x in v]
+        return v
+
+    result = clamp(result)
+    line = json.dumps(result)
+    if len(line) > 6000 and isinstance(result.get("extra"), dict):
+        extra = result["extra"]
+        for k in sorted(extra, key=lambda k: -len(json.dumps(extra[k]))):
+            del extra[k]
+            extra["truncated"] = "extras dropped to fit the one-line budget"
+            line = json.dumps(result)
+            if len(line) <= 6000:
+                break
+    print(line, flush=True)
+    errs = [k for k in result.get("extra", {}) if k.endswith("_error")]
+    if "error" in result:
+        errs.append("error")
+    if errs:
+        _note(f"exiting nonzero: sections errored: {', '.join(errs)}")
+        sys.exit(2)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
