@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# CI entry point (SURVEY §4 parity: the reference ships a run_tests.sh +
+# Travis config; this is the rebuild's equivalent, with tiers).
+#
+# Usage:
+#   ./run_tests.sh            # fast tier (CPU, default suite, no `slow`)
+#   ./run_tests.sh fast       # same
+#   ./run_tests.sh slow       # the `slow`-marked long end-to-end tests
+#   ./run_tests.sh all        # fast + slow
+#   ./run_tests.sh verify     # on-device numerics + shape gates (TPU if
+#                             # available; degrades to CPU lowering gates)
+#   ./run_tests.sh warm       # cold-cache warm-up: primes .jax_cache so a
+#                             # fresh clone's first `fast` run is not 2x wall
+#
+# Budget: the fast tier asserts a wall-time ceiling (BUDGET_S, default 480 s
+# warm on a 1-core box) so the <8 min target is enforced, not aspired to.
+# First-ever run on a fresh clone pays cold XLA compiles; run `warm` first
+# (or accept the one-time ~2x wall and set BUDGET_S=1200).
+
+set -euo pipefail
+cd "$(dirname "$0")"
+
+TIER="${1:-fast}"
+BUDGET_S="${BUDGET_S:-480}"
+PY="${PYTHON:-python}"
+
+run_fast() {
+    local t0 t1 wall
+    t0=$(date +%s)
+    "$PY" -m pytest tests/ -q -m "not slow"
+    t1=$(date +%s)
+    wall=$((t1 - t0))
+    echo "fast tier wall: ${wall}s (budget ${BUDGET_S}s)"
+    if [ "$wall" -gt "$BUDGET_S" ]; then
+        echo "FAIL: fast tier exceeded its ${BUDGET_S}s budget (${wall}s)." >&2
+        echo "Cold cache? Run './run_tests.sh warm' once, or raise BUDGET_S." >&2
+        exit 1
+    fi
+}
+
+case "$TIER" in
+    fast) run_fast ;;
+    slow) "$PY" -m pytest tests/ -q -m slow ;;
+    all)  run_fast; "$PY" -m pytest tests/ -q -m slow ;;
+    verify) "$PY" bench.py --verify --quick ;;
+    warm)
+        # Prime the persistent compile cache: the quick verify gates compile
+        # the big decode/GL/train graphs, which dominate the suite's cold
+        # wall. Harmless to re-run; exits nonzero only on a real gate failure.
+        "$PY" bench.py --verify --quick
+        echo "compile cache primed: $(du -sh .jax_cache 2>/dev/null | cut -f1)"
+        ;;
+    *)
+        echo "unknown tier '$TIER' (use: fast | slow | all | verify | warm)" >&2
+        exit 2
+        ;;
+esac
