@@ -79,10 +79,15 @@ def test_trained_checkpoint_quality_gates():
 
     q = bench.quality_extras(quick=True)
     assert "quality_error" not in q, q
-    # the committed 25k-step checkpoint measures 7.6 dB; random-weight
-    # models score ~35+, the old 8k-step one 13.8 — 12 is a real bar
-    assert q["mcd_mean_db"] < 12.0, q
-    assert q["stop_f1"] >= 0.5, q
+    # RATCHETED to the current bests (VERDICT r3 next #5) so a quality
+    # regression fails the suite the same way a numerics regression does.
+    # The committed 25k-step checkpoint measures 7.61 mean / 8.13 worst dB
+    # (random weights ~35+, the old 8k-step era 13.8). Quick mode scores 3
+    # held-out items, where one marginal stop costs F1 0.8 (the full bench
+    # block measures 0.909 over more items — that bar lives in bench.py).
+    assert q["mcd_mean_db"] < 8.2, q
+    assert q["mcd_worst_db"] < 8.8, q
+    assert q["stop_f1"] >= 0.75, q
 
 
 @pytest.mark.slow
@@ -96,8 +101,9 @@ def test_trained_multispeaker_cloning_selective():
 
     c = bench.cloning_extras()
     assert "cloning_error" not in c, c
-    assert c["cloning_mean_margin"] > 0.1, c
-    assert c["cloning_selective_frac"] >= 0.75, c
+    # ratcheted to the current best (20k-step assets: +0.849 mean, 4/4)
+    assert c["cloning_mean_margin"] > 0.80, c
+    assert c["cloning_selective_frac"] >= 1.0, c
 
 
 def test_denormalize_mel_with_stats():
