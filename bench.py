@@ -1092,6 +1092,130 @@ def verify_gates(quick: bool = False) -> dict:
     gates["taco2_train_kernel_grad_rel_err"] = {
         "value": round(rel12, 4), "limit": 0.08, "ok": rel12 <= 0.08}
 
+    # -- gate 13: full-shape Mosaic COMPILE legality --------------------------
+    # (round 3 shipped a Mosaic tpu.concatenate layout regression that 272
+    # CPU tests + 12 quick on-device gates never saw: interpret-mode
+    # equivalence does not cover Mosaic layout legality — only real
+    # lowering/compile at real shapes does, and legality is SHAPE-dependent
+    # (the hop=64 lane offset was illegal where hop=256 was fine). Each
+    # entry compiles — on TPU — one driver-facing Pallas program at its
+    # EXACT bench/serving shape; off-TPU it runs the host-side Mosaic
+    # lowering via jax.export for the tpu platform. Compile-only: nothing
+    # executes, abstract avals avoid materializing the big operands, and
+    # the persistent compile cache makes warm re-runs cheap. These run in
+    # BOTH --quick and full mode by design.)
+    from jax import export as jexport
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.infer.export import make_serving_fn as _msf
+    from your_voice_tts_tpu.ops.pallas.griffin_lim import (
+        griffin_lim_pallas_full, griffin_lim_pallas_wave)
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def _shape_gate(name: str, fn, *avals):
+        try:
+            if on_tpu:
+                jax.jit(fn).lower(*avals).compile()
+                val = "compiled"
+            else:
+                jexport.export(jax.jit(fn), platforms=("tpu",))(*avals)
+                val = "tpu-lowered"
+            gates[name] = {"value": val, "limit": "compiles", "ok": True}
+        except Exception as e:
+            gates[name] = {"value": _short_err(e, 140), "limit": "compiles",
+                           "ok": False}
+
+    import dataclasses as _dc
+
+    here13 = os.path.dirname(os.path.abspath(__file__))
+    aval = jax.ShapeDtypeStruct
+
+    # 13a: headline GL wave kernel — B=384 x T=500, n_fft=1024/hop=256, the
+    # exact mel->wav program behind the driver-recorded headline number
+    acfg13 = AudioConfig()
+    w13 = jnp.asarray(hann_window(acfg13.win_length, acfg13.fft_size),
+                      jnp.float32)
+    Kf13 = acfg13.fft_size // 2 + 1
+    _shape_gate(
+        "shape_gl_wave_b384_t500",
+        lambda S: griffin_lim_pallas_wave(
+            S, 0, n_iters=acfg13.griffin_lim_iters, n_fft=acfg13.fft_size,
+            hop=acfg13.hop_length, window=w13,
+            momentum=acfg13.griffin_lim_momentum),
+        aval((384, 500, Kf13), jnp.float32))
+
+    # 13b: lane-unaligned GL (smoke audio n_fft=256/hop=64) at the exact
+    # Tp=224 shape that broke round 3, plus the serving max T=512
+    w13s = jnp.asarray(hann_window(256, 256), jnp.float32)
+    for tlen in (221, 512):
+        _shape_gate(
+            f"shape_gl_full_hop64_t{tlen}",
+            lambda S: griffin_lim_pallas_full(
+                S, 0, n_iters=15, n_fft=256, hop=64, window=w13s),
+            aval((16, tlen, 129), jnp.float32))
+
+    # 13c: weights-in-VMEM decode kernel at the batch-1 serving shape,
+    # FULL production model dims (quick mode otherwise only compiles the
+    # shrunken-dims kernel)
+    mcfg13 = ModelConfig(r=2, max_decoder_steps=500)
+    model13 = setup_model(len(symbols), 0,
+                          Config(audio=acfg13, model=mcfg13))
+    var13 = model13.init(jax.random.PRNGKey(0))
+    _shape_gate(
+        "shape_decode_kernel_b1_full_dims",
+        lambda v, t, l: model13.inference(
+            v, t, l, use_pallas=True)["postnet_outputs"],
+        var13, aval((1, 80), jnp.int32), aval((1,), jnp.int32))
+
+    # 13d: the WHOLE serving program (text ids -> wav) at the micro-batched
+    # HTTP shape — smoke config, B=16 x 64 text, max_decoder_steps=256:
+    # exactly what bench's serving section and the demo server compile
+    cfg13d = load_config(os.path.join(here13, "configs",
+                                      "smoke_synthetic.json"))
+    cfg13d = _dc.replace(
+        cfg13d, model=_dc.replace(cfg13d.model, max_decoder_steps=256))
+    model13d = setup_model(len(symbols), 0, cfg13d)
+    var13d = model13d.init(jax.random.PRNGKey(0))
+    ap13d = AudioProcessor(cfg13d.audio)
+    _shape_gate(
+        "shape_serving_smoke_b16",
+        _msf(model13d, var13d, cfg13d, ap13d, use_pallas=True),
+        aval((16, 64), jnp.int32), aval((16,), jnp.int32),
+        jax.random.PRNGKey(0))
+
+    # 13e: teacher-forced TRAINING kernels (fwd+bwd) at the B=128 knee,
+    # full production decoder dims, bf16 — the shapes the trainer ships
+    cfg13t = ModelConfig(r=2, attention_norm="sigmoid",
+                         separate_stopnet=False)
+    dec13t = Decoder(512, 80, 2, cfg13t)
+    p13t = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), dec13t.init(jax.random.PRNGKey(0)))
+    B13, Tm13, Ti13 = 128, 400, 128
+    lens13 = jnp.full((B13,), Ti13, jnp.int32)
+    maskf13 = sequence_mask(lens13, Ti13).astype(jnp.float32)
+    keys13 = jnp.zeros((Tm13 // 2, 2), jnp.uint32)
+    p_core13 = {"attention_rnn": p13t["attention_rnn"],
+                "decoder_rnn": p13t["decoder_rnn"],
+                "attention": p13t["attention"]}
+    dec13t.train_kernel = True
+    dec13t.train_kernel_interpret = False
+    core13 = make_scan_core(dec13t, use_dropout=False)
+
+    def loss13(p_core, pren_t, enc, proc):
+        dh, cx, al = core13(p_core, pren_t, enc, proc, maskf13, keys13)
+        return (jnp.sum(dh.astype(jnp.float32) ** 2)
+                + jnp.sum(cx.astype(jnp.float32) ** 2) + jnp.sum(al ** 2))
+
+    _shape_gate(
+        "shape_train_kernels_b128_full_dims",
+        jax.grad(loss13, argnums=(0, 1, 2, 3)),
+        p_core13,
+        aval((Tm13 // 2, B13, 256), jnp.bfloat16),    # prenet out, time-major
+        aval((B13, Ti13, 512), jnp.bfloat16),          # encoder memory
+        aval((B13, Ti13, 128), jnp.float32))           # processed inputs
+
     return gates
 
 

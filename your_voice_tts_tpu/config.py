@@ -143,6 +143,13 @@ class TrainingConfig:
     run_eval: bool = True
     test_delay_epochs: int = 0
     mixed_precision: bool = True      # bfloat16 matmuls on TPU
+    # high-batch training (round-4): batch_size is the OPTIMIZER batch; when
+    # grad_accum_steps > 1 each step runs that many sequential micro-batches
+    # of batch_size // grad_accum_steps rows and applies ONE averaged
+    # update — the memory fallback for B=256/512 configs on smaller chips.
+    # Identical numerics to the monolithic batch up to loss-mean
+    # re-weighting across micro-batches of equal size.
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)

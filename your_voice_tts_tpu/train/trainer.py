@@ -178,6 +178,7 @@ class Trainer:
     def _get_train_step(self, r: int):
         if r in self._train_steps:
             return self._train_steps[r]
+        A = max(1, int(self.cfg.training.grad_accum_steps))
 
         @partial(jax.jit, static_argnames=())
         def train_step(state: TrainState, batch, rng):
@@ -193,8 +194,53 @@ class Trainer:
             parts["grad_norm"] = grad_norm
             return new_state, parts
 
-        self._train_steps[r] = train_step
-        return train_step
+        @partial(jax.jit, static_argnames=())
+        def train_step_accum(state: TrainState, batch, rng):
+            """One optimizer step over A sequential micro-batches (the
+            high-batch memory fallback, cfg.training.grad_accum_steps):
+            grads/losses averaged over micro-batches, BN state threaded
+            through them, ONE optimizer update. lax.scan keeps the compiled
+            program size independent of A."""
+            # batched leaves split into A micro-batches; scalar leaves
+            # (e.g. n_real) broadcast so every micro sees the batch value
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((A, x.shape[0] // A) + x.shape[1:])
+                if jnp.ndim(x) >= 1
+                else jnp.broadcast_to(jnp.asarray(x), (A,)), batch)
+            keys = jax.random.split(rng, A)
+
+            def body(carry, xs):
+                model_state, gsum = carry
+                mb, key = xs
+                (loss, (model_state, parts)), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True)(
+                        state.params, model_state, mb, key, state.step, r)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                return (model_state, gsum), dict(parts)
+
+            gsum0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (model_state, gsum), parts_stack = jax.lax.scan(
+                body, (state.model_state, gsum0), (micro, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / A, gsum)
+            parts = {k: jnp.mean(v, axis=0) for k, v in parts_stack.items()}
+            grad_norm = optax_global_norm(grads)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            new_state = TrainState(params, model_state, opt_state,
+                                   state.step + 1)
+            parts["grad_norm"] = grad_norm
+            return new_state, parts
+
+        if A > 1 and self.cfg.training.batch_size % A != 0:
+            raise ValueError(
+                f"batch_size {self.cfg.training.batch_size} must be divisible "
+                f"by grad_accum_steps {A}")
+        self._train_steps[r] = train_step_accum if A > 1 else train_step
+        return self._train_steps[r]
 
     def _get_eval_step(self, r: int):
         if r in self._eval_steps:
