@@ -725,6 +725,46 @@ def capability_matrix_extras() -> dict:
     except Exception:
         pass
 
+    # High-batch supported mode (round-4, configs/ljspeech_tacotron2_b384):
+    # B=384 is the measured v5e knee (B=512 flat). Timed CHAINED — N steps
+    # dispatched, ONE host readback — because that is how the real training
+    # loop runs; per-call timing adds the ~30 ms remote-tunnel roundtrip to
+    # every step (round-4 sweep: 269 ms/step per-call vs 235 chained).
+    try:
+        batch384 = {
+            "text": jnp.asarray(rng.integers(1, len(symbols), (384, Tt)),
+                                jnp.int32),
+            "text_lengths": jnp.full((384,), Tt, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((384, Tm, 80)),
+                               jnp.float32),
+            "mel_lengths": jnp.full((384,), Tm, jnp.int32),
+            "stop_targets": jnp.zeros((384, Tm // 2), jnp.float32),
+        }
+        p384, o384, l384 = train_step(params, state, opt_state, batch384,
+                                      jax.random.PRNGKey(0))
+        float(l384)  # compile + warm
+        N384 = 6
+        t0 = time.time()
+        p384, o384 = params, opt_state
+        for i in range(N384):
+            p384, o384, l384 = train_step(p384, state, o384, batch384,
+                                          jax.random.PRNGKey(i))
+        float(l384)
+        dt384 = (time.time() - t0) / N384
+        out["train_step_ms_bf16_b384_chained"] = round(dt384 * 1000.0, 1)
+        out["train_mel_frames_per_s_b384"] = round(384 * Tm / dt384, 0)
+        compiled = train_step.lower(params, state, opt_state, batch384,
+                                    jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["train_step_mfu_b384"] = round(
+                flops / dt384 / (_peak_bf16_tflops(
+                    jax.devices()[0].device_kind) * 1e12), 4)
+    except Exception as e:
+        out["b384_error"] = _short_err(e)
+
     # --- config 4: WaveRNN batched folding (Pallas kernel) -------------------
     wr = WaveRNN()   # full-size: rnn 512, 10 res blocks, 10-bit mu-law
     wp = wr.init(jax.random.PRNGKey(0))
