@@ -1314,6 +1314,9 @@ def main() -> None:
     # B=128 kernel 5986x -> B=256 scan 6262x -> B=384 scan 6998x -> B=512
     # scan 7021x RT; bf16 at B=384 measured NO gain (6932x) — at this batch
     # the decode is scan-step-latency bound, not weight-streaming bound.
+    # Re-measured round 4 with the packed+fused-istft GL kernel: B=384
+    # 10,009x vs B=512 9,086x — the knee HOLDS (GL scales linearly in B,
+    # so the decode scan's post-knee sublinearity dominates past 384).
     B = args.batch or (4 if quick else 384)
     max_steps = args.steps or (20 if quick else 250)
     r = 2

@@ -43,6 +43,38 @@ def main() -> None:
 
     import numpy as np
 
+    # Create the gloo collective context NOW, while both processes are
+    # still rendezvous-synchronized from initialize(). Gloo's KV exchange
+    # has a HARDCODED 30 s window (no jax/XLA knob), and the first
+    # collective otherwise only happens after trainer construction + mel
+    # cache build + train-step compile — work that two contending
+    # interpreters on one core serialize, so the cross-process skew at
+    # first-collective time can blow past 30 s under external load (the
+    # round-3 judge failure: "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED: GetKeyValue() timed out ... 29.999s" during a
+    # concurrent TPU bench). Once the context exists it is reused; later
+    # skew no longer touches the 30 s window.
+    from jax.experimental import multihost_utils
+
+    # RETRIED: under heavy external load one interpreter can be starved off
+    # the core for >30 s even here, timing out the KV read. A local retry
+    # re-attempts the gloo rendezvous WITHOUT reporting anything to the
+    # coordination service — dying instead would propagate a fatal error
+    # that F-aborts the healthy peer (observed: "Terminating process
+    # because the JAX distributed service detected fatal errors").
+    import time
+
+    for attempt in range(6):
+        try:
+            multihost_utils.process_allgather(np.zeros((1,), np.float32))
+            break
+        except Exception as e:  # noqa: BLE001 - gloo DEADLINE_EXCEEDED
+            if attempt == 5:
+                raise
+            print(f"gloo warmup retry {attempt}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+            time.sleep(2.0)
+
     from your_voice_tts_tpu.config import load_config
     from your_voice_tts_tpu.train.trainer import Trainer
 
@@ -57,6 +89,12 @@ def main() -> None:
 
     trainer = Trainer(cfg, output_path=outdir, verbose=False)
     n_local = len(trainer.train_data)
+    # Barrier on the ALREADY-WARM allgather executable (no new gloo
+    # rendezvous) to re-align the processes after the trainer build —
+    # dataset/mel-cache construction is serialized across the two
+    # contending interpreters, and fit's first collective otherwise opens
+    # a fresh 30 s gloo KV window against that skew.
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
     metrics = trainer.fit(max_steps=2)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss

@@ -106,3 +106,20 @@ def test_example_config_loads():
     cfg = load_config("configs/ljspeech_tacotron2.json")
     check_config(cfg)
     assert cfg.model.model == "Tacotron2"
+
+
+def test_every_shipped_config_loads_and_validates():
+    """Every JSON under configs/ must parse (with // comments), route its
+    flat keys, and pass check_config — a new shipped config cannot rot."""
+    import glob
+    import os
+
+    from your_voice_tts_tpu.config import load_config
+
+    paths = sorted(glob.glob(os.path.join("configs", "*.json")))
+    assert len(paths) >= 4, paths
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.training.batch_size >= 1, p
+        assert cfg.training.grad_accum_steps >= 1, p
+        assert cfg.training.batch_size % cfg.training.grad_accum_steps == 0, p

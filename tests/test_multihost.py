@@ -87,11 +87,12 @@ def test_two_process_distributed_training(tmp_path):
         if all(rc == 0 for rc, _, _ in outs):
             break
         # backoff before retrying: XLA's gloo KV store has a HARDCODED 30 s
-        # GetKeyValue timeout (no jax/XLA knob as of jax 0.9), so under a
-        # sustained external load spike on this 1-core box every immediate
-        # retry fails the same way — give the box a moment to drain
+        # GetKeyValue timeout (no jax/XLA knob as of jax 0.9) that re-opens
+        # for EVERY new collective executable, so under a sustained external
+        # load spike on this 1-core box every immediate retry fails the same
+        # way — give the box time to drain before the next attempt
         import time
-        time.sleep(15 * attempt)
+        time.sleep(45 * attempt)
         outs, results = launch(attempt)
     for rc, out, err in outs:
         # full stderr on failure: the truncated tail hid worker-side causes
