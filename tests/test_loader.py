@@ -262,3 +262,86 @@ def test_unknown_speaker_raises(tmp_path):
                     speakers={"SYN00": 0})  # SYN01 missing
     with pytest.raises(KeyError, match="missing from the speaker mapping"):
         next(iter(ds.batches(batch_size=2, r=2)))
+
+
+def test_token_batching_invariants_and_fill(tmp_path):
+    """tokens_per_batch batches satisfy B_shape * T_mel <= budget (single
+    over-budget rows excepted), B_shape is a quantum multiple, every item
+    appears exactly once, and mel fill beats fixed-B on a long-tailed
+    corpus."""
+    import dataclasses
+
+    path = str(tmp_path / "longtail")
+    make_synthetic_corpus(path, n_items=96, sr=8000,
+                          words_cycle=(2, 3, 4, 5, 6, 8, 10, 12, 14, 16))
+    cfg = Config(
+        audio=SMALL_AUDIO,
+        data=DataConfig(
+            datasets=(DatasetConfig(name="synthetic", path=path,
+                                    meta_file_train="metadata.csv"),),
+            min_seq_len=1, max_seq_len=10**9, batch_group_size=2,
+        ),
+    )
+    items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
+    ap = AudioProcessor(cfg.audio)
+    fixed = TTSDataset(items, cfg, ap)
+
+    def fill(batches):
+        real = padded = 0
+        seen = 0
+        for b in batches:
+            real += int(np.sum(b["mel_lengths"]))
+            padded += b["mel"].shape[0] * b["mel"].shape[1]
+            seen += int(b["n_real"])
+        return real / padded, seen
+
+    TOKENS = 16 * 512
+    tok_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, tokens_per_batch=TOKENS))
+    tok = TTSDataset(items, tok_cfg, ap)
+
+    shapes = set()
+    n_seen = 0
+    for b in tok.batches(64, R, shuffle=True, seed=1):
+        B, T = b["mel"].shape[0], b["mel"].shape[1]
+        shapes.add((B, T))
+        assert B % TTSDataset._B_QUANTUM == 0, (B, T)
+        assert B <= 64, B
+        n_real = int(b["n_real"])
+        assert B * T <= TOKENS or n_real == 1, (B, T, n_real)
+        n_seen += n_real
+    assert n_seen == len(items)
+    assert len(shapes) > 1, "long-tailed corpus should produce varied shapes"
+
+    fill_fixed, seen_fixed = fill(fixed.batches(64, R, shuffle=True, seed=1))
+    fill_tok, seen_tok = fill(tok.batches(64, R, shuffle=True, seed=1))
+    assert seen_fixed == seen_tok == len(items)
+    assert fill_tok > fill_fixed, (fill_tok, fill_fixed)
+
+
+def test_token_batching_trains_end_to_end(tmp_path):
+    """The trainer consumes variable-(B, T) token batches through real fit
+    steps (one compile per shape; finite loss; params move)."""
+    import dataclasses
+
+    import jax
+
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.train.trainer import Trainer
+
+    path = str(tmp_path / "corpus")
+    make_synthetic_corpus(path, n_items=16, sr=8000, words_cycle=(3, 8))
+    cfg = load_config("configs/smoke_synthetic.json")
+    ds = dataclasses.replace(cfg.data.datasets[0], path=path)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, datasets=(ds,),
+                                 tokens_per_batch=8 * 96),
+        training=dataclasses.replace(cfg.training, batch_size=8, epochs=1,
+                                     run_eval=False))
+    trainer = Trainer(cfg, output_path=None, verbose=False)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    metrics = trainer.fit(max_steps=3)
+    assert np.isfinite(metrics["loss"])
+    p1 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    assert np.abs(p1 - p0).max() > 0.0

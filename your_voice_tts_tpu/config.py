@@ -168,6 +168,13 @@ class DataConfig:
     num_loader_workers: int = 4
     num_val_loader_workers: int = 4
     batch_group_size: int = 0
+    # Token-based batching (round-4): when set, training batches are formed
+    # so that B_shape * T_mel_bucket <= tokens_per_batch, with B quantized
+    # to multiples of 8 (bounded compile count, device-divisible shapes)
+    # and capped at training.batch_size rows. Short buckets get MORE rows —
+    # near-constant step cost and memory, far less pad waste than fixed-B
+    # on length-skewed corpora. None = reference fixed-B batching.
+    tokens_per_batch: int | None = None
     use_phonemes: bool = False
     phoneme_language: str = "en-us"
     # pin the G2P backend class name ("EspeakBackend"/"CMUDictBackend"/

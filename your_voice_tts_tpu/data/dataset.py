@@ -206,6 +206,14 @@ class TTSDataset:
                 seg = idxs[s: s + bgs]
                 rng.shuffle(seg)
                 idxs[s: s + bgs] = seg
+        tokens = self.cfg.data.tokens_per_batch
+        if tokens:
+            groups = self._token_batches(idxs, batch_size, r, tokens)
+            if shuffle:
+                rng.shuffle(groups)
+            for b, b_shape in groups:
+                yield self._collate([self.entries[i] for i in b], b_shape, r)
+            return
         batches = [idxs[s: s + batch_size] for s in range(0, len(idxs), batch_size)]
         if drop_last and batches and len(batches[-1]) < batch_size:
             batches.pop()
@@ -213,6 +221,37 @@ class TTSDataset:
             rng.shuffle(batches)
         for b in batches:
             yield self._collate([self.entries[i] for i in b], batch_size, r)
+
+    _B_QUANTUM = 8  # batch-dim quantum: bounds compile count, keeps shapes
+    #                 divisible for the virtual/real device meshes
+
+    def _token_batches(self, idxs, max_rows: int, r: int, tokens: int
+                       ) -> list[tuple[list[int], int]]:
+        """Greedy constant-cost grouping over the (length-sorted, group-
+        shuffled) index walk: each batch satisfies B_shape * T_mel_bucket
+        <= tokens with B_shape = rows rounded up to the quantum (phantom
+        rows are padded and fully loss-masked, exactly like fixed-B's short
+        final batch), capped at max_rows. A single over-budget utterance
+        still ships alone — rows are never split. Returns
+        [(entry_indices, B_shape), ...]."""
+        q = self._B_QUANTUM
+        quant = lambda n: -(-n // q) * q                    # noqa: E731
+        out: list[tuple[list[int], int]] = []
+        cur: list[int] = []
+        cur_mel = 0
+        for i in idxs:
+            m = _bucket(self.entries[i]["mel_len"], r * FRAME_PAD)
+            cand_mel = max(cur_mel, m)
+            if cur and (quant(len(cur) + 1) * cand_mel > tokens
+                        or len(cur) + 1 > max_rows):
+                out.append((cur, quant(len(cur))))
+                cur, cur_mel = [], 0
+                cand_mel = m
+            cur.append(i)
+            cur_mel = cand_mel
+        if cur:
+            out.append((cur, quant(len(cur))))
+        return out
 
     def _collate(self, entries, batch_size: int, r: int) -> dict[str, np.ndarray]:
         B = batch_size  # fixed batch dim: short final batches are padded
