@@ -319,6 +319,7 @@ def test_token_batching_invariants_and_fill(tmp_path):
     assert fill_tok > fill_fixed, (fill_tok, fill_fixed)
 
 
+@pytest.mark.slow  # ~10 s: one train-step compile per (B, T) shape
 def test_token_batching_trains_end_to_end(tmp_path):
     """The trainer consumes variable-(B, T) token batches through real fit
     steps (one compile per shape; finite loss; params move)."""

@@ -255,6 +255,7 @@ def test_grad_accum_matches_monolithic(smoke_cfg):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # ~16 s: full accum-step compile; parity test above is fast
 def test_grad_accum_fit_end_to_end(smoke_cfg):
     """The accumulating step runs through the REAL training loop (real model
     loss, BN state threading, metrics readback) with finite results."""
