@@ -1,0 +1,226 @@
+"""ParallelTTS (non-autoregressive family) tests: length-regulator
+numerics vs a numpy reference, masking, training convergence, duration
+round-trip, and an end-to-end text→mel→Griffin-Lim drive through the
+standard model API."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from your_voice_tts_tpu.config import AudioConfig, Config, ModelConfig
+from your_voice_tts_tpu.models import setup_model
+from your_voice_tts_tpu.models.parallel_tts import (ParallelTTSLoss,
+                                                    length_regulate,
+                                                    uniform_durations)
+from your_voice_tts_tpu.text import symbols
+
+MCFG = ModelConfig(embedding_dim=32, encoder_dim=32, postnet_dim=32,
+                   parallel_decoder_blocks=2, duration_predictor_dim=16,
+                   max_decoder_steps=64, r=1)
+N_MELS = 20
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = Config(audio=AudioConfig(num_mels=N_MELS), model=dataclasses.replace(
+        MCFG, model="ParallelTTS"))
+    model = setup_model(len(symbols), 0, cfg)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_length_regulate_matches_numpy_repeat():
+    rng = np.random.default_rng(0)
+    B, T, D, M = 3, 5, 4, 16
+    enc = rng.standard_normal((B, T, D)).astype(np.float32)
+    dur = np.array([[3, 0, 2, 4, 1],    # total 10
+                    [1, 1, 1, 1, 1],    # total 5
+                    [8, 8, 8, 0, 0]],   # total 24 -> truncated to 16
+                   np.int32)
+    frames, mask, idx, total = length_regulate(jnp.asarray(enc),
+                                               jnp.asarray(dur), M)
+    frames, mask, total = map(np.asarray, (frames, mask, total))
+    for b in range(B):
+        ref = np.repeat(enc[b], dur[b], axis=0)[:M]
+        n = ref.shape[0]
+        assert total[b] == n
+        np.testing.assert_allclose(frames[b, :n], ref, rtol=1e-6)
+        assert mask[b, :n].all() and not mask[b, n:].any()
+        np.testing.assert_allclose(frames[b, n:], 0.0)
+
+
+def test_uniform_durations_sum_exactly():
+    tl = jnp.asarray([5, 3, 1], jnp.int32)
+    ml = jnp.asarray([17, 9, 4], jnp.int32)
+    d = np.asarray(uniform_durations(tl, ml, 6))
+    np.testing.assert_array_equal(d.sum(axis=1), np.asarray(ml))
+    for b, L in enumerate(np.asarray(tl)):
+        assert (d[b, L:] == 0).all()
+        assert (d[b, :L] > 0).all()
+
+
+def test_forward_shapes_and_masking(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    B, T, M = 2, 12, 40
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T)), jnp.int32)
+    tl = jnp.asarray([12, 7], jnp.int32)
+    ml = jnp.asarray([40, 22], jnp.int32)
+    dur = uniform_durations(tl, ml, T)
+    out = model.forward(variables, text, tl, dur, rng=jax.random.PRNGKey(0),
+                        train=True, max_frames=M)
+    assert out["postnet_outputs"].shape == (B, M, N_MELS)
+    assert out["log_durations"].shape == (B, T)
+    lens = np.asarray(out["mel_lengths"])
+    np.testing.assert_array_equal(lens, np.asarray(ml))
+    post = np.asarray(out["postnet_outputs"])
+    assert np.abs(post[1, 22:]).max() == 0.0       # masked past row total
+    al = np.asarray(out["alignments"])             # [B, M, T] one-hot
+    np.testing.assert_allclose(al[0].sum(-1), np.ones(M))
+    # pad tokens (row 1 has 7 real) never receive frames
+    assert al[1, :, 7:].sum() == 0.0
+
+
+def test_training_loss_decreases(model_and_vars):
+    model, variables = model_and_vars
+    import optax
+
+    rng = np.random.default_rng(2)
+    B, T, M = 4, 10, 32
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T)), jnp.int32)
+    tl = jnp.full((B,), T, jnp.int32)
+    ml = jnp.full((B,), M, jnp.int32)
+    dur = uniform_durations(tl, ml, T)
+    mel = jnp.asarray(rng.standard_normal((B, M, N_MELS)) * 0.1, jnp.float32)
+    criterion = ParallelTTSLoss()
+    opt = optax.adam(1e-3)
+    params, state = variables["params"], variables["state"]
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, key):
+        def loss_fn(p):
+            out = model.forward({"params": p, "state": state}, text, tl, dur,
+                                rng=key, train=True, max_frames=M)
+            total, parts = criterion(out, mel, dur, tl)
+            return total, (out["state"], parts)
+
+        (loss, (new_state, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, opt_state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = step(params, state, opt_state, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_inference_end_to_end_with_griffin_lim(model_and_vars):
+    model, variables = model_and_vars
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+
+    rng = np.random.default_rng(3)
+    acfg = AudioConfig(num_mels=N_MELS, fft_size=256, hop_length=64,
+                       win_length=256, sample_rate=8000, mel_fmax=None)
+    from your_voice_tts_tpu.audio import AudioProcessor
+
+    ap = AudioProcessor(acfg)
+    B, T = 2, 8
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T)), jnp.int32)
+    tl = jnp.asarray([8, 5], jnp.int32)
+    out = model.inference(variables, text, tl, max_decoder_steps=48)
+    assert out["postnet_outputs"].shape == (B, 48, N_MELS)
+    lens = np.asarray(out["mel_lengths"])
+    assert (lens >= 0).all() and (lens <= 48).all()
+    window = jnp.asarray(hann_window(acfg.win_length, acfg.fft_size))
+    wav = dsp.inv_melspectrogram_batch(
+        out["postnet_outputs"], jax.random.PRNGKey(0),
+        mel_inv_basis=jnp.asarray(ap.inv_mel_basis), window=window,
+        n_fft=acfg.fft_size, hop=acfg.hop_length, preemph=acfg.preemphasis,
+        ref_level_db=acfg.ref_level_db, min_level_db=acfg.min_level_db,
+        spec_gain=acfg.spec_gain, max_norm=acfg.max_norm,
+        symmetric=acfg.symmetric_norm, clip=acfg.clip_norm, power=acfg.power,
+        gl_iters=4, gl_momentum=0.9)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_speed_controls_durations(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(4)
+    text = jnp.asarray(rng.integers(1, len(symbols), (1, 10)), jnp.int32)
+    tl = jnp.asarray([10], jnp.int32)
+    slow = model.inference(variables, text, tl, max_decoder_steps=64,
+                           speed=0.5)
+    fast = model.inference(variables, text, tl, max_decoder_steps=64,
+                           speed=2.0)
+    assert int(np.asarray(slow["durations"]).sum()) >= \
+        int(np.asarray(fast["durations"]).sum())
+
+
+def test_durations_from_alignment_repair():
+    from your_voice_tts_tpu.bin.extract_durations import durations_from_alignment
+
+    rng = np.random.default_rng(5)
+    steps, T = 9, 6
+    align = rng.random((steps, T)).astype(np.float32)
+    # r=2, mel_len=17: last r-group overshoots by 1 -> repaired exactly
+    d = durations_from_alignment(align, T, 17, r=2)
+    assert d.sum() == 17 and (d >= 0).all() and d.shape == (T,)
+    # degenerate single-token attention
+    align1 = np.zeros((5, T), np.float32)
+    align1[:, 2] = 1.0
+    d1 = durations_from_alignment(align1, T, 10, r=2)
+    assert d1.sum() == 10 and d1[2] == 10
+
+
+@pytest.mark.slow  # teacher forward + two CLI mains (~20 s warm)
+def test_extract_then_train_parallel_end_to_end(tmp_path):
+    """The full distillation recipe on the committed TRAINED teacher:
+    extract durations from Tacotron2 alignments over a synthetic corpus,
+    then train ParallelTTS on them for a few steps through the CLI."""
+    import os
+
+    from your_voice_tts_tpu.bin.extract_durations import main as extract_main
+    from your_voice_tts_tpu.bin.train_parallel import main as train_main
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    ckpt = os.path.join("assets", "bench_trained_smoke.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("trained smoke checkpoint not committed")
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_items=12, sr=8000)
+    durs = str(tmp_path / "durations.npz")
+    extract_main(["--config", "configs/smoke_synthetic.json",
+                  "--checkpoint", ckpt, "--data_path", corpus,
+                  "--output", durs, "--batch_size", "8"])
+    z = np.load(durs)
+    assert len(z.files) >= 8
+    assert all(z[k].sum() > 0 and (z[k] >= 0).all() for k in z.files)
+
+    out_dir = str(tmp_path / "run")
+    parts = train_main(["--config_path", "configs/smoke_synthetic.json",
+                        "--data_path", corpus, "--durations", durs,
+                        "--output_path", out_dir, "--max_steps", "3"])
+    assert np.isfinite(parts["loss"])
+    assert any(f.startswith("checkpoint_") for f in os.listdir(out_dir))
+
+
+def test_train_parallel_uniform_smoke(tmp_path):
+    """Uniform-duration bootstrap path: 2 steps through the CLI main."""
+    from your_voice_tts_tpu.bin.train_parallel import main as train_main
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_items=8, sr=8000)
+    parts = train_main(["--config_path", "configs/smoke_synthetic.json",
+                        "--data_path", corpus, "--max_steps", "2"])
+    assert np.isfinite(parts["loss"])
+    assert "loss_duration" in parts

@@ -1,0 +1,175 @@
+"""ParallelTTS trainer CLI (the non-autoregressive family's training loop).
+
+python -m your_voice_tts_tpu.bin.train_parallel \
+    --config_path config.json --data_path corpus/ \
+    [--durations durations.npz] [--max_steps N] [--output_path runs/par]
+
+Same DP recipe as every trainer here (SURVEY.md §2.3): params/opt
+replicated over the 'data' mesh, batch sharded, XLA inserts the gradient
+all-reduce. Teacher durations come from `bin/extract_durations.py`
+(`--durations`); without them, uniform durations bootstrap the model
+(smoke runs / pre-alignment warm start). Because the whole step is
+convolutions and matmuls (no serial decoder scan), this trainer runs at a
+far higher MFU than the autoregressive family — the architectural lever
+named by STATUS.md's round-4 roofline writeup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description="Train ParallelTTS")
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--meta_file", default="metadata.csv")
+    p.add_argument("--durations", default=None,
+                   help=".npz from bin/extract_durations (wav basename -> "
+                        "int32 [T_tokens]); omitted = uniform durations")
+    p.add_argument("--output_path", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--save_step", type=int, default=1000)
+    p.add_argument("--restore_path", default=None)
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ..audio import AudioProcessor
+    from ..config import load_config
+    from ..data.dataset import TTSDataset
+    from ..data.formatters import load_meta_data
+    from ..models import setup_model
+    from ..models.parallel_tts import ParallelTTSLoss, uniform_durations
+    from ..parallel import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import pad_batch_to_devices
+    from ..text import symbols
+    from ..train.checkpoint import load_checkpoint, save_checkpoint
+    from ..train.optim import build_optimizer
+
+    cfg = load_config(args.config_path)
+    if cfg.model.model != "ParallelTTS":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, model="ParallelTTS"))
+    ds0 = dataclasses.replace(cfg.data.datasets[0], path=args.data_path,
+                              meta_file_train=args.meta_file)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, datasets=(ds0,)))
+    items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
+    ap = AudioProcessor(cfg.audio)
+    dataset = TTSDataset(items, cfg, ap)
+
+    dur_table = None
+    if args.durations:
+        with np.load(args.durations) as z:
+            dur_table = {k: z[k] for k in z.files}
+
+    model = setup_model(len(symbols), 0, cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    params, state = variables["params"], variables["state"]
+    optimizer = build_optimizer(cfg.training)
+    opt_state = optimizer.init(params)
+    step0 = 0
+    if args.restore_path:
+        params, state, opt_state, meta = load_checkpoint(
+            args.restore_path, params=params, model_state=state,
+            opt_state=opt_state)
+        step0 = int(meta.get("step", 0))
+
+    mesh = make_mesh()
+    params = jax.device_put(params, replicate(mesh))
+    state = jax.device_put(state, replicate(mesh))
+    opt_state = jax.device_put(opt_state, replicate(mesh))
+    criterion = ParallelTTSLoss()
+
+    def batch_durations(batch, entries_group):
+        """Teacher durations for a collated batch: table lookup by wav
+        basename (repaired to the bucketed mel length) or uniform."""
+        B, T = batch["text"].shape
+        if dur_table is None:
+            return np.asarray(uniform_durations(
+                jnp.asarray(batch["text_lengths"]),
+                jnp.asarray(batch["mel_lengths"]), T))
+        out = np.zeros((B, T), np.int32)
+        for i, e in enumerate(entries_group):
+            key = os.path.splitext(os.path.basename(e["wav"]))[0]
+            d = dur_table[key]
+            out[i, : len(d)] = d
+        return out
+
+    def loss_fn(params, state, batch, key):
+        out = model.forward(
+            {"params": params, "state": state}, batch["text"],
+            batch["text_lengths"], batch["durations"], rng=key, train=True,
+            max_frames=batch["mel"].shape[1])
+        total, parts = criterion(out, batch["mel"], batch["durations"],
+                                 batch["text_lengths"])
+        return total, (out["state"], parts)
+
+    @jax.jit
+    def train_step(params, state, opt_state, batch, key):
+        (loss, (state, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, state, opt_state, parts
+
+    # length-sorted static groups (one compile per bucket shape), walked
+    # in shuffled group order each epoch
+    B = cfg.training.batch_size
+    groups = [dataset.entries[s: s + B]
+              for s in range(0, len(dataset.entries), B)]
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(42)
+    step = step0
+    last_parts: dict = {}
+    t0 = time.time()
+    for epoch in range(cfg.training.epochs):
+        order = rng_np.permutation(len(groups))
+        for gi in order:
+            group = groups[gi]
+            batch = dataset._collate(group, len(group), 1)
+            batch["durations"] = batch_durations(batch, group)
+            batch = {k: np.asarray(v) for k, v in batch.items()
+                     if k in ("text", "text_lengths", "mel", "mel_lengths",
+                              "durations")}
+            # phantom rows: durations all-zero -> zero frames, fully masked
+            batch = shard_batch(
+                pad_batch_to_devices(batch, mesh.devices.size), mesh)
+            key, sub = jax.random.split(key)
+            params, state, opt_state, parts = train_step(
+                params, state, opt_state, batch, sub)
+            step += 1
+            last_parts = {k: float(v) for k, v in parts.items()}
+            if step % 25 == 0:
+                print(f" > step {step} loss {last_parts['loss']:.4f} "
+                      f"dur {last_parts['loss_duration']:.4f} "
+                      f"({(time.time() - t0):.0f}s)", flush=True)
+            if args.output_path and step % args.save_step == 0:
+                save_checkpoint(
+                    os.path.join(args.output_path, f"checkpoint_{step}.npz"),
+                    params=params, model_state=state, opt_state=opt_state,
+                    step=step, epoch=epoch, r=1,
+                    extra={"model": "ParallelTTS"})
+            if args.max_steps and step - step0 >= args.max_steps:
+                break
+        else:
+            continue
+        break
+    if args.output_path:
+        save_checkpoint(
+            os.path.join(args.output_path, f"checkpoint_{step}.npz"),
+            params=params, model_state=state, opt_state=opt_state,
+            step=step, epoch=0, r=1, extra={"model": "ParallelTTS"})
+    return last_parts
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,9 @@ class ModelConfig:
     postnet_dim: int = 512
     max_decoder_steps: int = 500
     stop_threshold: float = 0.6      # sigmoid(stop) > thresh ends inference
+    # ParallelTTS (non-autoregressive family, models/parallel_tts.py)
+    parallel_decoder_blocks: int = 6
+    duration_predictor_dim: int = 256
     # serving fast path: "bfloat16" runs inference matmuls at MXU-native
     # precision (alignments/outputs stay f32; see models/tacotron2.py).
     # Training precision is unaffected.

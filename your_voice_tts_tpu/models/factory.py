@@ -42,4 +42,14 @@ def setup_model(num_chars: int, num_speakers: int, cfg: Config,
             gst_cfg=cfg.speakers.gst,
             r_init=r_init,
         )
+    if name == "ParallelTTS":
+        from .parallel_tts import ParallelTTS
+
+        return ParallelTTS(
+            num_chars=num_chars,
+            cfg=cfg.model,
+            n_mels=cfg.audio.num_mels,
+            num_speakers=num_speakers,
+            speaker_embedding_dim=speaker_embedding_dim,
+        )
     raise ValueError(f"unknown model {name!r}")

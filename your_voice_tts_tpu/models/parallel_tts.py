@@ -1,0 +1,312 @@
+"""ParallelTTS — a NON-autoregressive, TPU-first model family.
+
+The Tacotron family's training/serving ceiling on TPU is the serial
+teacher-forced recurrence: 200 sequential decoder steps bound the step at
+MFU ~0.18 even at the measured B=384 knee (STATUS.md round-4 writeup —
+"the remaining levers are architectural"). This module IS that lever: a
+duration-based parallel model (FastSpeech/SpeedySpeech-style recipe) whose
+entire forward is batched convolutions and matmuls — no `lax.scan`, no
+per-step serial chain — so the MXU sees one large fused graph for the whole
+utterance and serving is O(1) launches regardless of length.
+
+Not a port of any reference file (the reference is autoregressive-only;
+SURVEY.md §2 lists no parallel family): this extends the rebuild beyond
+reference parity along the axis its roofline analysis identified.
+
+Pieces:
+- text encoder: the same conv+BiLSTM encoder as Tacotron2 (shared module).
+- duration predictor: conv stack over (stop-gradient) encoder states →
+  per-token log-durations (trained on teacher durations; see
+  `bin/extract_durations.py` for extracting them from a trained Tacotron2's
+  alignments, or uniform durations for smoke runs).
+- length regulator: static-shape expansion — frame i of row b reads token
+  `idx[b, i] = #{t : cum_dur[b, t] <= i}` via one comparison-sum and one
+  gather. No scatter, no ragged shapes; frames past the row's total are
+  masked. (The classic repeat-interleave is a scatter — this formulation is
+  the TPU-friendly transpose of it.)
+- decoder: residual ConvBN blocks over the expanded states + linear mel
+  head, then the standard Tacotron2 postnet as a refiner.
+
+API mirrors the autoregressive models (`init/forward/inference` with
+`postnet_outputs`/`mel_lengths`/`alignments` keys), so the existing
+synthesis/serving/vocoder stack drives it unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..nn.core import Conv1d, Dense, Embedding
+from .common import ConvBNBlock, sequence_mask
+from .tacotron2 import Encoder, Postnet
+
+Params = dict
+
+
+def length_regulate(enc_out, durations, max_frames: int):
+    """Expand token states to frame states by integer durations.
+
+    enc_out [B, T, D]; durations [B, T] int32 (frames per token, 0 for
+    pad tokens). Returns (frames [B, max_frames, D], frame_mask
+    [B, max_frames] bool, idx [B, max_frames] int32, total [B] int32).
+    Rows whose total exceeds max_frames are truncated (static shapes)."""
+    cum = jnp.cumsum(durations, axis=1)                      # [B, T]
+    total = jnp.minimum(cum[:, -1], max_frames)
+    i = jnp.arange(max_frames)[None, :, None]                # [1, M, 1]
+    # frame i belongs to the first token whose cumulative end exceeds i
+    idx = jnp.sum(i >= cum[:, None, :], axis=-1)             # [B, M]
+    idx = jnp.minimum(idx, enc_out.shape[1] - 1).astype(jnp.int32)
+    frames = jnp.take_along_axis(enc_out, idx[..., None], axis=1)
+    frame_mask = jnp.arange(max_frames)[None, :] < total[:, None]
+    return frames * frame_mask[..., None].astype(frames.dtype), \
+        frame_mask, idx, total.astype(jnp.int32)
+
+
+class DurationPredictor:
+    """Conv stack + linear head → per-token log(1 + duration)."""
+
+    def __init__(self, in_dim: int, hidden: int = 256, kernel: int = 3,
+                 n_layers: int = 2, dropout: float = 0.1):
+        dims = [in_dim] + [hidden] * n_layers
+        self.blocks = [ConvBNBlock(dims[i], dims[i + 1], kernel, "relu",
+                                   dropout=dropout)
+                       for i in range(n_layers)]
+        self.proj = Dense(hidden, 1)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.blocks) + 1)
+        return {"blocks": [b.init(k) for b, k in zip(self.blocks, ks)],
+                "proj": self.proj.init(ks[-1])}
+
+    def init_state(self) -> Params:
+        return {"blocks": [b.init_state() for b in self.blocks]}
+
+    def __call__(self, p: Params, state: Params, x, mask, rng, train: bool):
+        new_blocks = []
+        for i, blk in enumerate(self.blocks):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            x, ns = blk(p["blocks"][i], state["blocks"][i], x, sub, train,
+                        mask=mask)
+            new_blocks.append(ns)
+        logd = self.proj(p["proj"], x)[..., 0]               # [B, T]
+        return logd * mask.astype(logd.dtype), {"blocks": new_blocks}
+
+
+class ParallelTTS:
+    """Duration-based parallel text-to-mel model (module docstring)."""
+
+    def __init__(self, num_chars: int, cfg: ModelConfig, n_mels: int,
+                 num_speakers: int = 0, speaker_embedding_dim: int = 0):
+        self.cfg = cfg
+        self.n_mels = n_mels
+        self.num_speakers = num_speakers
+        dim = cfg.encoder_dim
+        self.embedding = Embedding(num_chars, cfg.embedding_dim)
+        self.embed_proj = (Dense(cfg.embedding_dim, dim)
+                           if cfg.embedding_dim != dim else None)
+        self.encoder = Encoder(dim)
+        spk_dim = 0
+        self.speaker_table = None
+        if num_speakers > 1 and speaker_embedding_dim == 0:
+            spk_dim = 64
+            self.speaker_table = Embedding(num_speakers, spk_dim)
+        elif speaker_embedding_dim:
+            spk_dim = speaker_embedding_dim
+        self.spk_proj = Dense(dim + spk_dim, dim) if spk_dim else None
+        self.duration = DurationPredictor(dim, cfg.duration_predictor_dim)
+        blocks = []
+        for _ in range(cfg.parallel_decoder_blocks):
+            blocks.append(ConvBNBlock(dim, dim, 5, "relu", dropout=0.1))
+        self.decoder_blocks = blocks
+        self.mel_head = Dense(dim, n_mels)
+        self.postnet = Postnet(n_mels, cfg.postnet_dim)
+        # API-compat shims used by generic serving glue
+        self.r = 1
+
+    def set_r(self, r: int) -> None:  # gradual-training no-op (parallel)
+        self.r = 1
+
+    # --- params --------------------------------------------------------------
+
+    def init(self, key):
+        ks = jax.random.split(key, 8)
+        params = {
+            "embedding": self.embedding.init(ks[0]),
+            "encoder": self.encoder.init(ks[1]),
+            "duration": self.duration.init(ks[2]),
+            "decoder": [b.init(k) for b, k in zip(
+                self.decoder_blocks, jax.random.split(ks[3],
+                                                      len(self.decoder_blocks)))],
+            "mel_head": self.mel_head.init(ks[4]),
+            "postnet": self.postnet.init(ks[5]),
+        }
+        if self.embed_proj is not None:
+            params["embed_proj"] = self.embed_proj.init(ks[6])
+        if self.speaker_table is not None:
+            params["speaker_table"] = self.speaker_table.init(ks[7])
+        if self.spk_proj is not None:
+            params["spk_proj"] = self.spk_proj.init(ks[7])
+        state = {
+            "encoder": self.encoder.init_state(),
+            "duration": self.duration.init_state(),
+            "decoder": [b.init_state() for b in self.decoder_blocks],
+            "postnet": self.postnet.init_state(),
+        }
+        return {"params": params, "state": state}
+
+    # --- shared trunk --------------------------------------------------------
+
+    def _encode(self, params, state, text, text_lengths, rng, train,
+                speaker_ids, speaker_embeddings):
+        x = self.embedding(params["embedding"], text)
+        if self.embed_proj is not None:
+            x = self.embed_proj(params["embed_proj"], x)
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        enc, enc_state = self.encoder(params["encoder"], state["encoder"],
+                                      x, text_lengths, sub, train)
+        spk = None
+        if self.speaker_table is not None and speaker_ids is not None:
+            spk = self.speaker_table(params["speaker_table"], speaker_ids)
+        elif speaker_embeddings is not None:
+            spk = speaker_embeddings
+        if spk is not None and self.spk_proj is not None:
+            spk_b = jnp.broadcast_to(spk[:, None, :],
+                                     enc.shape[:2] + (spk.shape[-1],))
+            enc = self.spk_proj(params["spk_proj"],
+                                jnp.concatenate([enc, spk_b], axis=-1))
+        return enc, enc_state, rng
+
+    def _decode(self, params, state, frames, frame_mask, rng, train):
+        x = frames
+        dec_states = []
+        for i, blk in enumerate(self.decoder_blocks):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            y, ns = blk(params["decoder"][i], state["decoder"][i], x, sub,
+                        train, mask=frame_mask)
+            x = (x + y) * frame_mask[..., None].astype(x.dtype)  # residual
+            dec_states.append(ns)
+        mel = self.mel_head(params["mel_head"], x)
+        residual, post_state = self.postnet(params["postnet"],
+                                            state["postnet"], mel, None,
+                                            train=train)
+        maskf = frame_mask[..., None].astype(mel.dtype)
+        return mel * maskf, (mel + residual) * maskf, dec_states, post_state
+
+    # --- training ------------------------------------------------------------
+
+    def forward(self, variables, text, text_lengths, durations, rng=None,
+                train: bool = True, max_frames: int | None = None,
+                speaker_ids=None, speaker_embeddings=None):
+        """Teacher-duration forward. durations [B, T_text] int32 frames per
+        token (0 on pad tokens); max_frames defaults to the mel bucket the
+        caller trains against (sum of the longest row, rounded up)."""
+        params, state = variables["params"], variables["state"]
+        enc, enc_state, rng = self._encode(params, state, text, text_lengths,
+                                           rng, train, speaker_ids,
+                                           speaker_embeddings)
+        tok_mask = sequence_mask(text_lengths, text.shape[1])
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        # duration predictor trains against teacher durations; its gradient
+        # must not steer the encoder (FastPitch-style stop-gradient)
+        logd, dur_state = self.duration(params["duration"], state["duration"],
+                                        jax.lax.stop_gradient(enc), tok_mask,
+                                        sub, train)
+        M = max_frames or int(durations.sum(axis=1).max())
+        frames, frame_mask, idx, total = length_regulate(enc, durations, M)
+        mel, post, dec_states, post_state = self._decode(
+            params, state, frames, frame_mask, rng, train)
+        return {
+            "decoder_outputs": mel,
+            "postnet_outputs": post,
+            "log_durations": logd,
+            "frame_mask": frame_mask,
+            "mel_lengths": total,
+            "alignments": _pseudo_alignment(idx, frame_mask, text.shape[1]),
+            "state": {"encoder": enc_state, "duration": dur_state,
+                      "decoder": dec_states, "postnet": post_state},
+        }
+
+    # --- serving -------------------------------------------------------------
+
+    def inference(self, variables, text, text_lengths, rng=None,
+                  max_decoder_steps: int | None = None, speed: float = 1.0,
+                  speaker_ids=None, speaker_embeddings=None, **_compat):
+        """Predicted-duration synthesis. max_decoder_steps is in FRAMES here
+        (the parallel model has no r-groups); defaults to the config cap.
+        speed > 1 shortens durations (faster speech)."""
+        params, state = variables["params"], variables["state"]
+        enc, _, rng = self._encode(params, state, text, text_lengths, None,
+                                   False, speaker_ids, speaker_embeddings)
+        tok_mask = sequence_mask(text_lengths, text.shape[1])
+        logd, _ = self.duration(params["duration"], state["duration"], enc,
+                                tok_mask, None, False)
+        d = jnp.round((jnp.exp(logd) - 1.0) / speed)
+        d = jnp.maximum(d, 0.0) * tok_mask.astype(d.dtype)
+        d = d.astype(jnp.int32)
+        M = max_decoder_steps or self.cfg.max_decoder_steps * max(
+            self.cfg.r, 1)
+        frames, frame_mask, idx, total = length_regulate(enc, d, M)
+        mel, post, _, _ = self._decode(params, state, frames, frame_mask,
+                                       None, False)
+        return {
+            "decoder_outputs": mel.astype(jnp.float32),
+            "postnet_outputs": post.astype(jnp.float32),
+            "mel_lengths": total,
+            "alignments": _pseudo_alignment(idx, frame_mask, text.shape[1]),
+            "stop_probs": frame_mask.astype(jnp.float32) * 0.0,
+            "durations": d,
+        }
+
+
+def _pseudo_alignment(idx, frame_mask, T_text: int):
+    """One-hot frame→token map in the autoregressive models' alignment
+    layout [B, frames, T_text] (keeps plotting/diagnostics/API uniform)."""
+    oh = jax.nn.one_hot(idx, T_text, dtype=jnp.float32)
+    return oh * frame_mask[..., None].astype(jnp.float32)
+
+
+class ParallelTTSLoss:
+    """Masked L1 (decoder + postnet) + MSE on log(1 + duration)."""
+
+    def __init__(self, duration_alpha: float = 0.1):
+        self.duration_alpha = duration_alpha
+
+    def __call__(self, outputs, mel_target, durations, text_lengths):
+        m = outputs["frame_mask"][..., None].astype(jnp.float32)
+        denom = jnp.maximum(m.sum() * mel_target.shape[-1], 1.0)
+        tgt = mel_target[:, : outputs["decoder_outputs"].shape[1]]
+        l_dec = jnp.abs((outputs["decoder_outputs"] - tgt) * m).sum() / denom
+        l_post = jnp.abs((outputs["postnet_outputs"] - tgt) * m).sum() / denom
+        tok = sequence_mask(text_lengths, durations.shape[1]).astype(
+            jnp.float32)
+        logd_t = jnp.log1p(durations.astype(jnp.float32))
+        l_dur = (((outputs["log_durations"] - logd_t) ** 2) * tok).sum() \
+            / jnp.maximum(tok.sum(), 1.0)
+        total = l_dec + l_post + self.duration_alpha * l_dur
+        return total, {"loss_decoder": l_dec, "loss_postnet": l_post,
+                       "loss_duration": l_dur, "loss": total}
+
+
+def uniform_durations(text_lengths, mel_lengths, T_text: int):
+    """Fallback teacher durations: spread each row's mel frames uniformly
+    over its real tokens (remainder on the leading tokens). Exactly sums to
+    mel_lengths; 0 on pad tokens. Good enough for smoke/e2e tests and as a
+    bootstrap before `bin/extract_durations.py` alignments exist."""
+    tl = text_lengths.astype(jnp.int32)
+    ml = mel_lengths.astype(jnp.int32)
+    base = ml // jnp.maximum(tl, 1)
+    rem = ml - base * tl
+    t = jnp.arange(T_text)[None, :]
+    tok = t < tl[:, None]
+    d = base[:, None] * tok + (t < rem[:, None])
+    return d.astype(jnp.int32)
