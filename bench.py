@@ -798,6 +798,116 @@ def capability_matrix_extras() -> dict:
 
     dt = timeit(lambda *a: float(clone(*a)), msvars, text1, lens1, dvec)
     out["cloning_p50_ms"] = round(dt * 1000.0, 1)
+
+    # --- ParallelTTS (round-4 non-autoregressive family) --------------------
+    # train MFU at B=384 (chained, like the autoregressive series) and
+    # batched serving RTF at the headline shape. Round-4 measurements:
+    # train MFU 0.355/0.402/0.415 at B=128/384/768 (vs 0.18 autoregressive
+    # knee); serving 10,882x RT at B=384 x 500 frames.
+    try:
+        from your_voice_tts_tpu.models.parallel_tts import (
+            ParallelTTSLoss, uniform_durations)
+        from your_voice_tts_tpu.nn.core import cast_f32_to_bf16
+        from your_voice_tts_tpu.ops import dsp as _dsp
+        from your_voice_tts_tpu.ops.filters import hann_window as _hw
+
+        pcfg = Config(audio=acfg, model=ModelConfig(model="ParallelTTS", r=1),
+                      training=TrainingConfig(mixed_precision=True))
+        pmodel = setup_model(len(symbols), 0, pcfg)
+        pvars = pmodel.init(jax.random.PRNGKey(0))
+        p_criterion = ParallelTTSLoss()
+        p_opt = build_optimizer(pcfg.training)
+        p_opt_state = p_opt.init(pvars["params"])
+        Bp, Ttp, Tmp = 384, 128, 400
+        tlp = jnp.full((Bp,), Ttp, jnp.int32)
+        mlp = jnp.full((Bp,), Tmp, jnp.int32)
+        pbatch = {
+            "text": jnp.asarray(rng.integers(1, len(symbols), (Bp, Ttp)),
+                                jnp.int32),
+            "text_lengths": tlp,
+            "mel": jnp.asarray(rng.standard_normal((Bp, Tmp, 80)),
+                               jnp.bfloat16),
+            "durations": uniform_durations(tlp, mlp, Ttp),
+        }
+
+        def p_loss(params, state, batch, key):
+            p = cast_f32_to_bf16(params)
+            o = pmodel.forward({"params": p, "state": state}, batch["text"],
+                               batch["text_lengths"], batch["durations"],
+                               rng=key, train=True, max_frames=Tmp)
+            o = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, o)
+            total, _ = p_criterion(o, batch["mel"].astype(jnp.float32),
+                                   batch["durations"],
+                                   batch["text_lengths"])
+            return total
+
+        @jax.jit
+        def p_step(params, state, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(p_loss)(params, state, batch,
+                                                     key)
+            updates, opt_state = p_opt.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, loss
+
+        pp0, pst = pvars["params"], pvars["state"]
+        ppc, poc, pl = p_step(pp0, pst, p_opt_state, pbatch,
+                              jax.random.PRNGKey(0))
+        float(pl)  # compile + warm
+        Np = 6
+        t0 = time.time()
+        ppc, poc = pp0, p_opt_state
+        for i in range(Np):
+            ppc, poc, pl = p_step(ppc, pst, poc, pbatch,
+                                  jax.random.PRNGKey(i))
+        float(pl)
+        dtp = (time.time() - t0) / Np
+        out["parallel_train_step_ms_b384_chained"] = round(dtp * 1000.0, 1)
+        out["parallel_train_frames_per_s_b384"] = round(Bp * Tmp / dtp, 0)
+        compiled = p_step.lower(pp0, pst, p_opt_state, pbatch,
+                                jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["parallel_train_mfu_b384"] = round(
+                flops / dtp / (_peak_bf16_tflops(
+                    jax.devices()[0].device_kind) * 1e12), 4)
+
+        # batched serving at the headline shape (B=384 x 500 frames + GL)
+        from your_voice_tts_tpu.audio import AudioProcessor as _AP
+
+        _ap = _AP(acfg)
+        Mserve = 500
+        stext = jnp.asarray(rng.integers(1, len(symbols), (Bp, Ttp)),
+                            jnp.int32)
+        window = jnp.asarray(_hw(acfg.win_length, acfg.fft_size),
+                             jnp.float32)
+        inv_basis = jnp.asarray(_ap.inv_mel_basis)
+
+        @jax.jit
+        def p_synth(variables, text, lens, key):
+            o = pmodel.inference(variables, text, lens,
+                                 max_decoder_steps=Mserve)
+            wav = _dsp.inv_melspectrogram_batch(
+                o["postnet_outputs"], key, mel_inv_basis=inv_basis,
+                window=window, n_fft=acfg.fft_size, hop=acfg.hop_length,
+                preemph=acfg.preemphasis, ref_level_db=acfg.ref_level_db,
+                min_level_db=acfg.min_level_db, spec_gain=acfg.spec_gain,
+                max_norm=acfg.max_norm, symmetric=acfg.symmetric_norm,
+                clip=acfg.clip_norm, power=acfg.power,
+                gl_iters=acfg.griffin_lim_iters,
+                gl_momentum=acfg.griffin_lim_momentum)
+            return jnp.abs(wav).sum()
+
+        dts = timeit(lambda *a: float(p_synth(*a)), pvars, stext, tlp,
+                     jax.random.PRNGKey(1))
+        out["parallel_serving_rtf_b384"] = round(
+            Bp * Mserve * acfg.hop_length / sr / dts, 1)
+    except Exception as e:
+        out["parallel_error"] = _short_err(e)
     return out
 
 
