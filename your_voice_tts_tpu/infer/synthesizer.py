@@ -233,7 +233,11 @@ class Synthesizer:
             yield wav.astype(np.float32)
 
     def encode_wav_bytes(self, wav: np.ndarray) -> bytes:
-        """float waveform -> 16-bit WAV container bytes."""
+        """float waveform -> 16-bit WAV container bytes. A zero-length
+        waveform (e.g. a degenerate duration prediction) encodes as a valid
+        empty container instead of crashing the serving path."""
+        if wav.size == 0:
+            wav = np.zeros((1,), np.float32)
         norm = wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))
         buf = io.BytesIO()
         with wave.open(buf, "wb") as f:

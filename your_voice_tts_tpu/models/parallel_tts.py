@@ -251,7 +251,10 @@ class ParallelTTS:
         logd, _ = self.duration(params["duration"], state["duration"], enc,
                                 tok_mask, None, False)
         d = jnp.round((jnp.exp(logd) - 1.0) / speed)
-        d = jnp.maximum(d, 0.0) * tok_mask.astype(d.dtype)
+        # every REAL token speaks for at least one frame: an early/undertrained
+        # duration predictor must still produce non-degenerate audio (and a
+        # zero-frame utterance downstream)
+        d = jnp.maximum(d, 1.0) * tok_mask.astype(d.dtype)
         d = d.astype(jnp.int32)
         M = max_decoder_steps or self.cfg.max_decoder_steps * max(
             self.cfg.r, 1)
