@@ -240,3 +240,37 @@ def test_synthesizer_glue_drives_parallel_tts(tmp_path):
     synth = Synthesizer(cfg, None)
     wav = synth.tts_to_wav_bytes("Parallel speech.")
     assert wav[:4] == b"RIFF" and len(wav) > 500
+
+
+def test_parallel_tts_exports_to_aot_artifact(tmp_path):
+    """The StableHLO serving-export path bakes ParallelTTS end-to-end
+    (text ids -> durations -> parallel decode -> GL -> wav) with NO
+    model-specific changes; the artifact reproduces the live program
+    exactly."""
+    import tempfile
+
+    from your_voice_tts_tpu.audio import AudioProcessor
+    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.infer.export import (ExportedSynthesizer,
+                                                 export_serving,
+                                                 make_serving_fn)
+
+    cfg = load_config("configs/smoke_synthetic.json")
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, model="ParallelTTS", max_decoder_steps=96, r=1))
+    model = setup_model(len(symbols), 0, cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    ap = AudioProcessor(cfg.audio)
+    rng = np.random.default_rng(0)
+    text = np.zeros((2, 32), np.int32)
+    text[:, :20] = rng.integers(1, len(symbols), (2, 20))
+    lens = np.asarray([20, 14], np.int32)
+    td = str(tmp_path / "artifact")
+    export_serving(model, variables, cfg, ap, td, batch_sizes=(2,),
+                   text_buckets=(32,), platforms=("cpu",))
+    served = ExportedSynthesizer(td)
+    live = jax.jit(make_serving_fn(model, variables, cfg, ap))
+    wl, ll = live(jnp.asarray(text), jnp.asarray(lens), jax.random.PRNGKey(0))
+    we, le = served(text, lens, seed=0)
+    assert float(np.abs(np.asarray(wl) - we).max()) <= 1e-4
+    np.testing.assert_array_equal(np.asarray(ll), le)
