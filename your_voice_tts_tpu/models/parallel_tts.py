@@ -38,11 +38,43 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..nn.core import Conv1d, Dense, Embedding
-from .common import ConvBNBlock, sequence_mask
+from ..nn.core import Conv1d, Dense, Embedding, LayerNorm
+from .common import sequence_mask
 from .tacotron2 import Encoder, Postnet
 
 Params = dict
+
+
+class ConvLNBlock:
+    """conv(k) + LayerNorm + ReLU + dropout — the parallel family's block.
+
+    LayerNorm, NOT BatchNorm: length-sorted buckets give each batch
+    systematically different statistics (short vs long utterances), so BN's
+    running average matches none of them and eval-mode outputs collapse
+    (measured: the duration predictor emitted ~0.5 for every token under
+    running stats while tracking its targets under batch stats). LayerNorm
+    is per-position and stateless — train and serve see identical math."""
+
+    def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
+                 dropout: float = 0.1):
+        self.conv = Conv1d(in_dim, out_dim, kernel_size, padding="same",
+                           init_gain="relu")
+        self.ln = LayerNorm(out_dim)
+        self.dropout = dropout
+
+    def init(self, key) -> Params:
+        return {"conv": self.conv.init(key), "ln": self.ln.init()}
+
+    def __call__(self, p: Params, x, rng, train: bool, mask=None):
+        x = self.conv(p["conv"], x)
+        x = jax.nn.relu(self.ln(p["ln"], x))
+        if train and self.dropout > 0 and rng is not None:
+            keep = 1.0 - self.dropout
+            x = jnp.where(jax.random.bernoulli(rng, keep, x.shape),
+                          x / keep, 0.0)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x
 
 
 def length_regulate(enc_out, durations, max_frames: int):
@@ -65,12 +97,13 @@ def length_regulate(enc_out, durations, max_frames: int):
 
 
 class DurationPredictor:
-    """Conv stack + linear head → per-token log(1 + duration)."""
+    """ConvLN stack + linear head → per-token log(1 + duration).
+    Stateless (LayerNorm) — identical math at train and serve time."""
 
     def __init__(self, in_dim: int, hidden: int = 256, kernel: int = 3,
                  n_layers: int = 2, dropout: float = 0.1):
         dims = [in_dim] + [hidden] * n_layers
-        self.blocks = [ConvBNBlock(dims[i], dims[i + 1], kernel, "relu",
+        self.blocks = [ConvLNBlock(dims[i], dims[i + 1], kernel,
                                    dropout=dropout)
                        for i in range(n_layers)]
         self.proj = Dense(hidden, 1)
@@ -80,20 +113,14 @@ class DurationPredictor:
         return {"blocks": [b.init(k) for b, k in zip(self.blocks, ks)],
                 "proj": self.proj.init(ks[-1])}
 
-    def init_state(self) -> Params:
-        return {"blocks": [b.init_state() for b in self.blocks]}
-
-    def __call__(self, p: Params, state: Params, x, mask, rng, train: bool):
-        new_blocks = []
+    def __call__(self, p: Params, x, mask, rng, train: bool):
         for i, blk in enumerate(self.blocks):
             sub = None
             if rng is not None:
                 rng, sub = jax.random.split(rng)
-            x, ns = blk(p["blocks"][i], state["blocks"][i], x, sub, train,
-                        mask=mask)
-            new_blocks.append(ns)
+            x = blk(p["blocks"][i], x, sub, train, mask=mask)
         logd = self.proj(p["proj"], x)[..., 0]               # [B, T]
-        return logd * mask.astype(logd.dtype), {"blocks": new_blocks}
+        return logd * mask.astype(logd.dtype)
 
 
 class ParallelTTS:
@@ -120,7 +147,7 @@ class ParallelTTS:
         self.duration = DurationPredictor(dim, cfg.duration_predictor_dim)
         blocks = []
         for _ in range(cfg.parallel_decoder_blocks):
-            blocks.append(ConvBNBlock(dim, dim, 5, "relu", dropout=0.1))
+            blocks.append(ConvLNBlock(dim, dim, 5, dropout=0.1))
         self.decoder_blocks = blocks
         self.mel_head = Dense(dim, n_mels)
         self.postnet = Postnet(n_mels, cfg.postnet_dim)
@@ -152,8 +179,6 @@ class ParallelTTS:
             params["spk_proj"] = self.spk_proj.init(ks[7])
         state = {
             "encoder": self.encoder.init_state(),
-            "duration": self.duration.init_state(),
-            "decoder": [b.init_state() for b in self.decoder_blocks],
             "postnet": self.postnet.init_state(),
         }
         return {"params": params, "state": state}
@@ -184,21 +209,18 @@ class ParallelTTS:
 
     def _decode(self, params, state, frames, frame_mask, rng, train):
         x = frames
-        dec_states = []
         for i, blk in enumerate(self.decoder_blocks):
             sub = None
             if rng is not None:
                 rng, sub = jax.random.split(rng)
-            y, ns = blk(params["decoder"][i], state["decoder"][i], x, sub,
-                        train, mask=frame_mask)
+            y = blk(params["decoder"][i], x, sub, train, mask=frame_mask)
             x = (x + y) * frame_mask[..., None].astype(x.dtype)  # residual
-            dec_states.append(ns)
         mel = self.mel_head(params["mel_head"], x)
         residual, post_state = self.postnet(params["postnet"],
                                             state["postnet"], mel, None,
                                             train=train)
         maskf = frame_mask[..., None].astype(mel.dtype)
-        return mel * maskf, (mel + residual) * maskf, dec_states, post_state
+        return mel * maskf, (mel + residual) * maskf, post_state
 
     # --- training ------------------------------------------------------------
 
@@ -218,12 +240,12 @@ class ParallelTTS:
             rng, sub = jax.random.split(rng)
         # duration predictor trains against teacher durations; its gradient
         # must not steer the encoder (FastPitch-style stop-gradient)
-        logd, dur_state = self.duration(params["duration"], state["duration"],
-                                        jax.lax.stop_gradient(enc), tok_mask,
-                                        sub, train)
+        logd = self.duration(params["duration"],
+                             jax.lax.stop_gradient(enc), tok_mask, sub,
+                             train)
         M = max_frames or int(durations.sum(axis=1).max())
         frames, frame_mask, idx, total = length_regulate(enc, durations, M)
-        mel, post, dec_states, post_state = self._decode(
+        mel, post, post_state = self._decode(
             params, state, frames, frame_mask, rng, train)
         return {
             "decoder_outputs": mel,
@@ -232,8 +254,7 @@ class ParallelTTS:
             "frame_mask": frame_mask,
             "mel_lengths": total,
             "alignments": _pseudo_alignment(idx, frame_mask, text.shape[1]),
-            "state": {"encoder": enc_state, "duration": dur_state,
-                      "decoder": dec_states, "postnet": post_state},
+            "state": {"encoder": enc_state, "postnet": post_state},
         }
 
     # --- serving -------------------------------------------------------------
@@ -248,8 +269,7 @@ class ParallelTTS:
         enc, _, rng = self._encode(params, state, text, text_lengths, None,
                                    False, speaker_ids, speaker_embeddings)
         tok_mask = sequence_mask(text_lengths, text.shape[1])
-        logd, _ = self.duration(params["duration"], state["duration"], enc,
-                                tok_mask, None, False)
+        logd = self.duration(params["duration"], enc, tok_mask, None, False)
         d = jnp.round((jnp.exp(logd) - 1.0) / speed)
         # every REAL token speaks for at least one frame: an early/undertrained
         # duration predictor must still produce non-degenerate audio (and a
@@ -259,8 +279,8 @@ class ParallelTTS:
         M = max_decoder_steps or self.cfg.max_decoder_steps * max(
             self.cfg.r, 1)
         frames, frame_mask, idx, total = length_regulate(enc, d, M)
-        mel, post, _, _ = self._decode(params, state, frames, frame_mask,
-                                       None, False)
+        mel, post, _ = self._decode(params, state, frames, frame_mask,
+                                    None, False)
         return {
             "decoder_outputs": mel.astype(jnp.float32),
             "postnet_outputs": post.astype(jnp.float32),

@@ -219,6 +219,29 @@ class BatchNorm1d:
         return y, new_state
 
 
+class LayerNorm:
+    """Per-position LayerNorm over the channel axis.
+
+    Stateless — unlike BatchNorm there are no running statistics, so
+    train/eval behavior is identical. This matters for variable-length
+    sequence models batched in length-sorted buckets: per-bucket batch
+    statistics differ SYSTEMATICALLY with length, so BatchNorm's running
+    average matches none of them and eval outputs collapse (measured on the
+    ParallelTTS duration predictor — the reason the FastSpeech family
+    normalizes with LayerNorm)."""
+
+    def __init__(self, dim: int, eps: float = 1e-5):
+        self.dim, self.eps = dim, eps
+
+    def init(self, key=None) -> Params:
+        return {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))}
+
+    def __call__(self, p: Params, x):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mean) * lax.rsqrt(var + self.eps) * p["scale"] + p["bias"]
+
+
 class Dropout:
     def __init__(self, rate: float):
         self.rate = rate
