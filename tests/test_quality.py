@@ -131,3 +131,19 @@ def test_denormalize_mel_with_stats():
     z = (db - mean) / std
     back = denormalize_mel(z, cfg, stats=(mean, std))
     np.testing.assert_allclose(back, db + cfg.ref_level_db, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_trained_parallel_tts_quality_gates():
+    """The committed distilled ParallelTTS checkpoint must hold its
+    measured bests on held-out items: MCD BELOW the autoregressive
+    teacher's (a parallel decoder has no free-run feedback drift) and
+    bounded predicted-length error. Backend-stable thresholds: the
+    stateless LayerNorm forward measures 4.02 (CPU) vs 4.03 (TPU)."""
+    import bench
+
+    q = bench.quality_extras(quick=True)
+    assert "parallel_mcd_mean_db" in q, q
+    assert q["parallel_mcd_mean_db"] < 4.5, q
+    assert q["parallel_mcd_worst_db"] < 5.0, q
+    assert q["parallel_len_err_frac"] < 0.2, q

@@ -146,7 +146,11 @@ def main(argv: list[str] | None = None) -> dict:
     step = step0
     last_parts: dict = {}
     t0 = time.time()
-    for epoch in range(cfg.training.epochs):
+    # --max_steps is the budget when given: loop epochs until it is reached
+    # (cfg.training.epochs alone would silently stop a smoke config's
+    # 2-epoch cap at a handful of steps)
+    n_epochs = cfg.training.epochs if not args.max_steps else 10 ** 9
+    for epoch in range(n_epochs):
         order = rng_np.permutation(len(groups))
         for gi in order:
             group = groups[gi]
