@@ -274,3 +274,33 @@ def test_parallel_tts_exports_to_aot_artifact(tmp_path):
     we, le = served(text, lens, seed=0)
     assert float(np.abs(np.asarray(wl) - we).max()) <= 1e-4
     np.testing.assert_array_equal(np.asarray(ll), le)
+
+
+def test_multispeaker_dvector_conditioning():
+    """d-vector conditioning changes the output (cloning path parity with
+    the autoregressive families), and the speaker-id table path runs."""
+    cfg = Config(audio=AudioConfig(num_mels=N_MELS), model=dataclasses.replace(
+        MCFG, model="ParallelTTS"))
+    model = setup_model(len(symbols), 0, cfg, speaker_embedding_dim=16)
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    text = jnp.asarray(rng.integers(1, len(symbols), (2, 8)), jnp.int32)
+    tl = jnp.full((2,), 8, jnp.int32)
+    d1 = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    d2 = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    o1 = model.inference(variables, text, tl, max_decoder_steps=32,
+                         speaker_embeddings=d1)
+    o2 = model.inference(variables, text, tl, max_decoder_steps=32,
+                         speaker_embeddings=d2)
+    diff = float(np.abs(np.asarray(o1["postnet_outputs"])
+                        - np.asarray(o2["postnet_outputs"])).max())
+    assert diff > 1e-4, "d-vector must condition the output"
+
+    id_model = setup_model(len(symbols), 4, cfg)
+    id_vars = id_model.init(jax.random.PRNGKey(1))
+    oa = id_model.inference(id_vars, text, tl, max_decoder_steps=32,
+                            speaker_ids=jnp.asarray([0, 1], jnp.int32))
+    ob = id_model.inference(id_vars, text, tl, max_decoder_steps=32,
+                            speaker_ids=jnp.asarray([2, 3], jnp.int32))
+    assert float(np.abs(np.asarray(oa["postnet_outputs"])
+                        - np.asarray(ob["postnet_outputs"])).max()) > 1e-4
