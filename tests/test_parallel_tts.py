@@ -304,3 +304,24 @@ def test_multispeaker_dvector_conditioning():
                             speaker_ids=jnp.asarray([2, 3], jnp.int32))
     assert float(np.abs(np.asarray(oa["postnet_outputs"])
                         - np.asarray(ob["postnet_outputs"])).max()) > 1e-4
+
+
+def test_train_parallel_multispeaker_dvectors(tmp_path):
+    """The CLI trains a d-vector-conditioned ParallelTTS from a
+    speakers.json mapping (the parallel family's cloning path)."""
+    import json
+
+    from your_voice_tts_tpu.bin.train_parallel import main as train_main
+    from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_items=8, sr=8000, n_speakers=2)
+    rng = np.random.default_rng(7)
+    spk_json = str(tmp_path / "speakers.json")
+    with open(spk_json, "w") as f:
+        json.dump({f"SYN{i:02d}": rng.standard_normal(16).tolist()
+                   for i in range(2)}, f)
+    parts = train_main(["--config_path", "configs/smoke_synthetic.json",
+                        "--data_path", corpus, "--speakers_json", spk_json,
+                        "--max_steps", "2"])
+    assert np.isfinite(parts["loss"])

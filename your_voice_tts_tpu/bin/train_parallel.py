@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> dict:
                         "steps)")
     p.add_argument("--use_config_optimizer", action="store_true",
                    help="use the config's RAdam+Noam stack instead")
+    p.add_argument("--speakers_json", default=None,
+                   help="external d-vector mapping (bin/compute_embeddings "
+                        "output): trains a d-vector-conditioned ParallelTTS "
+                        "— the parallel family's cloning path")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -72,14 +76,24 @@ def main(argv: list[str] | None = None) -> dict:
         cfg, data=dataclasses.replace(cfg.data, datasets=(ds0,)))
     items, _ = load_meta_data(cfg.data.datasets, eval_split=False)
     ap = AudioProcessor(cfg.audio)
-    dataset = TTSDataset(items, cfg, ap)
+    spk_embeddings = None
+    spk_dim = 0
+    if args.speakers_json:
+        from ..utils.speakers import load_speaker_mapping, parse_speakers
+
+        _, dvecs = parse_speakers(load_speaker_mapping(args.speakers_json))
+        spk_embeddings = {k: np.asarray(v, np.float32)
+                          for k, v in dvecs.items()}
+        spk_dim = len(next(iter(spk_embeddings.values())))
+    dataset = TTSDataset(items, cfg, ap, speaker_embeddings=spk_embeddings)
 
     dur_table = None
     if args.durations:
         with np.load(args.durations) as z:
             dur_table = {k: z[k] for k in z.files}
 
-    model = setup_model(len(symbols), 0, cfg)
+    model = setup_model(len(symbols), 0, cfg,
+                        speaker_embedding_dim=spk_dim)
     variables = model.init(jax.random.PRNGKey(0))
     params, state = variables["params"], variables["state"]
     if args.use_config_optimizer:
@@ -123,7 +137,8 @@ def main(argv: list[str] | None = None) -> dict:
         out = model.forward(
             {"params": params, "state": state}, batch["text"],
             batch["text_lengths"], batch["durations"], rng=key, train=True,
-            max_frames=batch["mel"].shape[1])
+            max_frames=batch["mel"].shape[1],
+            speaker_embeddings=batch.get("speaker_embeddings"))
         total, parts = criterion(out, batch["mel"], batch["durations"],
                                  batch["text_lengths"])
         return total, (out["state"], parts)
@@ -158,7 +173,7 @@ def main(argv: list[str] | None = None) -> dict:
             batch["durations"] = batch_durations(batch, group)
             batch = {k: np.asarray(v) for k, v in batch.items()
                      if k in ("text", "text_lengths", "mel", "mel_lengths",
-                              "durations")}
+                              "durations", "speaker_embeddings")}
             # phantom rows: durations all-zero -> zero frames, fully masked
             batch = shard_batch(
                 pad_batch_to_devices(batch, mesh.devices.size), mesh)
