@@ -12,9 +12,10 @@
 #   ./run_tests.sh warm       # cold-cache warm-up: primes .jax_cache so a
 #                             # fresh clone's first `fast` run is not 2x wall
 #
-# Budget: the fast tier asserts a wall-time ceiling (BUDGET_S, default 720 s
-# warm on a 1-core box; measured 608 s warm with the multihost proof in
-# the tier) so the ceiling is enforced, not aspired to.
+# Budget: the fast tier asserts a wall-time ceiling (BUDGET_S, default 900 s
+# warm on a 1-core box; measured 608-670 s warm-solo with the multihost
+# proof in the tier — concurrent TPU-bench contention adds ~60%, so the
+# ceiling flags runaway growth without flaking under load.
 # First-ever run on a fresh clone pays cold XLA compiles; run `warm` first
 # (or accept the one-time ~2x wall and set BUDGET_S=1200).
 
@@ -22,7 +23,7 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 TIER="${1:-fast}"
-BUDGET_S="${BUDGET_S:-720}"
+BUDGET_S="${BUDGET_S:-900}"
 PY="${PYTHON:-python}"
 
 run_fast() {
