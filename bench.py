@@ -1460,15 +1460,17 @@ def main() -> None:
 
     backend = jax.default_backend()
     quick = args.quick
-    # B=384 is the measured v5e throughput knee for the serving default
-    # (round-3 sweep, f32 scan route past the kernel's B<=128 VMEM cap):
-    # B=128 kernel 5986x -> B=256 scan 6262x -> B=384 scan 6998x -> B=512
-    # scan 7021x RT; bf16 at B=384 measured NO gain (6932x) — at this batch
-    # the decode is scan-step-latency bound, not weight-streaming bound.
-    # Re-measured round 4 with the packed+fused-istft GL kernel: B=384
-    # 10,009x vs B=512 9,086x — the knee HOLDS (GL scales linearly in B,
-    # so the decode scan's post-knee sublinearity dominates past 384).
-    B = args.batch or (4 if quick else 384)
+    # Headline batch/dtype: the serving knee, re-measured each round.
+    # Round-3 sweep (f32 scan past the kernel's B<=128 VMEM cap): 128
+    # kernel 5986x -> 256 6262x -> 384 6998x -> 512 7021x; bf16 at 384 was
+    # a wash then (GL dominated the wall). Round 4, with the packed+fused-
+    # istft GL kernel shrinking the GL share: B=384 f32 10,120x / bf16
+    # 10,117x; B=448 f32 9,713x / bf16 10,420x (stable across 3 runs);
+    # B=512 f32 9,086x. The decode share is now big enough that bf16 pays
+    # at 448 — new default B=448 + bf16 decode (numerics gated by
+    # bf16_decoder_rel_err and the kernel parity gates).
+    B = args.batch or (4 if quick else 448)
+    headline_dtype = None if quick else jnp.bfloat16
     max_steps = args.steps or (20 if quick else 250)
     r = 2
 
@@ -1509,7 +1511,8 @@ def main() -> None:
 
     @jax.jit
     def synthesize(variables, text, lens, key):
-        out = model.inference(variables, text, lens, rng=None)
+        out = model.inference(variables, text, lens, rng=None,
+                              compute_dtype=headline_dtype)
         mel = out["postnet_outputs"]  # [B, T, n_mels]
         wav = dsp.inv_melspectrogram_batch(
             mel, key, mel_inv_basis=inv_basis, window=window,
@@ -1550,7 +1553,8 @@ def main() -> None:
         # GL-only (mel -> wav) on the SAME shapes as the headline
         @jax.jit
         def decode_only(variables, text, lens):
-            out = model.inference(variables, text, lens, rng=None)
+            out = model.inference(variables, text, lens, rng=None,
+                                  compute_dtype=headline_dtype)
             mel = out["postnet_outputs"]
             return jnp.abs(mel).sum()
 
