@@ -1323,19 +1323,19 @@ def verify_gates(quick: bool = False) -> dict:
     here13 = os.path.dirname(os.path.abspath(__file__))
     aval = jax.ShapeDtypeStruct
 
-    # 13a: headline GL wave kernel — B=384 x T=500, n_fft=1024/hop=256, the
+    # 13a: headline GL wave kernel — B=448 x T=500, n_fft=1024/hop=256, the
     # exact mel->wav program behind the driver-recorded headline number
     acfg13 = AudioConfig()
     w13 = jnp.asarray(hann_window(acfg13.win_length, acfg13.fft_size),
                       jnp.float32)
     Kf13 = acfg13.fft_size // 2 + 1
     _shape_gate(
-        "shape_gl_wave_b384_t500",
+        "shape_gl_wave_b448_t500",
         lambda S: griffin_lim_pallas_wave(
             S, 0, n_iters=acfg13.griffin_lim_iters, n_fft=acfg13.fft_size,
             hop=acfg13.hop_length, window=w13,
             momentum=acfg13.griffin_lim_momentum),
-        aval((384, 500, Kf13), jnp.float32))
+        aval((448, 500, Kf13), jnp.float32))
 
     # 13b: lane-unaligned GL (smoke audio n_fft=256/hop=64) at the exact
     # Tp=224 shape that broke round 3, plus the serving max T=512
