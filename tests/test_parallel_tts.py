@@ -70,7 +70,7 @@ def test_forward_shapes_and_masking(model_and_vars):
     ml = jnp.asarray([40, 22], jnp.int32)
     dur = uniform_durations(tl, ml, T)
     out = model.forward(variables, text, tl, dur, rng=jax.random.PRNGKey(0),
-                        train=True, max_frames=M)
+                        train=True, max_frames=M, return_alignments=True)
     assert out["postnet_outputs"].shape == (B, M, N_MELS)
     assert out["log_durations"].shape == (B, T)
     lens = np.asarray(out["mel_lengths"])
@@ -179,6 +179,30 @@ def test_durations_from_alignment_repair():
     align1[:, 2] = 1.0
     d1 = durations_from_alignment(align1, T, 10, r=2)
     assert d1.sum() == 10 and d1[2] == 10
+
+
+def test_repair_row_durations():
+    """Stale/mismatched durations rows are repaired to the loader's mel
+    length: deficit extends the last real token, excess clips tail tokens,
+    never negative (advisor r4 medium on train_parallel.batch_durations)."""
+    from your_voice_tts_tpu.models.parallel_tts import repair_row_durations
+
+    # exact match: unchanged
+    np.testing.assert_array_equal(
+        repair_row_durations([3, 4, 5, 0], 12, 4), [3, 4, 5, 0])
+    # deficit: last REAL (nonzero) token extends, pad stays 0
+    np.testing.assert_array_equal(
+        repair_row_durations([3, 4, 5, 0], 15, 4), [3, 4, 8, 0])
+    # excess clips from the tail, possibly through several tokens
+    np.testing.assert_array_equal(
+        repair_row_durations([3, 4, 5, 0], 6, 4), [3, 3, 0, 0])
+    d = repair_row_durations([10, 10, 10], 5, 3)
+    assert d.sum() == 5 and (d >= 0).all()
+    # longer-than-T rows are truncated then repaired to the mel length
+    d = repair_row_durations([2, 2, 2, 2, 2], 8, 3)
+    assert d.shape == (3,) and d.sum() == 8
+    # all-zero row: deficit lands on token 0
+    np.testing.assert_array_equal(repair_row_durations([0, 0], 4, 2), [4, 0])
 
 
 @pytest.mark.slow  # teacher forward + two CLI mains (~20 s warm)

@@ -59,7 +59,8 @@ def main(argv: list[str] | None = None) -> dict:
     from ..data.dataset import TTSDataset
     from ..data.formatters import load_meta_data
     from ..models import setup_model
-    from ..models.parallel_tts import ParallelTTSLoss, uniform_durations
+    from ..models.parallel_tts import (ParallelTTSLoss, repair_row_durations,
+                                       uniform_durations)
     from ..parallel import make_mesh, replicate, shard_batch
     from ..parallel.mesh import pad_batch_to_devices
     from ..text import symbols
@@ -91,6 +92,19 @@ def main(argv: list[str] | None = None) -> dict:
     if args.durations:
         with np.load(args.durations) as z:
             dur_table = {k: z[k] for k in z.files}
+        # Upfront validation (advisor r4): every corpus item must have a
+        # durations row — failing at step 1 beats failing mid-epoch when
+        # the shuffled group containing the hole finally comes up.
+        missing = [e["wav"] for e in dataset.entries
+                   if os.path.splitext(os.path.basename(e["wav"]))[0]
+                   not in dur_table]
+        if missing:
+            raise KeyError(
+                f"durations file {args.durations} is missing "
+                f"{len(missing)}/{len(dataset.entries)} corpus items "
+                f"(first: {missing[:3]}). Re-run bin/extract_durations on "
+                f"this corpus, or drop --durations for uniform bootstrap "
+                f"durations.")
 
     model = setup_model(len(symbols), 0, cfg,
                         speaker_embedding_dim=spk_dim)
@@ -120,16 +134,31 @@ def main(argv: list[str] | None = None) -> dict:
 
     def batch_durations(batch, entries_group):
         """Teacher durations for a collated batch: table lookup by wav
-        basename (repaired to the bucketed mel length) or uniform."""
+        basename (repaired to the row's real mel length) or uniform.
+
+        Validation (advisor r4 medium): a missing key fails loudly with
+        the offending basename, and a stale durations.npz whose row sum
+        disagrees with the loader's mel length is repaired here — excess
+        is clipped off the last nonzero tokens, deficit is added to the
+        last real token — so the decoder is never trained against
+        zero-padded mel frames past the row's real length.
+        """
         B, T = batch["text"].shape
         if dur_table is None:
             return np.asarray(uniform_durations(
                 jnp.asarray(batch["text_lengths"]),
                 jnp.asarray(batch["mel_lengths"]), T))
         out = np.zeros((B, T), np.int32)
+        mel_lens = np.asarray(batch["mel_lengths"], np.int64)
         for i, e in enumerate(entries_group):
             key = os.path.splitext(os.path.basename(e["wav"]))[0]
-            d = dur_table[key]
+            if key not in dur_table:
+                raise KeyError(
+                    f"durations file has no entry for '{key}' "
+                    f"(wav: {e['wav']}). Re-run bin/extract_durations on "
+                    f"this corpus, or drop --durations for uniform "
+                    f"bootstrap durations.")
+            d = repair_row_durations(dur_table[key], int(mel_lens[i]), T)
             out[i, : len(d)] = d
         return out
 

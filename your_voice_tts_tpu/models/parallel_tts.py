@@ -160,7 +160,9 @@ class ParallelTTS:
     # --- params --------------------------------------------------------------
 
     def init(self, key):
-        ks = jax.random.split(key, 8)
+        # distinct subkeys for every submodule (advisor r4: speaker_table
+        # and spk_proj previously shared one key → correlated init)
+        ks = jax.random.split(key, 9)
         params = {
             "embedding": self.embedding.init(ks[0]),
             "encoder": self.encoder.init(ks[1]),
@@ -176,7 +178,7 @@ class ParallelTTS:
         if self.speaker_table is not None:
             params["speaker_table"] = self.speaker_table.init(ks[7])
         if self.spk_proj is not None:
-            params["spk_proj"] = self.spk_proj.init(ks[7])
+            params["spk_proj"] = self.spk_proj.init(ks[8])
         state = {
             "encoder": self.encoder.init_state(),
             "postnet": self.postnet.init_state(),
@@ -226,10 +228,17 @@ class ParallelTTS:
 
     def forward(self, variables, text, text_lengths, durations, rng=None,
                 train: bool = True, max_frames: int | None = None,
-                speaker_ids=None, speaker_embeddings=None):
+                speaker_ids=None, speaker_embeddings=None,
+                return_alignments: bool = False):
         """Teacher-duration forward. durations [B, T_text] int32 frames per
-        token (0 on pad tokens); max_frames defaults to the mel bucket the
-        caller trains against (sum of the longest row, rounded up)."""
+        token (0 on pad tokens); max_frames is the static frame cap the
+        caller trains against (the mel bucket length).
+
+        `alignments` (the [B, M, T_text] one-hot frame→token map) is built
+        only when return_alignments=True: at the benched B=384×400×128
+        shape the one-hot is ~78 MB of HBM per step that the loss never
+        reads (advisor r4). `frame_token_idx` + `frame_mask` are always
+        returned and carry the same information compactly."""
         params, state = variables["params"], variables["state"]
         enc, enc_state, rng = self._encode(params, state, text, text_lengths,
                                            rng, train, speaker_ids,
@@ -243,19 +252,31 @@ class ParallelTTS:
         logd = self.duration(params["duration"],
                              jax.lax.stop_gradient(enc), tok_mask, sub,
                              train)
-        M = max_frames or int(durations.sum(axis=1).max())
+        if max_frames is None:
+            if isinstance(jnp.asarray(durations), jax.core.Tracer):
+                raise ValueError(
+                    "ParallelTTS.forward: max_frames is required under "
+                    "jit (the fallback reads a concrete duration sum); "
+                    "pass the mel bucket length explicitly")
+            M = int(durations.sum(axis=1).max())
+        else:
+            M = max_frames
         frames, frame_mask, idx, total = length_regulate(enc, durations, M)
         mel, post, post_state = self._decode(
             params, state, frames, frame_mask, rng, train)
-        return {
+        out = {
             "decoder_outputs": mel,
             "postnet_outputs": post,
             "log_durations": logd,
             "frame_mask": frame_mask,
+            "frame_token_idx": idx,
             "mel_lengths": total,
-            "alignments": _pseudo_alignment(idx, frame_mask, text.shape[1]),
             "state": {"encoder": enc_state, "postnet": post_state},
         }
+        if return_alignments:
+            out["alignments"] = _pseudo_alignment(idx, frame_mask,
+                                                  text.shape[1])
+        return out
 
     # --- serving -------------------------------------------------------------
 
@@ -276,8 +297,10 @@ class ParallelTTS:
         # zero-frame utterance downstream)
         d = jnp.maximum(d, 1.0) * tok_mask.astype(d.dtype)
         d = d.astype(jnp.int32)
-        M = max_decoder_steps or self.cfg.max_decoder_steps * max(
-            self.cfg.r, 1)
+        if max_decoder_steps is None:
+            max_decoder_steps = self.cfg.max_decoder_steps * max(
+                self.cfg.r, 1)
+        M = max_decoder_steps
         frames, frame_mask, idx, total = length_regulate(enc, d, M)
         mel, post, _ = self._decode(params, state, frames, frame_mask,
                                     None, False)
@@ -318,6 +341,30 @@ class ParallelTTSLoss:
         total = l_dec + l_post + self.duration_alpha * l_dur
         return total, {"loss_decoder": l_dec, "loss_postnet": l_post,
                        "loss_duration": l_dur, "loss": total}
+
+
+def repair_row_durations(d, mel_len: int, T: int):
+    """Repair one duration row (numpy int64 [<=T]) so its sum equals the
+    loader's mel length: deficit is added to the last real token, excess is
+    clipped off the tail tokens. Guards training against a stale/mismatched
+    durations.npz silently teaching the decoder zero-padded mel frames
+    (advisor r4 medium finding on bin/train_parallel.batch_durations)."""
+    import numpy as np
+
+    d = np.asarray(d, np.int64)[:T].copy()
+    diff = int(mel_len) - int(d.sum())
+    if diff > 0:  # deficit: extend the last real token
+        nz = np.nonzero(d)[0]
+        d[nz[-1] if len(nz) else 0] += diff
+    elif diff < 0:  # excess: clip from the tail tokens
+        excess = -diff
+        for j in range(len(d) - 1, -1, -1):
+            take = min(excess, int(d[j]))
+            d[j] -= take
+            excess -= take
+            if excess == 0:
+                break
+    return d
 
 
 def uniform_durations(text_lengths, mel_lengths, T_text: int):

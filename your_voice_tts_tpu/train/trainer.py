@@ -201,6 +201,19 @@ class Trainer:
             grads/losses averaged over micro-batches, BN state threaded
             through them, ONE optimizer update. lax.scan keeps the compiled
             program size independent of A."""
+            # Trace-time shape guard (advisor r4 medium): the ACTUAL batch
+            # dim is what gets reshaped, and token batching / gradual rows
+            # can make it differ from cfg.training.batch_size. Shapes are
+            # static under jit, so this raises a clear error at trace time
+            # instead of an opaque reshape failure inside the scan.
+            _B_actual = batch["text"].shape[0]
+            if _B_actual % A != 0:
+                raise ValueError(
+                    f"grad_accum_steps={A} does not divide the actual batch "
+                    f"dim {_B_actual} (token batching and gradual_training "
+                    f"rows can change B from cfg.training.batch_size "
+                    f"{self.cfg.training.batch_size}); pick A dividing every "
+                    f"batch size the loader can emit")
             # batched leaves split into A micro-batches; scalar leaves
             # (e.g. n_real) broadcast so every micro sees the batch value
             micro = jax.tree_util.tree_map(
@@ -235,10 +248,27 @@ class Trainer:
             parts["grad_norm"] = grad_norm
             return new_state, parts
 
-        if A > 1 and self.cfg.training.batch_size % A != 0:
-            raise ValueError(
-                f"batch_size {self.cfg.training.batch_size} must be divisible "
-                f"by grad_accum_steps {A}")
+        if A > 1:
+            # Config-time checks over EVERY batch size the loader can emit
+            # (advisor r4 medium): the base batch size, each gradual row's
+            # override, and — under token batching — the batch quantum,
+            # since token buckets emit any multiple of _B_QUANTUM.
+            if self.cfg.training.batch_size % A != 0:
+                raise ValueError(
+                    f"batch_size {self.cfg.training.batch_size} must be "
+                    f"divisible by grad_accum_steps {A}")
+            for row in self.cfg.training.gradual_training or ():
+                if int(row[2]) % A != 0:
+                    raise ValueError(
+                        f"gradual_training row {row}: batch size {row[2]} "
+                        f"must be divisible by grad_accum_steps {A}")
+            if self.cfg.data.tokens_per_batch:
+                from ..data.dataset import TTSDataset
+                q = TTSDataset._B_QUANTUM
+                if q % A != 0:
+                    raise ValueError(
+                        f"data.tokens_per_batch emits batches in multiples "
+                        f"of {q}; grad_accum_steps {A} must divide {q}")
         self._train_steps[r] = train_step_accum if A > 1 else train_step
         return self._train_steps[r]
 
