@@ -37,7 +37,11 @@ import numpy as np  # noqa: E402
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-N_SPEAKERS = 4
+# Round-5 scale-up (VERDICT r4 next #2: ">= 8 speakers"): 8 voices on a
+# compressed f0 ladder (ratio 1.165 keeps the top voice's harmonics under
+# the 4 kHz Nyquist at sr=8000 — ratio 1.3 would alias from speaker 5 up),
+# 320 items (40/speaker), GE2E batches sample all 8 speakers.
+N_SPEAKERS = 8
 SPK_DIM = 64
 SE_FRAMES = 40
 
@@ -45,10 +49,11 @@ SE_FRAMES = 40
 def build_corpus():
     from your_voice_tts_tpu.data.synthetic import make_synthetic_corpus
 
-    corpus = os.path.join(REPO, ".bench_cache", "corpus_ms")
+    corpus = os.path.join(REPO, ".bench_cache", f"corpus_ms{N_SPEAKERS}")
     if not os.path.exists(os.path.join(corpus, "metadata.csv")):
-        make_synthetic_corpus(corpus, n_items=96, sr=8000,
-                              n_speakers=N_SPEAKERS, max_words=8)
+        make_synthetic_corpus(corpus, n_items=320, sr=8000,
+                              n_speakers=N_SPEAKERS, max_words=8,
+                              f0_ratio=1.165)
     return corpus
 
 
@@ -71,7 +76,8 @@ def train_speaker_encoder(corpus, ap, steps=400):
                                augment_wav_fn=gl_roundtrip)
     enc = SpeakerEncoder(input_dim=20, proj_dim=SPK_DIM, lstm_dim=128,
                          num_layers=2)
-    tr = SpeakerEncoderTrainer(enc, ds, lr=3e-4, num_speakers_per_batch=4,
+    tr = SpeakerEncoderTrainer(enc, ds, lr=3e-4,
+                               num_speakers_per_batch=N_SPEAKERS,
                                num_utters_per_speaker=4, verbose=True)
     tr.fit(steps, print_step=100)
     tr.save(os.path.join(HERE, "speaker_encoder_smoke.npz"))
@@ -164,8 +170,8 @@ def cloning_gate(trainer, cfg, enc, enc_params, dvecs):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=4000)
-    p.add_argument("--se_steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=8000)
+    p.add_argument("--se_steps", type=int, default=600)
     args = p.parse_args()
 
     from your_voice_tts_tpu.audio import AudioProcessor

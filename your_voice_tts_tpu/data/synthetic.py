@@ -50,7 +50,9 @@ def _speech_wave(rng: np.random.Generator, sr: int, dur: float, f0: float) -> np
 def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
                           n_speakers: int = 1, seed: int = 0,
                           min_words: int = 3, max_words: int = 9,
-                          words_cycle: tuple | None = None) -> str:
+                          words_cycle: tuple | None = None,
+                          f0_base: float = 110.0,
+                          f0_ratio: float = 1.3) -> str:
     """Create metadata.csv + wavs/ under `path`; returns `path`.
 
     min_words (inclusive) / max_words (EXCLUSIVE, numpy integers
@@ -82,7 +84,12 @@ def make_synthetic_corpus(path: str, n_items: int = 32, sr: int = 22050,
             text = _sentence(rng, n_words)
             dur = 0.25 + 0.12 * n_words + float(rng.uniform(0, 0.1))
         speaker = i % n_speakers
-        f0 = 110.0 * (1.3 ** speaker)
+        # per-speaker 'voice' = geometric f0 ladder. The 1.3 default keeps
+        # the historical 4-speaker set (110/143/186/242 Hz); corpora with
+        # more speakers should pass a smaller ratio so the top voice's 9
+        # harmonics stay under Nyquist (8 speakers at sr=8000: ratio 1.165
+        # puts speaker 7 at ~320 Hz, 9th harmonic 2.9 kHz < 4 kHz).
+        f0 = f0_base * (f0_ratio ** speaker)
         wav = _speech_wave(rng, sr, dur, f0)
         name = f"SYN{speaker:02d}-{i:04d}"
         pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)

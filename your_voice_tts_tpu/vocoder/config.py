@@ -44,9 +44,16 @@ class WaveRNNConfig:
     num_res_blocks: int = 10
     pad: int = 2                 # conditioning context frames each side
     upsample_factors: tuple[int, ...] = (4, 8, 8)  # product == hop_length
-    # batched folding (reference "batched sequence folding" [B:10])
+    # batched folding (reference "batched sequence folding" [B:10]).
+    # Round-5 fold-width sweep on v5e (1400-frame mel, 357,888 samples,
+    # Pallas kernel): target 11000 -> 206x RT wall, 5500 -> 237x, 2750 ->
+    # 211x (per-step cost grows past ~64 folds) — the knee is ~5500.
+    # Greedy folded-vs-unfolded seam check: multi-res STFT distance and
+    # seam-local RMS are the same at 5500 as at 11000 (0.60 vs 0.67; the
+    # divergence is the fold state-reset itself, not the width), so the
+    # faster config costs no seam quality (tests/test_vocoder.py seam gate).
     batched: bool = True
-    target: int = 11_000         # samples decoded per fold
+    target: int = 5_500          # samples decoded per fold (sweep knee)
     overlap: int = 550           # crossfade overlap between folds
 
 
