@@ -181,6 +181,96 @@ def test_durations_from_alignment_repair():
     assert d1.sum() == 10 and d1[2] == 10
 
 
+@pytest.fixture(scope="module")
+def styled_model_and_vars():
+    """GST + energy-adaptor ParallelTTS (round-5 conditioning additions)."""
+    from your_voice_tts_tpu.config import GSTConfig, SpeakerConfig
+
+    cfg = Config(
+        audio=AudioConfig(num_mels=N_MELS),
+        model=dataclasses.replace(MCFG, model="ParallelTTS",
+                                  parallel_energy_predictor=True),
+        speakers=SpeakerConfig(use_gst=True,
+                               gst=GSTConfig(gst_embedding_dim=32,
+                                             gst_num_heads=2,
+                                             gst_style_tokens=4)))
+    model = setup_model(len(symbols), 0, cfg)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def _styled_batch(rng, B=2, T=10, M=32):
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T)), jnp.int32)
+    tl = jnp.asarray([T, T - 3], jnp.int32)
+    ml = jnp.asarray([M, M - 12], jnp.int32)
+    dur = uniform_durations(tl, ml, T)
+    mel = jnp.asarray(rng.standard_normal((B, M, N_MELS)) * 0.1, jnp.float32)
+    return text, tl, ml, dur, mel
+
+
+def test_gst_energy_forward_and_loss(styled_model_and_vars):
+    """GST + energy model: forward returns energy_pred, the loss gains a
+    finite energy term, and gradients flow into the gst/energy params."""
+    from your_voice_tts_tpu.models.parallel_tts import frame_energy
+
+    model, variables = styled_model_and_vars
+    rng = np.random.default_rng(3)
+    text, tl, ml, dur, mel = _styled_batch(rng)
+    M = mel.shape[1]
+    fm = jnp.arange(M)[None, :] < ml[:, None]
+    out = model.forward(variables, text, tl, dur, rng=jax.random.PRNGKey(0),
+                        train=True, max_frames=M, style_mel=mel,
+                        style_len=ml, energies=frame_energy(mel, fm))
+    assert out["energy_pred"].shape == (2, M)
+    crit = ParallelTTSLoss()
+    total, parts = crit(out, mel, dur, tl)
+    assert "loss_energy" in parts and np.isfinite(float(parts["loss_energy"]))
+
+    def loss(p):
+        o = model.forward({"params": p, "state": variables["state"]}, text,
+                          tl, dur, rng=jax.random.PRNGKey(0), train=True,
+                          max_frames=M, style_mel=mel, style_len=ml,
+                          energies=frame_energy(mel, fm))
+        return crit(o, mel, dur, tl)[0]
+
+    g = jax.jit(jax.grad(loss))(variables["params"])
+    for group in ("gst", "energy", "energy_proj"):
+        gn = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.abs(x).sum()), g[group], 0.0)
+        assert np.isfinite(gn) and gn > 0, group
+
+
+def test_gst_style_and_energy_scale_steer_inference(styled_model_and_vars):
+    """Different style references and energy_scale values must change the
+    synthesized mel (the conditioning paths are live at inference), and a
+    no-style call must still run (GST branch skipped)."""
+    model, variables = styled_model_and_vars
+    rng = np.random.default_rng(4)
+    text, tl, ml, dur, mel = _styled_batch(rng)
+    base = model.inference(variables, text, tl, max_decoder_steps=48,
+                           style_mel=mel, style_len=ml)
+    other_style = model.inference(variables, text, tl, max_decoder_steps=48,
+                                  style_mel=mel * 3.0 + 0.5, style_len=ml)
+    scaled = model.inference(variables, text, tl, max_decoder_steps=48,
+                             style_mel=mel, style_len=ml, energy_scale=1.5)
+    d_style = float(jnp.abs(base["postnet_outputs"]
+                            - other_style["postnet_outputs"]).max())
+    d_energy = float(jnp.abs(base["postnet_outputs"]
+                             - scaled["postnet_outputs"]).max())
+    assert d_style > 0.0
+    assert d_energy > 0.0
+    no_style = model.inference(variables, text, tl, max_decoder_steps=48)
+    assert np.isfinite(np.asarray(no_style["postnet_outputs"])).all()
+
+
+def test_plain_checkpoint_layout_unchanged(model_and_vars):
+    """The round-5 conditioning is opt-in: a default ParallelTTS has no
+    gst/energy params (round-4 checkpoints keep loading bit-for-bit)."""
+    _, variables = model_and_vars
+    for k in ("gst", "energy", "energy_proj"):
+        assert k not in variables["params"]
+    assert "gst" not in variables["state"]
+
+
 def test_repair_row_durations():
     """Stale/mismatched durations rows are repaired to the loader's mel
     length: deficit extends the last real token, excess clips tail tokens,

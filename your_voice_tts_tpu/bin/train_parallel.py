@@ -163,11 +163,23 @@ def main(argv: list[str] | None = None) -> dict:
         return out
 
     def loss_fn(params, state, batch, key):
+        kw = {}
+        if model.use_gst:
+            # classic GST training: the target utterance is its own style
+            # reference (mel_lengths bounds the ref encoder's pooling)
+            kw["style_mel"] = batch["mel"]
+            kw["style_len"] = batch["mel_lengths"]
+        if model.energy is not None:
+            from ..models.parallel_tts import frame_energy
+
+            fm = jnp.arange(batch["mel"].shape[1])[None, :] < \
+                jnp.asarray(batch["mel_lengths"])[:, None]
+            kw["energies"] = frame_energy(batch["mel"], fm)
         out = model.forward(
             {"params": params, "state": state}, batch["text"],
             batch["text_lengths"], batch["durations"], rng=key, train=True,
             max_frames=batch["mel"].shape[1],
-            speaker_embeddings=batch.get("speaker_embeddings"))
+            speaker_embeddings=batch.get("speaker_embeddings"), **kw)
         total, parts = criterion(out, batch["mel"], batch["durations"],
                                  batch["text_lengths"])
         return total, (out["state"], parts)

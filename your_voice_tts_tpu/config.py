@@ -118,6 +118,10 @@ class ModelConfig:
     # ParallelTTS (non-autoregressive family, models/parallel_tts.py)
     parallel_decoder_blocks: int = 6
     duration_predictor_dim: int = 256
+    # FastSpeech2-style energy variance adaptor (round-5): predicts a
+    # per-frame energy track, teacher-forced in training, model-predicted
+    # (and user-scalable via inference energy_scale) at synthesis
+    parallel_energy_predictor: bool = False
     # serving fast path: "bfloat16" runs inference matmuls at MXU-native
     # precision (alignments/outputs stay f32; see models/tacotron2.py).
     # Training precision is unaffected.

@@ -51,5 +51,7 @@ def setup_model(num_chars: int, num_speakers: int, cfg: Config,
             n_mels=cfg.audio.num_mels,
             num_speakers=num_speakers,
             speaker_embedding_dim=speaker_embedding_dim,
+            use_gst=cfg.speakers.use_gst,
+            gst_cfg=cfg.speakers.gst,
         )
     raise ValueError(f"unknown model {name!r}")

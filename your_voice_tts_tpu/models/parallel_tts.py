@@ -124,10 +124,26 @@ class DurationPredictor:
 
 
 class ParallelTTS:
-    """Duration-based parallel text-to-mel model (module docstring)."""
+    """Duration-based parallel text-to-mel model (module docstring).
+
+    Round-5 conditioning additions (VERDICT r4 next #7), both OPT-IN so
+    existing checkpoints load unchanged:
+    - use_gst: global style tokens (shared `models/gst.py` module, the same
+      one Tacotron2 uses) — the style embedding is ADDED to encoder states
+      before duration prediction/length regulation, so style affects both
+      prosody (durations) and spectral rendering. Training conditions on
+      the target utterance (classic GST recipe); inference takes any
+      reference mel via `style_mel`.
+    - energy predictor (FastSpeech2-style variance adaptor): a ConvLN
+      stack over the length-regulated frames predicts per-frame log-energy;
+      TEACHER energy (masked mel-frame mean, computed by the trainer from
+      the target mel) conditions the decoder during training, the model's
+      own prediction at inference. Conditioning enters as a Dense(1->D)
+      projection added to the frames."""
 
     def __init__(self, num_chars: int, cfg: ModelConfig, n_mels: int,
-                 num_speakers: int = 0, speaker_embedding_dim: int = 0):
+                 num_speakers: int = 0, speaker_embedding_dim: int = 0,
+                 use_gst: bool = False, gst_cfg=None):
         self.cfg = cfg
         self.n_mels = n_mels
         self.num_speakers = num_speakers
@@ -144,7 +160,15 @@ class ParallelTTS:
         elif speaker_embedding_dim:
             spk_dim = speaker_embedding_dim
         self.spk_proj = Dense(dim + spk_dim, dim) if spk_dim else None
+        self.use_gst = use_gst
+        if use_gst:
+            from .gst import GST
+            self.gst = GST(n_mels, dim, gst_cfg)
         self.duration = DurationPredictor(dim, cfg.duration_predictor_dim)
+        self.energy = None
+        if cfg.parallel_energy_predictor:
+            self.energy = DurationPredictor(dim, cfg.duration_predictor_dim)
+            self.energy_proj = Dense(1, dim)
         blocks = []
         for _ in range(cfg.parallel_decoder_blocks):
             blocks.append(ConvLNBlock(dim, dim, 5, dropout=0.1))
@@ -162,7 +186,7 @@ class ParallelTTS:
     def init(self, key):
         # distinct subkeys for every submodule (advisor r4: speaker_table
         # and spk_proj previously shared one key → correlated init)
-        ks = jax.random.split(key, 9)
+        ks = jax.random.split(key, 12)
         params = {
             "embedding": self.embedding.init(ks[0]),
             "encoder": self.encoder.init(ks[1]),
@@ -179,16 +203,24 @@ class ParallelTTS:
             params["speaker_table"] = self.speaker_table.init(ks[7])
         if self.spk_proj is not None:
             params["spk_proj"] = self.spk_proj.init(ks[8])
+        if self.use_gst:
+            params["gst"] = self.gst.init(ks[9])
+        if self.energy is not None:
+            params["energy"] = self.energy.init(ks[10])
+            params["energy_proj"] = self.energy_proj.init(ks[11])
         state = {
             "encoder": self.encoder.init_state(),
             "postnet": self.postnet.init_state(),
         }
+        if self.use_gst:
+            state["gst"] = self.gst.init_state()
         return {"params": params, "state": state}
 
     # --- shared trunk --------------------------------------------------------
 
     def _encode(self, params, state, text, text_lengths, rng, train,
-                speaker_ids, speaker_embeddings):
+                speaker_ids, speaker_embeddings, style_mel=None,
+                style_len=None):
         x = self.embedding(params["embedding"], text)
         if self.embed_proj is not None:
             x = self.embed_proj(params["embed_proj"], x)
@@ -197,6 +229,13 @@ class ParallelTTS:
             rng, sub = jax.random.split(rng)
         enc, enc_state = self.encoder(params["encoder"], state["encoder"],
                                       x, text_lengths, sub, train)
+        gst_state = state.get("gst", {}) if self.use_gst else {}
+        if self.use_gst and style_mel is not None:
+            # style ADDS before duration prediction, so a style reference
+            # shifts prosody (durations) as well as spectral rendering
+            style, gst_state = self.gst(params["gst"], state["gst"],
+                                        style_mel, style_len, train)
+            enc = enc + style[:, None, :]
         spk = None
         if self.speaker_table is not None and speaker_ids is not None:
             spk = self.speaker_table(params["speaker_table"], speaker_ids)
@@ -207,7 +246,28 @@ class ParallelTTS:
                                      enc.shape[:2] + (spk.shape[-1],))
             enc = self.spk_proj(params["spk_proj"],
                                 jnp.concatenate([enc, spk_b], axis=-1))
-        return enc, enc_state, rng
+        return enc, enc_state, gst_state, rng
+
+    def _apply_energy(self, params, frames, frame_mask, energies, rng,
+                      train):
+        """FastSpeech2-style energy adaptor over length-regulated frames.
+        Returns (conditioned frames, predicted per-frame energy or None)."""
+        if self.energy is None:
+            return frames, None
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        # the predictor must not steer the trunk (same rationale as the
+        # duration predictor's stop-gradient)
+        e_pred = self.energy(params["energy"],
+                             jax.lax.stop_gradient(frames), frame_mask,
+                             sub, train)
+        e_cond = energies if energies is not None else e_pred
+        e_cond = e_cond * frame_mask.astype(e_cond.dtype)
+        frames = frames + self.energy_proj(params["energy_proj"],
+                                           e_cond[..., None]) \
+            * frame_mask[..., None].astype(frames.dtype)
+        return frames, e_pred
 
     def _decode(self, params, state, frames, frame_mask, rng, train):
         x = frames
@@ -229,7 +289,8 @@ class ParallelTTS:
     def forward(self, variables, text, text_lengths, durations, rng=None,
                 train: bool = True, max_frames: int | None = None,
                 speaker_ids=None, speaker_embeddings=None,
-                return_alignments: bool = False):
+                return_alignments: bool = False, style_mel=None,
+                style_len=None, energies=None):
         """Teacher-duration forward. durations [B, T_text] int32 frames per
         token (0 on pad tokens); max_frames is the static frame cap the
         caller trains against (the mel bucket length).
@@ -240,9 +301,9 @@ class ParallelTTS:
         reads (advisor r4). `frame_token_idx` + `frame_mask` are always
         returned and carry the same information compactly."""
         params, state = variables["params"], variables["state"]
-        enc, enc_state, rng = self._encode(params, state, text, text_lengths,
-                                           rng, train, speaker_ids,
-                                           speaker_embeddings)
+        enc, enc_state, gst_state, rng = self._encode(
+            params, state, text, text_lengths, rng, train, speaker_ids,
+            speaker_embeddings, style_mel=style_mel, style_len=style_len)
         tok_mask = sequence_mask(text_lengths, text.shape[1])
         sub = None
         if rng is not None:
@@ -262,8 +323,13 @@ class ParallelTTS:
         else:
             M = max_frames
         frames, frame_mask, idx, total = length_regulate(enc, durations, M)
+        frames, e_pred = self._apply_energy(params, frames, frame_mask,
+                                            energies, rng, train)
         mel, post, post_state = self._decode(
             params, state, frames, frame_mask, rng, train)
+        new_state = {"encoder": enc_state, "postnet": post_state}
+        if self.use_gst:
+            new_state["gst"] = gst_state
         out = {
             "decoder_outputs": mel,
             "postnet_outputs": post,
@@ -271,8 +337,10 @@ class ParallelTTS:
             "frame_mask": frame_mask,
             "frame_token_idx": idx,
             "mel_lengths": total,
-            "state": {"encoder": enc_state, "postnet": post_state},
+            "state": new_state,
         }
+        if e_pred is not None:
+            out["energy_pred"] = e_pred
         if return_alignments:
             out["alignments"] = _pseudo_alignment(idx, frame_mask,
                                                   text.shape[1])
@@ -282,13 +350,19 @@ class ParallelTTS:
 
     def inference(self, variables, text, text_lengths, rng=None,
                   max_decoder_steps: int | None = None, speed: float = 1.0,
-                  speaker_ids=None, speaker_embeddings=None, **_compat):
+                  speaker_ids=None, speaker_embeddings=None, style_mel=None,
+                  style_len=None, energy_scale: float = 1.0, **_compat):
         """Predicted-duration synthesis. max_decoder_steps is in FRAMES here
         (the parallel model has no r-groups); defaults to the config cap.
-        speed > 1 shortens durations (faster speech)."""
+        speed > 1 shortens durations (faster speech). style_mel [B, T, n_mels]
+        conditions a GST model on a reference utterance; energy_scale scales
+        the predicted energy track (variance-adaptor models only)."""
         params, state = variables["params"], variables["state"]
-        enc, _, rng = self._encode(params, state, text, text_lengths, None,
-                                   False, speaker_ids, speaker_embeddings)
+        enc, _, _, rng = self._encode(params, state, text, text_lengths,
+                                      None, False, speaker_ids,
+                                      speaker_embeddings,
+                                      style_mel=style_mel,
+                                      style_len=style_len)
         tok_mask = sequence_mask(text_lengths, text.shape[1])
         logd = self.duration(params["duration"], enc, tok_mask, None, False)
         d = jnp.round((jnp.exp(logd) - 1.0) / speed)
@@ -302,6 +376,15 @@ class ParallelTTS:
                 self.cfg.r, 1)
         M = max_decoder_steps
         frames, frame_mask, idx, total = length_regulate(enc, d, M)
+        if self.energy is not None and energy_scale != 1.0:
+            e_pred = self.energy(params["energy"], frames, frame_mask,
+                                 None, False)
+            frames, _ = self._apply_energy(params, frames, frame_mask,
+                                           e_pred * energy_scale, None,
+                                           False)
+        else:
+            frames, _ = self._apply_energy(params, frames, frame_mask,
+                                           None, None, False)
         mel, post, _ = self._decode(params, state, frames, frame_mask,
                                     None, False)
         return {
@@ -321,11 +404,23 @@ def _pseudo_alignment(idx, frame_mask, T_text: int):
     return oh * frame_mask[..., None].astype(jnp.float32)
 
 
-class ParallelTTSLoss:
-    """Masked L1 (decoder + postnet) + MSE on log(1 + duration)."""
+def frame_energy(mel, frame_mask):
+    """Per-frame energy target for the variance adaptor: masked mean of the
+    (normalized) target mel over channels — deterministic, scale-consistent
+    with what the decoder itself regresses. mel [B, M, n_mels] -> [B, M]."""
+    e = jnp.mean(mel, axis=-1)
+    return e * frame_mask.astype(e.dtype)
 
-    def __init__(self, duration_alpha: float = 0.1):
+
+class ParallelTTSLoss:
+    """Masked L1 (decoder + postnet) + MSE on log(1 + duration); models
+    with the energy adaptor add a masked MSE on the per-frame energy
+    track (target = frame_energy(mel_target))."""
+
+    def __init__(self, duration_alpha: float = 0.1,
+                 energy_alpha: float = 0.1):
         self.duration_alpha = duration_alpha
+        self.energy_alpha = energy_alpha
 
     def __call__(self, outputs, mel_target, durations, text_lengths):
         m = outputs["frame_mask"][..., None].astype(jnp.float32)
@@ -339,8 +434,17 @@ class ParallelTTSLoss:
         l_dur = (((outputs["log_durations"] - logd_t) ** 2) * tok).sum() \
             / jnp.maximum(tok.sum(), 1.0)
         total = l_dec + l_post + self.duration_alpha * l_dur
-        return total, {"loss_decoder": l_dec, "loss_postnet": l_post,
-                       "loss_duration": l_dur, "loss": total}
+        parts = {"loss_decoder": l_dec, "loss_postnet": l_post,
+                 "loss_duration": l_dur}
+        if "energy_pred" in outputs:
+            fm = outputs["frame_mask"].astype(jnp.float32)
+            e_t = frame_energy(tgt, outputs["frame_mask"])
+            l_en = (((outputs["energy_pred"] - e_t) ** 2) * fm).sum() \
+                / jnp.maximum(fm.sum(), 1.0)
+            total = total + self.energy_alpha * l_en
+            parts["loss_energy"] = l_en
+        parts["loss"] = total
+        return total, parts
 
 
 def repair_row_durations(d, mel_len: int, T: int):
