@@ -26,14 +26,25 @@ sys.path.insert(0, REPO)
 
 p = argparse.ArgumentParser()
 p.add_argument("--steps", type=int, default=30000)
+p.add_argument("--batch_size", type=int, default=32)
 p.add_argument("--corpus", default=os.path.join(REPO, ".bench_cache",
                                                 "corpus2048"))
 p.add_argument("--teacher", default=os.path.join(HERE,
                                                  "bench_trained_smoke.npz"))
 p.add_argument("--out", default=os.path.join(HERE,
                                              "bench_trained_parallel.npz"))
+p.add_argument("--gst_energy", action="store_true",
+               help="train the GST + energy-adaptor variant (round-5 "
+                    "conditioning additions) — used for the held-out MCD "
+                    "delta vs the plain parallel checkpoint")
+p.add_argument("--durations", default=None,
+               help="reuse an existing durations.npz instead of re-running "
+                    "extraction (the GST variant reuses the plain run's)")
 p.add_argument("--platform", default=None)
 args = p.parse_args()
+
+if args.gst_energy and args.out.endswith("bench_trained_parallel.npz"):
+    args.out = os.path.join(HERE, "bench_trained_parallel_gst.npz")
 
 import jax  # noqa: E402
 
@@ -71,17 +82,32 @@ with open(cfg_over, "w") as f:
     raw2 = re.sub(r"(?m)^\s*//.*$", "", raw)
     d = json.loads(raw2)
     d["max_decoder_steps"] = 256
+    if args.gst_energy:
+        d["parallel_energy_predictor"] = True
+        d["use_gst"] = True
+        d["gst"] = {"gst_embedding_dim": 32, "gst_num_heads": 2,
+                    "gst_style_tokens": 4}
     json.dump(d, f)
 
-dur_path = os.path.join(workdir, "durations.npz")
-print(f" > extracting durations -> {dur_path}", flush=True)
-extract_main(["--config", cfg_over, "--checkpoint", args.teacher,
-              "--data_path", args.corpus, "--output", dur_path])
+if args.durations:
+    dur_path = args.durations
+else:
+    # cached next to the corpus so variant runs (--gst_energy) reuse it;
+    # invalidated simply by deleting it or retraining into a new corpus dir
+    dur_path = os.path.join(args.corpus, "durations_teacher.npz")
+if not os.path.exists(dur_path):
+    print(f" > extracting durations -> {dur_path}", flush=True)
+    extract_main(["--config", cfg_over, "--checkpoint", args.teacher,
+                  "--data_path", args.corpus, "--output", dur_path])
+else:
+    print(f" > reusing durations {dur_path}", flush=True)
 
 outdir = os.path.join(workdir, "run")
-print(f" > training ParallelTTS {args.steps} steps", flush=True)
+print(f" > training ParallelTTS {args.steps} steps "
+      f"(B={args.batch_size}, gst_energy={args.gst_energy})", flush=True)
 train_main(["--config_path", cfg_over, "--data_path", args.corpus,
             "--durations", dur_path, "--max_steps", str(args.steps),
+            "--batch_size", str(args.batch_size),
             "--output_path", outdir, "--save_step", str(args.steps)])
 
 final = os.path.join(outdir, f"checkpoint_{args.steps}.npz")

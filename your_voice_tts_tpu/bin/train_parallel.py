@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "steps)")
     p.add_argument("--use_config_optimizer", action="store_true",
                    help="use the config's RAdam+Noam stack instead")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override cfg.training.batch_size (the parallel "
+                        "step is conv/matmul-dominated, so larger batches "
+                        "raise MFU — the smoke config's 8 is dispatch-bound "
+                        "on TPU)")
     p.add_argument("--speakers_json", default=None,
                    help="external d-vector mapping (bin/compute_embeddings "
                         "output): trains a d-vector-conditioned ParallelTTS "
@@ -71,6 +76,10 @@ def main(argv: list[str] | None = None) -> dict:
     if cfg.model.model != "ParallelTTS":
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, model="ParallelTTS"))
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training,
+                                              batch_size=args.batch_size))
     ds0 = dataclasses.replace(cfg.data.datasets[0], path=args.data_path,
                               meta_file_train=args.meta_file)
     cfg = dataclasses.replace(
