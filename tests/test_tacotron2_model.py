@@ -291,6 +291,26 @@ def test_bf16_inference_matches_f32(model, variables):
                                atol=1e-2)
 
 
+def test_bf16_inference_with_numpy_checkpoint_params(model, variables):
+    """bf16 route with NUMPY param/state leaves, as load_checkpoint returns
+    them (round-5 regression): numpy ml_dtypes-bf16 leaves used to hit
+    NUMPY's promotion rules (bf16 + float -> f32) inside BatchNorm eval
+    math, upcasting the graph and crashing the next conv with a mixed
+    f32/bf16 dtype error. tree_cast_floats now returns jnp leaves."""
+    np_vars = {
+        "params": jax.tree_util.tree_map(np.asarray, variables["params"]),
+        "state": jax.tree_util.tree_map(np.asarray, variables["state"]),
+    }
+    text, text_len, _, _, _ = make_batch(jax.random.PRNGKey(10))
+    out = model.inference(np_vars, text, text_len, max_decoder_steps=8,
+                          compute_dtype=jnp.bfloat16, use_pallas=False)
+    assert np.all(np.isfinite(np.asarray(out["postnet_outputs"])))
+    ref = model.inference(variables, text, text_len, max_decoder_steps=8,
+                          compute_dtype=jnp.bfloat16, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out["postnet_outputs"]),
+                               np.asarray(ref["postnet_outputs"]), atol=1e-6)
+
+
 def test_bf16_incremental_and_truncated_paths(model, variables):
     """The chunked serving path and the streaming path both run under bf16
     and produce finite f32 outputs with plausible stop behavior."""

@@ -257,10 +257,18 @@ class Dropout:
 def tree_cast_floats(tree, dtype):
     """Cast every floating-point leaf of a pytree to `dtype` (ints/bools are
     left alone). Used by the bf16 inference path: params/state cast once, the
-    MXU runs every matmul in bf16, outputs cast back to f32 at the boundary."""
+    MXU runs every matmul in bf16, outputs cast back to f32 at the boundary.
+
+    Leaves come back as jnp arrays even when the input tree holds numpy
+    arrays (e.g. straight from load_checkpoint): a numpy ml_dtypes-bf16
+    leaf flowing into expressions like ``var + 1e-5`` is promoted by
+    NUMPY's rules (bf16 + float -> f32) before jax ever sees it, silently
+    upcasting the whole downstream graph and then failing the first
+    strict-dtype primitive (conv) with a mixed f32/bf16 error — measured
+    on the bf16 inference route with checkpoint-loaded BatchNorm state."""
     def cast(a):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
-            return a.astype(dtype)
+            return jnp.asarray(a, dtype)
         return a
 
     return jax.tree_util.tree_map(cast, tree)
