@@ -271,6 +271,52 @@ def test_plain_checkpoint_layout_unchanged(model_and_vars):
     assert "gst" not in variables["state"]
 
 
+def test_conv_encoder_variant_trains_and_infers():
+    """parallel_encoder="conv" (round-5 MFU lever: zero lax.scan anywhere
+    in the model): loss decreases under Adam and inference is finite with
+    correctly masked shapes."""
+    import optax
+
+    cfg = Config(audio=AudioConfig(num_mels=N_MELS),
+                 model=dataclasses.replace(MCFG, model="ParallelTTS",
+                                           parallel_encoder="conv"))
+    model = setup_model(len(symbols), 0, cfg)
+    v = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    B, T, M = 4, 10, 32
+    text = jnp.asarray(rng.integers(1, len(symbols), (B, T)), jnp.int32)
+    tl = jnp.full((B,), T, jnp.int32)
+    ml = jnp.full((B,), M, jnp.int32)
+    dur = uniform_durations(tl, ml, T)
+    mel = jnp.asarray(rng.standard_normal((B, M, N_MELS)) * 0.1, jnp.float32)
+    crit = ParallelTTSLoss()
+    opt = optax.adam(2e-3)
+    params, state = v["params"], v["state"]
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, o, k):
+        def lf(p):
+            out = model.forward({"params": p, "state": s}, text, tl, dur,
+                                rng=k, train=True, max_frames=M)
+            return crit(out, mel, dur, tl)[0]
+
+        l, g = jax.value_and_grad(lf)(p)
+        u, o = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, state, opt_state, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+    out = model.inference({"params": params, "state": state}, text, tl,
+                          max_decoder_steps=48)
+    assert np.isfinite(np.asarray(out["postnet_outputs"])).all()
+
+
 def test_repair_row_durations():
     """Stale/mismatched durations rows are repaired to the loader's mel
     length: deficit extends the last real token, excess clips tail tokens,

@@ -122,6 +122,12 @@ class ModelConfig:
     # per-frame energy track, teacher-forced in training, model-predicted
     # (and user-scalable via inference energy_scale) at synthesis
     parallel_energy_predictor: bool = False
+    # text encoder for the parallel family: "shared" = the Tacotron2
+    # conv+BiLSTM (default, checkpoint-compatible with round-4 assets);
+    # "conv" = residual dilated ConvLN stack with NO scan anywhere in the
+    # model — the BiLSTM's 2*T_text serial chain is the family's remaining
+    # MFU bound (round-5 roofline, STATUS.md)
+    parallel_encoder: str = "shared"
     # serving fast path: "bfloat16" runs inference matmuls at MXU-native
     # precision (alignments/outputs stay f32; see models/tacotron2.py).
     # Training precision is unaffected.

@@ -56,9 +56,9 @@ class ConvLNBlock:
     is per-position and stateless — train and serve see identical math."""
 
     def __init__(self, in_dim: int, out_dim: int, kernel_size: int,
-                 dropout: float = 0.1):
+                 dropout: float = 0.1, dilation: int = 1):
         self.conv = Conv1d(in_dim, out_dim, kernel_size, padding="same",
-                           init_gain="relu")
+                           init_gain="relu", dilation=dilation)
         self.ln = LayerNorm(out_dim)
         self.dropout = dropout
 
@@ -94,6 +94,43 @@ def length_regulate(enc_out, durations, max_frames: int):
     frame_mask = jnp.arange(max_frames)[None, :] < total[:, None]
     return frames * frame_mask[..., None].astype(frames.dtype), \
         frame_mask, idx, total.astype(jnp.int32)
+
+
+class ConvTextEncoder:
+    """Scan-free text encoder for ParallelTTS (cfg.parallel_encoder="conv").
+
+    The shared Tacotron2 encoder ends in a BiLSTM — two lax.scans over the
+    token axis, a serial chain of ~2*T_text small matmuls that caps the
+    otherwise fully-parallel family's step (round-5 profiling on v5e: see
+    STATUS.md roofline). This encoder replaces it with residual dilated
+    ConvLN blocks (dilations 1,2,4,1,...): same [B, T, D] -> [B, T, D]
+    contract, receptive field ~2*sum(k*d)/2 tokens, zero serial structure —
+    one fused XLA graph end to end. API mirrors tacotron2.Encoder
+    ((params, state, x, lengths, rng, train) -> (out, state)) so the model
+    swaps them freely; "shared" stays the default (checkpoint compat)."""
+
+    def __init__(self, dim: int, n_blocks: int = 6, kernel: int = 5):
+        self.blocks = [ConvLNBlock(dim, dim, kernel, dropout=0.1,
+                                   dilation=(1, 2, 4)[i % 3])
+                       for i in range(n_blocks)]
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.blocks))
+        return {"blocks": [b.init(k) for b, k in zip(self.blocks, ks)]}
+
+    def init_state(self) -> Params:
+        return {}
+
+    def __call__(self, p: Params, state: Params, x, lengths, rng,
+                 train: bool):
+        mask = sequence_mask(lengths, x.shape[1])
+        for i, blk in enumerate(self.blocks):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            y = blk(p["blocks"][i], x, sub, train, mask=mask)
+            x = (x + y) * mask[..., None].astype(x.dtype)
+        return x, state
 
 
 class DurationPredictor:
@@ -151,7 +188,10 @@ class ParallelTTS:
         self.embedding = Embedding(num_chars, cfg.embedding_dim)
         self.embed_proj = (Dense(cfg.embedding_dim, dim)
                            if cfg.embedding_dim != dim else None)
-        self.encoder = Encoder(dim)
+        if cfg.parallel_encoder == "conv":
+            self.encoder = ConvTextEncoder(dim)
+        else:  # "shared": the Tacotron2 conv+BiLSTM encoder (default)
+            self.encoder = Encoder(dim)
         spk_dim = 0
         self.speaker_table = None
         if num_speakers > 1 and speaker_embedding_dim == 0:
