@@ -170,8 +170,10 @@ def cloning_gate(trainer, cfg, enc, enc_params, dvecs):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=8000)
-    p.add_argument("--se_steps", type=int, default=600)
+    # defaults reproduce the committed assets (round-5: 8 speakers trained
+    # at the round-4 asset's proven 20k/800 recipe)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--se_steps", type=int, default=800)
     args = p.parse_args()
 
     from your_voice_tts_tpu.audio import AudioProcessor
