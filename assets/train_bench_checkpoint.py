@@ -44,11 +44,27 @@ cfg = dataclasses.replace(
     training=dataclasses.replace(cfg.training, epochs=100000),
     data=dataclasses.replace(cfg.data, datasets=(ds,)))
 trainer = Trainer(cfg, output_path=None, verbose=False)
-trainer.fit(max_steps=args.steps)
-save_checkpoint(args.out,
-                params=trainer.state.params,
-                model_state=trainer.state.model_state, opt_state={},
-                step=int(trainer.state.step), epoch=0, r=cfg.model.r)
+# fit in chunks, saving after each: a remote-TPU stall mid-run then costs
+# one chunk, not the whole run (round-5: the tunnel wedged 3.6k steps in).
+# A restart resumes params/step from the partial asset (opt state restarts
+# cold — acceptable for Adam at these scales, beats losing the run).
+if os.path.exists(args.out) and os.environ.get("RESUME_PARTIAL") == "1":
+    meta = trainer.restore(args.out, lenient=True)
+    print(f" > resumed from {args.out} at step {meta.get('step')}",
+          flush=True)
+CHUNK = 20000
+done = 0
+while done < args.steps:
+    done = min(done + CHUNK, args.steps)
+    if int(trainer.state.step) >= done:
+        continue
+    trainer.fit(max_steps=done)  # fit()'s max_steps is a GLOBAL step target
+    save_checkpoint(args.out,
+                    params=trainer.state.params,
+                    model_state=trainer.state.model_state, opt_state={},
+                    step=int(trainer.state.step), epoch=0, r=cfg.model.r)
+    print(f" > chunk saved at {done}/{args.steps} steps -> {args.out}",
+          flush=True)
 variables = {"params": trainer.state.params, "state": trainer.state.model_state}
 for s in ["Hi there.", "The quick brown fox jumps over the lazy dog."]:
     seq = text_to_seq(s, cfg)

@@ -474,6 +474,56 @@ def quality_extras(quick: bool = False) -> dict:
         out["parallel_mcd_worst_db"] = round(float(np.max(pmcds)), 2)
         out["parallel_len_err_frac"] = round(float(np.mean(plen_errs)), 3)
 
+    # GST + energy-adaptor ParallelTTS variant (round-5, VERDICT r4 next
+    # #7): same held-out protocol, style-conditioned on the ground-truth
+    # utterance (the training-time conditioning), so the delta vs the plain
+    # parallel checkpoint isolates what the conditioning buys.
+    gckpt = os.path.join(here, "assets", "bench_trained_parallel_gst.npz")
+    if os.path.exists(gckpt):
+        try:
+            from your_voice_tts_tpu.config import GSTConfig, SpeakerConfig
+
+            gcfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, model="ParallelTTS", max_decoder_steps=512,
+                    r=1, parallel_energy_predictor=True),
+                speakers=SpeakerConfig(
+                    use_gst=True, gst=GSTConfig(gst_embedding_dim=32,
+                                                gst_num_heads=2,
+                                                gst_style_tokens=4)))
+            gmodel = setup_model(len(symbols), 0, gcfg)
+            gvars = gmodel.init(jax.random.PRNGKey(0))
+            gparams, gstate, _, _ = load_checkpoint(
+                gckpt, params=gvars["params"], model_state=gvars["state"],
+                opt_state=None)
+            gvars = {"params": gparams, "state": gstate}
+            gmcds = []
+            with tempfile.TemporaryDirectory() as tmp:
+                make_synthetic_corpus(tmp, n_items=n_items,
+                                      sr=cfg.audio.sample_rate,
+                                      seed=20260817, max_words=10)
+                for text, wav_path, _spk in synthetic_fmt(tmp):
+                    wav = ap.load_wav(wav_path)
+                    gt_mel = ap.melspectrogram(wav).T
+                    seq = text_to_seq(text, gcfg)
+                    go = gmodel.inference(
+                        gvars, jnp.asarray(seq, jnp.int32)[None],
+                        jnp.asarray([len(seq)], jnp.int32),
+                        max_decoder_steps=512,
+                        style_mel=jnp.asarray(gt_mel[None]),
+                        style_len=jnp.asarray([gt_mel.shape[0]], jnp.int32))
+                    n = int(go["mel_lengths"][0]) or \
+                        go["postnet_outputs"].shape[1]
+                    gmcds.append(mel_cepstral_distortion(
+                        np.asarray(go["postnet_outputs"][0, :n]), gt_mel,
+                        cfg=gcfg.audio, stats=getattr(ap, "mel_stats",
+                                                      None)))
+            out["parallel_gst_mcd_mean_db"] = round(float(np.mean(gmcds)), 2)
+            out["parallel_gst_mcd_worst_db"] = round(float(np.max(gmcds)), 2)
+        except Exception as e:
+            out["parallel_gst_error"] = _short_err(e)
+
     # WAVEFORM-domain quality gate (VERDICT r4 next #1): copy-synthesis
     # multi-res STFT distance — ground-truth mel -> vocoder -> waveform,
     # scored against the ground-truth AUDIO (aligned by construction, so
