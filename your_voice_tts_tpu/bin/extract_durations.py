@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> None:
     out: dict[str, np.ndarray] = {}
     ents = dataset.entries
     for s in range(0, len(ents), args.batch_size):
+        if (s // args.batch_size) % 8 == 0:
+            # progress heartbeat: bucket-shape compiles make large corpora
+            # silent for many minutes otherwise (and stall watchdogs that
+            # key on log growth then kill a healthy run)
+            print(f" > durations {s}/{len(ents)}", flush=True)
         group = ents[s: s + args.batch_size]
         batch = dataset._collate(group, len(group), r)
         res = fwd({"params": params, "state": state}, batch["text"],
